@@ -1,0 +1,87 @@
+"""As-of join: for each left row, the most recent right row at-or-before
+its timestamp, per key.
+
+Spark has no built-in as-of join (SURVEY.md §2.2). Two strategies:
+
+* ``asof_join`` (default): union-trick — tag both sides, union on
+  (key, ts), and carry the latest right-side values forward with
+  ``last(..., ignorenulls=True)`` over an ordered window.  One shuffle
+  on the key, no join explosion; at 100 TB this is the scalable path
+  because per-key state is a single running value (Spark's window
+  operator streams rows per partition after the sort).
+* ``asof_join_ranked``: range-join + ``row_number() == 1`` — simpler,
+  but materializes every (left, right-earlier) pair before pruning;
+  O(n·m) per key worst case. Kept for small/skewed-key fallback and as
+  an oracle cross-check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Union + last(ignorenulls) as-of join (tolerance: unbounded past).
+
+    Right columns (except key/ts) are appended to every left row as of
+    ``right_ts <= left_ts``; left rows with no prior right row keep
+    nulls. Output columns: all left columns + right value columns.
+    """
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    lcols = left.columns
+
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    for c in rcols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.withColumn("__ts", F.col(right_ts)).withColumn("__side", F.lit(0))
+    for c in lcols:
+        if c not in (key,):
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l_tagged.select(key, "__ts", "__side", *[c for c in lcols if c != key], *rcols).unionByName(
+        r_tagged.select(key, "__ts", "__side", *[c for c in lcols if c != key], *rcols)
+    )
+    # Right rows sort before left rows at equal ts (__side 0 < 1) so an
+    # exactly-simultaneous right row IS visible to the left row (<=).
+    w = (
+        W.partitionBy(key)
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in rcols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(*lcols, *rcols)
+
+
+def asof_join_ranked(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_id: str,
+) -> DataFrame:
+    """Range-join + row_number()==1 as-of join (small-data fallback)."""
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    j = left.join(
+        right,
+        on=(left[key] == right[key]) & (right[right_ts] <= left[left_ts]),
+        how="left",
+    )
+    w = W.partitionBy(left[left_id]).orderBy(
+        F.desc_nulls_last(right[right_ts])
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*[left[c] for c in left.columns], *[right[c] for c in rcols])
+    )

@@ -1,0 +1,114 @@
+"""Ingest-parity transforms: the reference's record pipeline as DataFrame ops.
+
+Reference behaviors reproduced (citations into /root/reference):
+
+* F1 empty-record filter        — linestreamer.go:86
+* F2 null-value filter          — jsonstreamer.go:48
+* T1 line passthrough           — linestreamer.go:89-90
+* T2 line→JSON wrap             — linestreamer.go:39-45,92-99 (default
+                                  output key "LogEntry", main.go:68)
+* T3 JSON re-serialization      — jsonstreamer.go:58-62
+* T4 static-column enrichment   — linestreamer.go:41-45, jsonstreamer.go:49-56
+                                  (added entries OVERWRITE same-named keys;
+                                  objects-only in JSON mode)
+* E1 partition-key stamp        — linestreamer.go:102, jsonstreamer.go:66
+* sink-record contract          — kinesis.PutRecordsRequestEntry{Data,
+                                  PartitionKey}, linestreamer.go:100-103
+
+All are pure column expressions — JVM-side, inside whole-stage codegen;
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_OUTPUT_KEY = "LogEntry"  # main.go:68
+
+
+def filter_empty_lines(df: DataFrame, col: str = "value") -> DataFrame:
+    """F1: drop zero-length lines (linestreamer.go:86)."""
+    return df.filter(F.length(F.col(col)) > 0)
+
+
+def filter_null_values(df: DataFrame, col: str = "value") -> DataFrame:
+    """F2: skip top-level JSON nulls (jsonstreamer.go:48)."""
+    return df.filter(F.col(col).isNotNull() & (F.trim(F.col(col)) != F.lit("null")))
+
+
+def strip_cr(df: DataFrame, col: str = "value") -> DataFrame:
+    """S2 CRLF handling: strip one trailing CR (linestreamer.go:64-69)."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), "\r$", ""))
+
+
+def line_passthrough(df: DataFrame, col: str = "value") -> DataFrame:
+    """T1: raw line bytes are the payload, unmodified (linestreamer.go:89-90)."""
+    return df.select(F.col(col).alias("data"))
+
+
+def wrap_line_as_json(
+    df: DataFrame,
+    col: str = "value",
+    output_key: str = DEFAULT_OUTPUT_KEY,
+    entries: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """T2+T4: wrap each line as ``{output_key: line, **entries}``.
+
+    Mirrors linestreamer.go:92-99; additional entries are constant string
+    columns (T4). Field order matches the reference's observable output:
+    output key first, then entries in insertion order.
+    """
+    fields: list[Column] = [F.col(col).alias(output_key)]
+    fields += [F.lit(v).alias(k) for k, v in (entries or {}).items()]
+    return df.select(F.to_json(F.struct(*fields)).alias("data"))
+
+
+def enrich_json_objects(
+    df: DataFrame,
+    col: str = "value",
+    entries: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """T4 (JSON mode) + T3: merge static entries into *object* records only,
+    then re-serialize.
+
+    Scalars/arrays pass through un-enriched (jsonstreamer.go:49-56); an
+    added entry overwrites a same-named key already present
+    (jsonstreamer.go:52-54).  Implemented JVM-side: parse to a
+    string→string map, concat the entry map (map_concat's later map wins
+    with mapKeyDedupPolicy=LAST_WIN semantics via map_zip_with), and
+    re-serialize with to_json (T3 normalization, jsonstreamer.go:58-62).
+    """
+    entries = dict(entries or {})
+    is_object = F.trim(F.col(col)).startswith("{")
+    if not entries:
+        return df.select(
+            F.when(is_object, F.to_json(F.from_json(F.col(col), "map<string,string>")))
+            .otherwise(F.col(col))
+            .alias("data")
+        )
+    parsed = F.from_json(F.col(col), "map<string,string>")
+    entry_map = F.create_map(
+        *[x for k, v in entries.items() for x in (F.lit(k), F.lit(v))]
+    )
+    # map_zip_with: value from entry_map wins on key collision (overwrite
+    # semantics of jsonstreamer.go:52-54).
+    merged = F.map_zip_with(parsed, entry_map, lambda _k, v1, v2: F.coalesce(v2, v1))
+    return df.select(
+        F.when(is_object, F.to_json(merged)).otherwise(F.col(col)).alias("data")
+    )
+
+
+def stamp_partition_key(df: DataFrame, partition_key: str) -> DataFrame:
+    """E1: stamp the host-identity partition key on every record
+    (linestreamer.go:102, jsonstreamer.go:66)."""
+    return df.withColumn("partitionKey", F.lit(partition_key))
+
+
+def to_sink_records(df: DataFrame, partition_key: str) -> DataFrame:
+    """Produce the canonical sink contract: (data, partitionKey)
+    (kinesis.PutRecordsRequestEntry — linestreamer.go:100-103)."""
+    out = df if "data" in df.columns else df.select(F.col(df.columns[0]).alias("data"))
+    return stamp_partition_key(out.select("data"), partition_key)

@@ -1,0 +1,314 @@
+"""DuckDB oracle SQL per query in ``plans/queries.py``.
+
+Each statement is ANSI SQL runnable by DuckDB over the pre-registered
+parquet views (region nation customer supplier part orders lineitem
+events documents embeddings).  Column aliases match the Spark output
+exactly; integer aggregates are cast to BIGINT because DuckDB widens
+``sum(BIGINT)`` to HUGEINT while Spark stays at long.
+
+Queries with engine-specific semantics (sketches, LSH, hash families)
+are intentionally absent → the driver records a rows-only check.
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q01_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+       round(avg(l_quantity), 2)                                          AS avg_qty,
+       round(avg(l_extendedprice), 2)                                     AS avg_price,
+       round(avg(l_discount), 4)                                          AS avg_disc,
+       count(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q02_filter_project"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+ORACLES["q03_topk_orders"] = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["q04_broadcast_join"] = """
+SELECT p_brand,
+       count(*)                        AS n_items,
+       round(avg(l_quantity), 2)       AS avg_qty,
+       round(sum(l_extendedprice), 2)  AS brand_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+ORACLES["q05_region_revenue"] = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+ORACLES["q06_semi_join"] = """
+SELECT c_mktsegment,
+       count(*)                  AS n_customers,
+       round(avg(c_acctbal), 2)  AS avg_bal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLES["q07_anti_join"] = """
+SELECT c_nationkey, count(*) AS n_idle_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+ORACLES["q08_outer_join"] = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY n_orders
+ORDER BY n_orders
+"""
+
+ORACLES["q09_cross_join"] = """
+SELECT a.r_name AS r1, b.r_name AS r2
+FROM region a CROSS JOIN region b
+WHERE a.r_name < b.r_name
+ORDER BY r1, r2
+"""
+
+ORACLES["q10_range_join"] = """
+SELECT band_id,
+       count(*)                       AS n_parts,
+       round(avg(p_retailprice), 2)   AS avg_price
+FROM part
+JOIN (VALUES (0, 0.0, 500.0), (1, 500.0, 1000.0),
+             (2, 1000.0, 1500.0), (3, 1500.0, 1e9)) AS bands(band_id, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id
+ORDER BY band_id
+"""
+
+ORACLES["q11_window_rank"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+    FROM orders
+)
+WHERE rnk <= 3
+"""
+
+ORACLES["q12_window_running"] = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_spend,
+       round(o_totalprice - lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                                    ORDER BY o_orderdate, o_orderkey), 2)
+           AS delta_vs_prev
+FROM orders
+"""
+
+ORACLES["q13_rollup"] = """
+SELECT n_name, c_mktsegment,
+       count(*)                  AS n_customers,
+       round(sum(c_acctbal), 2)  AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+"""
+
+ORACLES["q14_cube"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+ORACLES["q15_set_ops"] = """
+SELECT nationkey, 'both' AS op FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'customer_only' AS op FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+)
+ORDER BY op, nationkey
+"""
+
+ORACLES["q16_distinct_agg"] = """
+SELECT p_brand,
+       count(DISTINCT l_suppkey)  AS n_suppliers,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+ORACLES["q17_conditional_agg"] = """
+SELECT o_orderstatus,
+       round(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN o_totalprice ELSE 0 END), 2) AS urgent_revenue,
+       round(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                      THEN o_totalprice ELSE 0 END), 2) AS normal_revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+ORACLES["q18_string_funcs"] = """
+SELECT p_partkey,
+       upper(p_brand)                       AS brand_upper,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+       substring(p_name, 1, 8)              AS name_prefix,
+       length(p_name)::BIGINT               AS name_len,
+       concat_ws('|', p_brand, p_type)      AS brand_type
+FROM part
+"""
+
+ORACLES["q19_date_funcs"] = """
+SELECT date_trunc('month', o_orderdate)::DATE AS month_start,
+       year(o_orderdate)::BIGINT              AS yr,
+       month(o_orderdate)::BIGINT             AS mon,
+       count(*)                               AS n_orders,
+       round(sum(o_totalprice), 2)            AS month_revenue
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY month_start
+"""
+
+ORACLES["q20_json_funcs"] = """
+SELECT event_type,
+       count(*)                                        AS n_events,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 2) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["q21_exists_subquery"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["q22_scalar_subquery"] = """
+SELECT c_nationkey,
+       count(*)                 AS n_above_avg,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+ORACLES["q23_asof_join"] = """
+WITH latest AS (
+    SELECT o_custkey AS user_id, o_orderdate AS odate,
+           max(o_orderkey) AS latest_order_key
+    FROM orders GROUP BY 1, 2
+)
+SELECT event_id, user_id, latest_order_key
+FROM (
+    SELECT e.event_id, e.user_id, l.latest_order_key,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY l.odate DESC) AS rn
+    FROM events e
+    LEFT JOIN latest l ON l.user_id = e.user_id AND l.odate <= e.ts
+)
+WHERE rn = 1
+"""
+
+ORACLES["q24_tumbling_window"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       event_type,
+       count(*)                 AS n_events,
+       round(sum(value), 2)     AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+ORACLES["q25_sessionize"] = """
+WITH flagged AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       sum(new_s)::BIGINT AS n_sessions,
+       count(*)           AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES["q26_pivot"] = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS ev_click,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS ev_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS ev_purchase,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS ev_signup,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS ev_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES["q27_percentiles"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       count(*)                                      AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

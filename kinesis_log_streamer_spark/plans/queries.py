@@ -1,0 +1,620 @@
+"""The engine's query catalog: one function per operator family.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match the corresponding DuckDB oracle in
+``plans/oracles.py`` exactly (the driver sorts columns by name before
+value-hashing).
+
+Scale notes are given per query: each plan is written so Catalyst
+produces the physical strategy we would want on a 1000-executor
+cluster — broadcast joins for dims, partial aggregation before
+shuffles, filters pushed into the parquet scan.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+
+* double aggregates are ``round()``-ed (inputs carry 2-decimal money
+  semantics, so rounded sums are stable against fp association order);
+* every window/top-k ordering carries a unique tiebreaker column;
+* integer aggregates are kept at bigint on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesis_log_streamer_spark.operators.asof import asof_join
+from kinesis_log_streamer_spark.operators.sessionize import sessionize
+from kinesis_log_streamer_spark.operators.topk import topk_per_group
+from kinesis_log_streamer_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / aggregation core
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → hash-agg → sort.
+
+    Scale: the ``l_shipdate`` predicate pushes into the parquet scan;
+    aggregation is partial (map-side) then final over only
+    |returnflag × linestatus| groups, so shuffle volume is O(groups).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + projection (TPC-H Q6 shape) — no aggregation,
+    raw rows out; verifies predicate pushdown and column pruning.
+
+    Scale: `.explain("formatted")` shows PushedFilters for all three
+    predicates and a 4-column ReadSchema.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
+
+def q03_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + global top-k (TPC-H Q3 shape).
+
+    Scale: Catalyst compiles orderBy+limit into TakeOrderedAndProject —
+    each partition keeps only k rows, then the driver merges k·p rows;
+    no global sort is materialized.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q04_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dimension with an explicit broadcast hint.
+
+    Scale: ``part`` scales with the catalog, not the fact data —
+    broadcasting it removes the shuffle of the 100 TB ``lineitem`` side
+    entirely (BroadcastHashJoin in the plan).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way snowflake join (TPC-H Q5 shape): lineitem ⋈ orders ⋈
+    customer ⋈ nation ⋈ region → revenue per nation.
+
+    Scale: nation/region are broadcast (tiny, fixed cardinality);
+    the two fact-side joins shuffle on their keys and AQE coalesces
+    post-shuffle partitions. Join order (facts first, dims last) keeps
+    intermediate row width small.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-type coverage
+# ---------------------------------------------------------------------------
+
+
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one big order.
+
+    Scale: semi-join short-circuits on first match — no fan-out — and
+    Catalyst can pick broadcast or shuffled-hash by side size.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers who never placed a
+    >300k order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_idle_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q08_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + two-level aggregation: order-count distribution
+    per customer (customers with zero orders included as 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+def q09_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join on a tiny dimension: ordered region pairs."""
+    region = _t(spark, sf_dir, "region")
+    r1 = region.select(F.col("r_name").alias("r1"))
+    r2 = region.select(F.col("r_name").alias("r2"))
+    return r1.crossJoin(r2).filter(F.col("r1") < F.col("r2")).orderBy("r1", "r2")
+
+
+def q10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: bucket parts into price bands.
+
+    Scale: the band table is tiny and broadcast, so the non-equi
+    condition runs as BroadcastNestedLoopJoin — O(rows·bands) with no
+    shuffle; for large band tables the binning trick (equi-join on a
+    computed bucket id) replaces it.
+    """
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 500.0), (1, 500.0, 1000.0), (2, 1000.0, 1500.0), (3, 1500.0, 1e9)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+def q11_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — ranked-window top-k.
+
+    Scale: one shuffle on the partition key, per-partition sort, rows
+    beyond rank 3 dropped before any further operator sees them.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+
+
+def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals + lag deltas per customer over order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_vs_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / distinct / conditional aggregation
+# ---------------------------------------------------------------------------
+
+
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over nation → market segment with subtotals and a grand
+    total (null-filled grouping columns)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy(
+            F.asc_nulls_first("n_name"), F.asc_nulls_first("c_mktsegment")
+        )
+    )
+
+
+def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag × linestatus (all 2^2 grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus")
+        )
+    )
+
+
+def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations that have customers ∩/∖ nations that have
+    suppliers, tagged and unioned."""
+    cust_n = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_n = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust_n.intersect(supp_n).withColumn("op", F.lit("both"))
+    cust_only = cust_n.subtract(supp_n).withColumn("op", F.lit("customer_only"))
+    return both.unionByName(cust_only).orderBy("op", "nationkey")
+
+
+def q16_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (TPC-H Q16 shape): distinct
+    suppliers and orders per brand.
+
+    Scale: Catalyst expands multi-distinct into an Expand + two-phase
+    aggregate — no driver-side distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q17_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN inside aggregation (manual pivot shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_totalprice")
+    ).otherwise(F.lit(0.0))
+    low = F.when(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_totalprice")
+    ).otherwise(F.lit(0.0))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum(urgent), 2).alias("urgent_revenue"),
+            F.round(F.sum(low), 2).alias("normal_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expression-language coverage: strings, dates, JSON
+# ---------------------------------------------------------------------------
+
+
+def q18_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String expression coverage: regexp_extract, split-head, case
+    folding, substring, concat_ws, length — the log-parsing toolkit
+    (e.g. pulling method/path out of an Apache RequestLine)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+def q19_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time expression coverage: truncation + extraction + grouping
+    by calendar month (the log-rollup primitive)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.trunc("o_orderdate", "month").alias("month_start"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+            "o_totalprice",
+        )
+        .groupBy("month_start", "yr", "mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+        )
+        .orderBy("month_start")
+    )
+
+
+def q20_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON expression coverage: extract typed values from the events
+    ``props`` JSON column and aggregate."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+def q21_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style correlated filter: orders containing any max-quantity
+    line item (semi-join execution)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") >= 48).select("l_orderkey")
+    return (
+        orders.join(hot, orders.o_orderkey == hot.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q22_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the global average balance.
+
+    Scale: the 1-row aggregate is broadcast; no shuffle of the big side.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("global_avg"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("global_avg"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series operators: as-of join, tumbling windows, sessionization
+# ---------------------------------------------------------------------------
+
+
+def q23_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event is annotated with the user's most recent
+    order at-or-before the event time (operators/asof.py union trick —
+    one shuffle, O(1) window state; no join explosion)."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    # Deterministic right side: one row per (custkey, orderdate) keyed to
+    # the max orderkey, so equal-timestamp ties cannot flip across engines.
+    latest = (
+        orders.groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate").alias("odate")
+        )
+        .agg(F.max("o_orderkey").alias("latest_order_key"))
+    )
+    return asof_join(
+        events, latest, key="user_id", left_ts="ts", right_ts="odate"
+    ).select("event_id", "user_id", "latest_order_key")
+
+
+def q24_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation (batch twin of the streaming
+    windowed count): events per hour per type."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").start.alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+def q25_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) per user: session counts via
+    lag + cumulative sum (operators/sessionize.py)."""
+    events = _t(spark, sf_dir, "events")
+    s = sessionize(
+        events, "user_id", "ts", gap_seconds=1800, tiebreak_cols=("event_id",)
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pv = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    out = pv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"ev_{t}") for t in types],
+    )
+    return out.orderBy("user_id")
+
+
+def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q28_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates: HLL++ distinct counts and
+    approximate percentiles.  Approximation is engine-specific, so this
+    query has no SQL oracle (rows-only check); the exact twins are
+    q16/q27.
+
+    Scale: this is THE 100 TB idiom — fixed-size sketches merge
+    map-side, so distinct-count shuffle volume is O(sketch), not O(n).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_topk_orders": q03_topk_orders,
+    "q04_broadcast_join": q04_broadcast_join,
+    "q05_region_revenue": q05_region_revenue,
+    "q06_semi_join": q06_semi_join,
+    "q07_anti_join": q07_anti_join,
+    "q08_outer_join": q08_outer_join,
+    "q09_cross_join": q09_cross_join,
+    "q10_range_join": q10_range_join,
+    "q11_window_rank": q11_window_rank,
+    "q12_window_running": q12_window_running,
+    "q13_rollup": q13_rollup,
+    "q14_cube": q14_cube,
+    "q15_set_ops": q15_set_ops,
+    "q16_distinct_agg": q16_distinct_agg,
+    "q17_conditional_agg": q17_conditional_agg,
+    "q18_string_funcs": q18_string_funcs,
+    "q19_date_funcs": q19_date_funcs,
+    "q20_json_funcs": q20_json_funcs,
+    "q21_exists_subquery": q21_exists_subquery,
+    "q22_scalar_subquery": q22_scalar_subquery,
+    "q23_asof_join": q23_asof_join,
+    "q24_tumbling_window": q24_tumbling_window,
+    "q25_sessionize": q25_sessionize,
+    "q26_pivot": q26_pivot,
+    "q27_percentiles": q27_percentiles,
+    "q28_approx_stats": q28_approx_stats,
+}
