@@ -1,0 +1,246 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, each a composition of built-in DataFrame ops (no Python in
+the hot path):
+
+* **Exact** — hash-groupBy on content. Shuffle is O(distinct docs);
+  the md5/sha2 fingerprint (16/32 bytes) travels instead of the text.
+* **MinHash + LSH** — shingle → per-seed min-hash signature → band →
+  bucket equi-join. Candidate generation is an equi-join on
+  (band_id, band_hash), so the shuffle matches only colliding docs —
+  the O(n²) pair space is never materialized. The classic 100 TB
+  near-dup design (Broder; used by most web-scale dedup pipelines).
+* **SimHash** — 64-bit signed-projection fingerprint; candidates from
+  16-bit chunk equality (pigeonhole: hamming ≤ 3 ⟹ one of four 16-bit
+  chunks equal), verified with bit_count(xor).
+* **N-gram Jaccard** — exact set overlap for verification / small
+  candidate sets.
+
+All hash functions are Spark's xxhash64 (JVM, codegen). Signatures are
+engine-specific, so LSH outputs get rows-only driver checks; the exact
+Jaccard verifier is SQL-expressible and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles_col(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (JVM higher-order fns)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(tok, i, n), " "),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: one representative (min id) per distinct text.
+
+    Returns (fp, n_copies, keeper). Group key is the md5 fingerprint so
+    only 16 bytes shuffle per doc, not the document body.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig): per-doc distinct shingle set + MinHash signature.
+
+    Signature k = min over shingles of xxhash64(shingle, k) — one pass
+    over the shingle array per hash, all JVM-side.
+    """
+    sh = F.array_distinct(shingles_col(tokens_col(F.col(text_col)), shingle_n))
+    out = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s, k=k: F.xxhash64(s, F.lit(k)))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+    return out.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded-LSH candidate pairs from MinHash signatures.
+
+    Explode each signature into ``bands`` (band_id, band_hash) buckets,
+    self-join on bucket equality with id_a < id_b.  Shuffle volume is
+    O(docs × bands); matches only within buckets — never O(n²).
+    """
+    banded = sig_df.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    ).select("id", "bucket.band_id", "bucket.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sig_df: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: |∩| / |∪| of the
+    distinct-shingle sets; keeps pairs ≥ threshold."""
+    sh = sig_df.select("id", "shingles")
+    j = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        j.withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union, 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pipeline: signatures → banded
+    candidates → exact Jaccard verify ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    return jaccard_verify(cands, sigs, threshold)
+
+
+def simhash64(text_col_name: str) -> Column:
+    """64-bit SimHash of a text column, fully JVM-side.
+
+    One aggregate pass over the token-hash array builds 64 signed bit
+    counters (zip_with against a 64-slot accumulator), then a second
+    fold packs the counter signs into a 64-bit long.  Expressed as a
+    single SQL higher-order expression so whole-stage codegen keeps it
+    in the JVM — no Python per row.
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            aggregate(
+              transform(split(lower(trim({text_col_name})), '\\\\s+'), tk -> xxhash64(tk)),
+              array_repeat(0L, 64),
+              (acc, h) -> zip_with(acc, sequence(0, 63),
+                          (a, i) -> a + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)
+            ),
+            sequence(0, 63),
+            (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END
+          ),
+          0L, (acc, x) -> acc + x
+        )
+        """
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
+
+    Candidates via the pigeonhole principle: split the 64-bit hash into
+    4 × 16-bit chunks; any pair within hamming ≤ 3 must agree on at
+    least one chunk, so an equi-join per chunk finds all of them with
+    shuffle O(docs × 4) — no cross join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(text_col).alias("simhash")
+    )
+    chunked = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", 16 * j)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("chunk"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk_id", "c.chunk")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,124 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+100 TB posture: media bytes live in partitioned parquet **binary**
+columns (or as pointers to object storage for very large blobs), with a
+typed metadata struct alongside; decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` so each task streams record batches —
+never a per-row Python roundtrip.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+the decode step is STUBBED: ``decode_media`` raises
+NotImplementedError unless ``fake=True``, in which case a
+deterministic fake featurizer (byte-level stats) stands in.  The
+Spark-side plumbing — schema, batch iteration, partitioning — is real
+and tested; swapping the stub for a real codec changes only the inner
+function body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, "
+    "feat_mean double, feat_first long, feat_last long"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", kind: str = "text"
+) -> DataFrame:
+    """Materialize an opaque binary payload column + typed metadata.
+
+    (Here the payload is the utf-8 encoded document — in a real
+    pipeline it is image/audio bytes read via
+    ``spark.read.format("binaryFile")``.)
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(kind).alias("kind"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        payload.alias("payload"),
+    )
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode/feature-extract binary payloads via Arrow-batched
+    ``mapInPandas``.
+
+    With real codecs absent, ``fake=True`` runs a deterministic
+    byte-stat featurizer (mean byte value, first/last byte) so the
+    batch shape, schema, and partitioning are exercised end-to-end;
+    ``fake=False`` raises NotImplementedError from inside the executor
+    batches, exactly where a real decoder would run.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codecs (PIL/ffmpeg) not available in this "
+                    "environment — pass fake=True for the deterministic stub"
+                )
+            payloads = pdf["payload"]
+            pdf_out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feat_mean": [
+                        (sum(b) / len(b)) if len(b) else 0.0 for b in payloads
+                    ],
+                    "feat_first": [int(b[0]) if len(b) else -1 for b in payloads],
+                    "feat_last": [int(b[-1]) if len(b) else -1 for b in payloads],
+                }
+            )
+            yield pdf_out
+
+    return df.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, every_n_bytes: int = 64, fake: bool = False
+) -> DataFrame:
+    """'Frame sampling' plumbing: explode one row per sampled offset of
+    the payload (for video this would be one row per sampled frame).
+
+    JVM-side explode over a computed offset sequence — the fan-out
+    happens in Spark, not Python; only the per-frame decode (stubbed)
+    would be Python.
+    """
+    n_frames = F.greatest(
+        (F.col("n_bytes") / every_n_bytes).cast("long"), F.lit(1)
+    )
+    offsets = F.sequence(F.lit(0), n_frames - 1)
+    exploded = df.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        "payload",
+        F.explode(offsets).alias("frame_no"),
+    ).withColumn("frame_offset", F.col("frame_no") * every_n_bytes)
+    if not fake:
+        return exploded.select(
+            "doc_id", "kind", "frame_no", "frame_offset"
+        )
+    # Deterministic fake "frame feature": the byte at the sampled offset.
+    return exploded.select(
+        "doc_id",
+        "kind",
+        "frame_no",
+        "frame_offset",
+        F.expr("CAST(substring(payload, frame_offset + 1, 1) AS STRING)").alias(
+            "frame_token"
+        ),
+    )

@@ -312,3 +312,146 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+# --------------------------------------------------------------------------
+# LLM-pipeline extensions
+# --------------------------------------------------------------------------
+
+ORACLES["d01_exact_dedup"] = """
+SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper
+FROM documents
+GROUP BY text
+ORDER BY fp
+"""
+
+ORACLES["d04_ngram_jaccard"] = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents
+          WHERE doc_id % 50 = 0)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+ORACLES["t01_text_quality"] = """
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_bpe_tokens,
+       round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+             / length(text), 4) AS punct_ratio,
+       round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
+             / len(string_split_regex(lower(trim(text)), '\\s+')), 4) AS stopword_ratio,
+       round(least(len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 100.0, 1.0) * 0.4
+             + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / length(text)) * 0.3
+             + len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
+               / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.3,
+             4) AS quality_score
+FROM documents
+ORDER BY doc_id
+"""
+
+_SW = {
+    "en": "('the','and','of','to','a','in','is','it','that','for')",
+    "es": "('el','la','de','que','y','en','un','los','se','del')",
+    "de": "('der','die','und','das','ist','von','mit','den','im','ein')",
+    "fr": "('le','la','les','de','et','un','une','du','est','dans')",
+    "zh": "('的','是','了','在','我','有','和','就','不','人')",
+}
+
+_score = (
+    "round(avg(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    " x -> x IN {lst}))::DOUBLE"
+    " / len(string_split_regex(lower(trim(text)), '\\s+'))), 4) AS avg_{lang}"
+)
+
+ORACLES["t02_lang_scores"] = (
+    "SELECT lang, count(*) AS n_docs, "
+    + ", ".join(
+        _score.format(lst=_SW[lang], lang=lang) for lang in sorted(_SW)
+    )
+    + " FROM documents GROUP BY lang ORDER BY lang"
+)
+
+ORACLES["t04_token_stats"] = """
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS ws_tokens,
+       sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT AS bpe_tokens,
+       sum(length(text))::BIGINT AS total_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["t05_fingerprint"] = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["s01_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+    SELECT q.qid, e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec), 6) AS cos6,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec), 4) AS cos4
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != q.qid
+)
+SELECT qid, vec_id, cos4, rnk
+FROM (
+    SELECT qid, vec_id, cos4,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos6 DESC, vec_id ASC) AS rnk
+    FROM scored
+)
+WHERE rnk <= 10
+ORDER BY qid, rnk
+"""
+
+ORACLES["s02_norm_stats"] = """
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+ORACLES["m01_multimodal_meta"] = """
+SELECT doc_id, 'text' AS kind, octet_length(encode(text))::BIGINT AS n_bytes
+FROM documents
+ORDER BY doc_id
+"""
+
+ORACLES["i01_wrap_lines"] = """
+SELECT doc_id,
+       to_json(struct_pack(LogEntry := text,
+                           LogFile := 'HTTPErrorLog'))::VARCHAR AS data,
+       'test-host' AS "partitionKey"
+FROM documents
+ORDER BY doc_id
+"""
+
+ORACLES["i02_enrich_json"] = """
+SELECT event_id,
+       '{"k":"' || json_extract_string(props, '$.k') || '","source":"engine"}'
+           AS data
+FROM events
+ORDER BY event_id
+"""

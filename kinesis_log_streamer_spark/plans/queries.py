@@ -24,9 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from kinesis_log_streamer_spark.operators import dedup as D
+from kinesis_log_streamer_spark.operators import multimodal as M
+from kinesis_log_streamer_spark.operators import similarity as S
+from kinesis_log_streamer_spark.operators import text as TX
 from kinesis_log_streamer_spark.operators.asof import asof_join
 from kinesis_log_streamer_spark.operators.sessionize import sessionize
 from kinesis_log_streamer_spark.operators.topk import topk_per_group
+from kinesis_log_streamer_spark.operators.transforms import (
+    enrich_json_objects,
+    stamp_partition_key,
+    wrap_line_as_json,
+)
 from kinesis_log_streamer_spark.sources.tables import load_table
 
 
@@ -585,6 +594,232 @@ def q28_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deduplication (exact + fuzzy) — SURVEY.md §2.2 extensions
+# ---------------------------------------------------------------------------
+
+
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on documents: md5-fingerprint group-by,
+    min-id representative (operators/dedup.exact_dedup).
+
+    Scale: only the 16-byte fingerprint shuffles, never the text."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).orderBy("fp")
+
+
+def d02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (signatures → banded buckets →
+    exact-Jaccard verify ≥ 0.3). Hash family is Spark xxhash64, so this
+    is rows-only for the driver; tests pin the pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, threshold=0.3).orderBy("id_a", "id_b")
+
+
+def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming ≤ 12 over 64-bit fingerprints
+    (chunk-pigeonhole candidates; rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=12).orderBy("id_a", "id_b")
+
+
+def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity over a deterministic document
+    subset (doc_id % 50 == 0) — the SQL-checkable twin of d02."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    sh = D.shingles_col(D.tokens_col(F.col("text")), 3)
+    with_sh = docs.select("doc_id", F.array_distinct(sh).alias("sh"))
+    a = with_sh.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = with_sh.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis — SURVEY.md §2.2 extensions
+# ---------------------------------------------------------------------------
+
+
+def t01_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score
+    (operators/text.quality_features)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.quality_features(docs).orderBy("doc_id")
+
+
+def t02_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language scores aggregated per labeled lang —
+    the oracle-checkable core of language ID."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.lang_scores(docs)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[
+                F.round(F.avg(f"score_{lang}"), 4).alias(f"avg_{lang}")
+                for lang in sorted(TX.STOPWORDS)
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
+def t03_langid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted language (argmax heuristic) confusion counts vs the
+    labeled lang. Struct-argmax is engine-specific on ties → rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TX.langid(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def t04_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace vs BPE-ish regex
+    tokenization (operators/text token counters)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.ws_token_count(t).cast("long")).alias("ws_tokens"),
+            F.sum(TX.bpe_ish_token_count(t).cast("long")).alias("bpe_tokens"),
+            F.sum(F.length(t).cast("long")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints per source: distinct md5 count (dup
+    detection primitive; the rolling-hash twin is rows-only in d02)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = TX.fingerprint(docs)
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp_md5").alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search — SURVEY.md §2.2 extensions
+# ---------------------------------------------------------------------------
+
+
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for query vectors
+    (vec_id < 5) — exact ANN baseline, JVM-side vector math."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=10).orderBy("qid", "rnk")
+
+
+def s02_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics (array math via
+    zip_with/aggregate — no UDF)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from kinesis_log_streamer_spark.functions.vector import l2_norm
+
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def s03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH + exact re-rank —
+    the 100 TB scale path (rows-only; recall asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(emb, queries, dim=64, k=10).orderBy("qid", "rnk")
+
+
+def s04_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
+    verify (rows-only). Threshold 0.3 — this synthetic corpus has no
+    true near-dups (max pairwise cosine ≈ 0.51), so the top tail
+    stands in."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, dim=64, min_cosine=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + ingest parity
+# ---------------------------------------------------------------------------
+
+
+def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + typed metadata (decode stays stubbed;
+    the schema/plumbing is what's checked — payload length via SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(docs)
+    return media.select("doc_id", "kind", "n_bytes").orderBy("doc_id")
+
+
+def i01_wrap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference T2+T4+E1 (line→JSON wrap + enrichment + partition key)
+    over the documents corpus as the line source
+    (linestreamer.go:92-99; --add-entry LogFile=...)."""
+    docs = _t(spark, sf_dir, "documents")
+    # wrap_line_as_json/to_sink_records drop the id; keep doc_id here as
+    # a deterministic compare key for the oracle.
+    wrapped = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("text").alias("LogEntry"),
+                F.lit("HTTPErrorLog").alias("LogFile"),
+            )
+        ).alias("data"),
+    )
+    return stamp_partition_key(wrapped, "test-host").orderBy("doc_id")
+
+
+def i02_enrich_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference T3+T4 (JSON-object enrichment + re-serialization) over
+    the events.props JSON records (jsonstreamer.go:49-62)."""
+    events = _t(spark, sf_dir, "events")
+    # Same expression enrich_json_objects builds, with event_id kept as
+    # a stable compare key for the oracle.
+    parsed = F.from_json(F.col("props"), "map<string,string>")
+    entry_map = F.create_map(F.lit("source"), F.lit("engine"))
+    merged = F.map_zip_with(
+        parsed, entry_map, lambda _k, v1, v2: F.coalesce(v2, v1)
+    )
+    is_object = F.trim(F.col("props")).startswith("{")
+    return events.select(
+        "event_id",
+        F.when(is_object, F.to_json(merged)).otherwise(F.col("props")).alias("data"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -617,4 +852,20 @@ REGISTRY = {
     "q26_pivot": q26_pivot,
     "q27_percentiles": q27_percentiles,
     "q28_approx_stats": q28_approx_stats,
+    "d01_exact_dedup": d01_exact_dedup,
+    "d02_minhash_pairs": d02_minhash_pairs,
+    "d03_simhash_pairs": d03_simhash_pairs,
+    "d04_ngram_jaccard": d04_ngram_jaccard,
+    "t01_text_quality": t01_text_quality,
+    "t02_lang_scores": t02_lang_scores,
+    "t03_langid_pred": t03_langid_pred,
+    "t04_token_stats": t04_token_stats,
+    "t05_fingerprint": t05_fingerprint,
+    "s01_cosine_topk": s01_cosine_topk,
+    "s02_norm_stats": s02_norm_stats,
+    "s03_lsh_topk": s03_lsh_topk,
+    "s04_embedding_near_dups": s04_embedding_near_dups,
+    "m01_multimodal_meta": m01_multimodal_meta,
+    "i01_wrap_lines": i01_wrap_lines,
+    "i02_enrich_json": i02_enrich_json,
 }
