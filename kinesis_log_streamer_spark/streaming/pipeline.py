@@ -1,0 +1,144 @@
+"""End-to-end ingest pipelines: the reference's three entry points as
+Structured Streaming (and batch-twin) dataflows.
+
+Entry points reproduced (SURVEY.md §3):
+1. line → string passthrough        (main.go:62-170, T1)
+2. JSON mode with enrichment        (jsonstreamer.go:34-81, T3+T4)
+3. line → JSON wrap with entries    (linestreamer.go:92-99, T2+T4)
+
+Streaming semantics mapping:
+* flush-on-idle / EOF drain (B1) → ``Trigger.AvailableNow`` drains all
+  pending input then stops; ``processingTime`` triggers approximate
+  the idle-flush cadence (documented delta, SURVEY §7 risk 3).
+* bounded channel backpressure → ``maxFilesPerTrigger``.
+* per-host partition key ordering → constant partitionKey column +
+  repartition in the sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from kinesis_log_streamer_spark.hostid import get_host_id
+from kinesis_log_streamer_spark.operators.transforms import (
+    enrich_json_objects,
+    filter_empty_lines,
+    line_passthrough,
+    strip_cr,
+    to_sink_records,
+    wrap_line_as_json,
+)
+
+
+def build_line_pipeline(
+    lines: DataFrame,
+    output_format: str = "string",
+    output_key: str = "LogEntry",
+    entries: Mapping[str, str] | None = None,
+    host_id: str | None = None,
+) -> DataFrame:
+    """Entry points 1 & 3: line records → sink records.
+
+    ``output_format='string'`` → T1 passthrough;
+    ``'json'`` → T2 wrap + T4 enrichment.
+    Works identically on batch and streaming DataFrames (same logical
+    plan; the micro-batch engine re-plans per trigger).
+    """
+    clean = filter_empty_lines(strip_cr(lines))
+    if output_format == "json":
+        projected = wrap_line_as_json(clean, "value", output_key, entries)
+    else:
+        projected = line_passthrough(clean)
+    return to_sink_records(projected, host_id or get_host_id())
+
+
+def build_json_pipeline(
+    values: DataFrame,
+    entries: Mapping[str, str] | None = None,
+    host_id: str | None = None,
+) -> DataFrame:
+    """Entry point 2: JSON value records → enriched sink records
+    (F2 null skip + T4 objects-only enrichment + T3 re-serialize)."""
+    nonnull = values.filter(values["value"].isNotNull()).filter(
+        values["value"] != "null"
+    )
+    projected = enrich_json_objects(nonnull, "value", entries)
+    return to_sink_records(projected, host_id or get_host_id())
+
+
+def run_stream(
+    records: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Attach a sink via foreachBatch and start the query.
+
+    ``available_now=True`` reproduces the reference's EOF drain
+    (process everything pending, flush, stop — basestreamer.go:27-33);
+    a ``processing_time`` trigger gives the continuous-tail mode.
+    """
+    writer = (
+        records.writeStream.foreachBatch(sink.write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed aggregation with late-data handling: the
+    engine's requests-per-window primitive over the events stream."""
+    from pyspark.sql import functions as F
+
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+
+
+def sessionized_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming session windows (gap-close semantics) per user."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming twin of the events table (for tests: a
+    bounded directory drained with AvailableNow)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(f"{sf_dir}")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

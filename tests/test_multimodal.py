@@ -1,0 +1,50 @@
+"""Multimodal-column plumbing tests (decode stubbed per environment)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from kinesis_log_streamer_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        [(0, "abcd"), (1, "xyz")], "doc_id long, text string"
+    )
+    return M.attach_binary_payload(df)
+
+
+class TestBinaryPlumbing:
+    def test_payload_schema_and_bytes(self, media):
+        assert dict(media.dtypes)["payload"] == "binary"
+        rows = {r.doc_id: r for r in media.collect()}
+        assert bytes(rows[0].payload) == b"abcd"
+        assert rows[0].n_bytes == 4 and rows[1].n_bytes == 3
+        assert rows[0].kind == "text"
+
+    def test_fake_decode_features(self, media):
+        out = {r.doc_id: r for r in M.decode_media(media, fake=True).collect()}
+        assert out[0].feat_first == ord("a")
+        assert out[0].feat_last == ord("d")
+        assert abs(out[0].feat_mean - (97 + 98 + 99 + 100) / 4) < 1e-9
+
+    def test_real_decode_raises_not_implemented(self, media):
+        with pytest.raises(Exception) as exc_info:
+            M.decode_media(media, fake=False).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
+
+    def test_frame_sample_explodes_offsets(self, media):
+        frames = M.frame_sample(media, every_n_bytes=2, fake=True).collect()
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 0: 4 bytes / 2 = 2 frames; doc 1: 3 // 2 = 1 frame
+        assert len(by_doc[0]) == 2 and len(by_doc[1]) == 1
+        f0 = sorted(by_doc[0], key=lambda r: r.frame_no)
+        assert [r.frame_offset for r in f0] == [0, 2]
+        assert f0[0].frame_token == "a" and f0[1].frame_token == "c"

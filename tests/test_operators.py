@@ -1,0 +1,85 @@
+"""Composite-operator tests: as-of join, sessionization, top-k."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kinesis_log_streamer_spark.operators.asof import asof_join, asof_join_ranked
+from kinesis_log_streamer_spark.operators.sessionize import sessionize
+from kinesis_log_streamer_spark.operators.topk import topk_per_group
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, 10, _ts("2024-01-01T10:00:00")),
+                (2, 10, _ts("2024-01-01T12:00:00")),
+                (3, 20, _ts("2024-01-01T09:00:00")),
+            ],
+            "event_id long, key long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, _ts("2024-01-01T09:30:00"), 100),
+                (10, _ts("2024-01-01T11:00:00"), 200),
+                (20, _ts("2024-01-01T09:00:00"), 300),  # exactly simultaneous
+            ],
+            "key long, rts timestamp, val long",
+        )
+        return left, right
+
+    def test_picks_latest_at_or_before(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r.event_id: r.val
+            for r in asof_join(left, right, "key", "ts", "rts").collect()
+        }
+        assert out == {1: 100, 2: 200, 3: 300}
+
+    def test_matches_ranked_variant(self, spark):
+        left, right = self._frames(spark)
+        a = asof_join(left, right, "key", "ts", "rts")
+        b = asof_join_ranked(left, right, "key", "ts", "rts", "event_id")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_no_prior_row_yields_null(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts("2024-01-01T08:00:00"))],
+            "event_id long, key long, ts timestamp",
+        )
+        _, right = self._frames(spark)
+        row = asof_join(left, right, "key", "ts", "rts").first()
+        assert row.val is None
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        rows = [
+            (1, 1, _ts("2024-01-01T10:00:00")),
+            (2, 1, _ts("2024-01-01T10:10:00")),
+            (3, 1, _ts("2024-01-01T11:30:00")),  # > 30 min gap → new session
+            (4, 2, _ts("2024-01-01T10:00:00")),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        out = sessionize(df, gap_seconds=1800, tiebreak_cols=("event_id",))
+        sessions = {r.event_id: r.session_id for r in out.collect()}
+        assert sessions == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+class TestTopK:
+    def test_topk_per_group(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 3), ("a", 2), ("b", 9)], "g string, v long"
+        )
+        out = topk_per_group(df, ["g"], [F.desc("v"), F.asc("g")], k=2)
+        got = sorted((r.g, r.v, r.rnk) for r in out.collect())
+        assert got == [("a", 3, 1), ("a", 2, 2), ("b", 9, 1)] or got == sorted(
+            [("a", 3, 1), ("a", 2, 2), ("b", 9, 1)]
+        )

@@ -1,0 +1,93 @@
+"""Streaming-semantics tests: AvailableNow drain (EOF flush), batch
+boundaries, windowed/sessionized aggregation (SURVEY §5.2 item 3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+    CollectingSink,
+    chunk_records,
+)
+from kinesis_log_streamer_spark.streaming.pipeline import (
+    build_line_pipeline,
+    run_stream,
+    windowed_event_counts,
+)
+
+
+class TestChunking:
+    def test_flush_at_max_records(self):
+        # B1 at batch size 5 (basestreamer.go:20,37)
+        rows = [(f"r{i}".encode(), "k") for i in range(12)]
+        batches = list(chunk_records(rows, max_records=5))
+        assert [len(b) for b in batches] == [5, 5, 2]  # EOF drain flushes tail
+
+    def test_flush_at_max_bytes(self):
+        rows = [(b"x" * 600, "k") for _ in range(4)]
+        batches = list(chunk_records(rows, max_records=500, max_bytes=1500))
+        assert [len(b) for b in batches] == [2, 2]
+
+    def test_order_preserved(self):
+        rows = [(str(i).encode(), "k") for i in range(7)]
+        flat = [r for b in chunk_records(rows, max_records=3) for r in b]
+        assert [d for d, _ in flat] == [str(i).encode() for i in range(7)]
+
+
+class TestAvailableNowDrain:
+    def test_stream_drains_and_flushes(self, spark, tmp_path):
+        # EOF drain: all pending input processed, tail flushed
+        # (basestreamer.go:27-33 ≙ Trigger.AvailableNow)
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.log").write_text("l1\nl2\n\nl3\n")
+        (src / "b.log").write_text("l4\r\nl5\r\n")
+        lines = spark.readStream.format("text").load(str(src))
+        records = build_line_pipeline(
+            lines, output_format="json",
+            entries={"LogFile": "T"}, host_id="h1",
+        )
+        sink = CollectingSink(max_records=5)
+        q = run_stream(records, sink, str(tmp_path / "ckpt"), available_now=True)
+        q.awaitTermination(120)
+        payloads = sorted(
+            json.loads(d.decode())["LogEntry"] for d, _ in sink.records
+        )
+        assert payloads == ["l1", "l2", "l3", "l4", "l5"]
+        assert all(k == "h1" for _, k in sink.records)
+        assert all(len(b) <= 5 for b in sink.batches)
+
+
+class TestWindowedAggregation:
+    def test_tumbling_window_counts(self, spark, tmp_path):
+        import datetime as dt
+
+        rows = [
+            (dt.datetime(2024, 1, 1, 0, m), "click", 1.0) for m in (1, 2, 9)
+        ] + [(dt.datetime(2024, 1, 1, 0, 7), "view", 2.0)]
+        src = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        pq = str(tmp_path / "events_pq")
+        src.write.parquet(pq)
+        stream = spark.readStream.schema(src.schema).parquet(pq)
+        # complete mode: emit every window each trigger (append mode would
+        # hold windows until the watermark passes — covered implicitly by
+        # the sessionization streaming path; here we assert window math).
+        agg = windowed_event_counts(stream, window="5 minutes")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("win_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql(
+            "SELECT window.start AS s, event_type, n FROM win_out ORDER BY s, event_type"
+        ).collect()
+        got = [(r.s.minute, r.event_type, r.n) for r in out]
+        assert (0, "click", 2) in got  # 00:01, 00:02
+        assert (5, "click", 1) in got  # 00:09
+        assert (5, "view", 1) in got  # 00:07

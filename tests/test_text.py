@@ -1,0 +1,58 @@
+"""Text-analysis operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_log_streamer_spark.operators import text as TX
+
+
+class TestTokenCounters:
+    def test_counts_on_known_string(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello, world! This is the test.")], "doc_id long, text string"
+        )
+        row = TX.quality_features(df).first()
+        assert row.n_ws_tokens == 6
+        # words: Hello world This is the test (6) + punct , ! . (3)
+        assert row.n_bpe_tokens == 9
+        assert row.n_chars == 31
+
+    def test_punct_ratio(self, spark):
+        df = spark.createDataFrame([(0, "a.b.c")], "doc_id long, text string")
+        assert TX.quality_features(df).first().punct_ratio == 0.4
+
+
+class TestLangId:
+    def test_english_text_scores_en(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat and the dog in a house of wonders is it that for")],
+            "doc_id long, text string",
+        )
+        row = TX.langid(df).first()
+        assert row.pred_lang == "en"
+
+    def test_spanish_text_scores_es(self, spark):
+        df = spark.createDataFrame(
+            [(0, "el perro y la casa de que los gatos se van del pueblo en un dia")],
+            "doc_id long, text string",
+        )
+        assert TX.langid(df).first().pred_lang == "es"
+
+
+class TestFingerprint:
+    def test_identical_texts_same_fingerprints(self, spark):
+        df = spark.createDataFrame(
+            [(0, "same text here"), (1, "same text here"), (2, "other")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: (r.fp_md5, r.fp_roll) for r in TX.fingerprint(df).collect()}
+        assert rows[0] == rows[1]
+        assert rows[0] != rows[2]
+
+    def test_rolling_hash_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "c b a")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r.fp_roll for r in TX.fingerprint(df).collect()}
+        assert rows[0] != rows[1]
