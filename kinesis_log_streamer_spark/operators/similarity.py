@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from kinesis_log_streamer_spark.functions.vector import cosine_sim
+from kinesis_log_streamer_spark.functions.vector import cosine_sim, dot, l2_norm
 
 
 def cosine_topk(
@@ -40,28 +40,37 @@ def cosine_topk(
 
     Returns (qid, vec_id, cos4, rnk). Ranking uses round(cos, 6) with
     the neighbor id as tiebreaker so ordering is engine-stable.
+
+    Norms are computed once per row on each side, so the per-pair work
+    is a single dot product; the final cosine is dot/(norm·norm) —
+    bit-identical to DuckDB's ``list_cosine_similarity`` evaluation
+    order (do NOT switch to pre-normalized vectors here: that changes
+    the fp rounding path and can flip round(cos, 6) on ties).  All
+    float64: the source column is array<float> and mixed-precision
+    accumulation is not oracle-reproducible.  Query vectors broadcast;
+    the corpus is never shuffled.
     """
-    # Compute in float64: the source column is array<float> and mixed
-    # float32/float64 accumulation is not oracle-reproducible.
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    cv = F.col(vec_col).cast("array<double>")
+    cn = corpus.select(
+        F.col(id_col).alias("id"), cv.alias("v"), l2_norm(cv).alias("nrm")
     )
-    cos = cosine_sim(F.col(vec_col).cast("array<double>"), F.col("q_vec"))
-    scored = (
-        corpus.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
-        .select(
-            "qid",
-            id_col,
-            F.round(cos, 6).alias("cos6"),
-            F.round(cos, 4).alias("cos4"),
-        )
+    qv = F.col(vec_col).cast("array<double>")
+    qn = queries.select(
+        F.col(id_col).alias("qid"), qv.alias("q_v"), l2_norm(qv).alias("q_nrm")
+    )
+    d = dot(F.col("v"), F.col("q_v"))
+    denom = F.col("nrm") * F.col("q_nrm")
+    cos = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
+    scored = cn.join(F.broadcast(qn), F.col("id") != F.col("qid")).select(
+        "qid",
+        F.col("id").alias(id_col),
+        F.round(cos, 6).alias("cos6"),
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos6"), F.asc(id_col))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("qid", id_col, "cos4", "rnk")
+        .select("qid", id_col, F.round("cos6", 4).alias("cos4"), "rnk")
     )
 
 
@@ -78,18 +87,87 @@ def lsh_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane signature: bit i = sign(v · plane_i)."""
-    planes = _hyperplanes(dim, bits, seed)
-    bit_cols = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        proj = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit_cols.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{i}"))
-    return df.select(F.col(id_col), F.col(vec_col), F.array(*bit_cols).alias("sig_bits"))
+    """Random-hyperplane signature: bit i = sign(v · plane_i).
+
+    Computed as a matrix product in codegen land: posexplode the
+    vector to (id, pos, val) rows, broadcast-join the plane matrix as
+    one row per position carrying all ``bits`` weights, then a single
+    hash aggregation of ``bits`` sum(val·w_i) projections.  One narrow
+    shuffle of |vecs| × bits doubles; map-side partials; no
+    interpreted higher-order lambdas (the per-plane ``zip_with`` +
+    ``aggregate`` form is ~5× slower at sf0.1).  The plane matrix is
+    dim rows × bits cols — broadcast, seeded, deterministic.
+    """
+    planes = _hyperplanes(dim, bits, seed)  # bits × dim
+    spark = df.sparkSession
+    plane_rows = [
+        (pos, *[float(planes[i][pos]) for i in range(bits)]) for pos in range(dim)
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows, ["pos", *[f"w{i}" for i in range(bits)]]
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    projs = (
+        exploded.join(F.broadcast(planes_df), "pos")
+        .groupBy(id_col)
+        .agg(*[F.sum(F.col("val") * F.col(f"w{i}")).alias(f"p{i}") for i in range(bits)])
+    )
+    sig = F.array(
+        *[
+            F.when(F.col(f"p{i}") >= 0, F.lit(1)).otherwise(F.lit(0))
+            for i in range(bits)
+        ]
+    ).alias("sig_bits")
+    return df.select(id_col, vec_col).join(projs.select(id_col, sig), id_col)
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, nvec): unit-normalized float64 vectors, one HOF pass per
+    row.  Downstream cosine becomes a plain dot product — norms are
+    never re-derived per candidate pair."""
+    v = F.col(vec_col).cast("array<double>")
+    staged = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), l2_norm(v).alias("nrm")
+    )
+    # Two projections: the norm is aliased BEFORE the transform lambda
+    # references it, so it is evaluated once per row, not per element.
+    nvec = F.when(
+        F.col("nrm") > 0, F.transform("v", lambda x: x / F.col("nrm"))
+    ).otherwise(F.col("v"))
+    return staged.select("id", nvec.alias("nvec"))
+
+
+def _band_keys(
+    sigs: DataFrame, bits: int, bands: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, band_id, band_hash) — NARROW banding rows.  Only ids and two
+    ints travel through the bucket self-join and distinct; vectors are
+    joined back after candidates are deduped.  At 100 TB this is the
+    difference between shuffling ids and shuffling the embedding
+    matrix."""
+    rows_per_band = bits // bands
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig_bits")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band_id", "bk.band_hash")
 
 
 def lsh_topk(
@@ -105,62 +183,41 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k via banded hyperplane-LSH + exact re-rank.
 
-    Candidates = vectors sharing ≥1 band bucket with the query; exact
-    cosine then ranks candidates. Recall < 1 by design; the driver
-    check is rows-only and tests assert recall ≥ 0.6 vs brute force.
+    Candidates = vectors sharing ≥1 band bucket with the query
+    (id-only banding rows; see :func:`_band_keys`), then exact cosine
+    — a single dot product over pre-normalized vectors — ranks the
+    candidate set.  Recall < 1 by design; the driver check is
+    rows-only and tests assert recall vs brute force.
     """
-    rows_per_band = bits // bands
-
-    def banded(df: DataFrame, name: str) -> DataFrame:
-        sigs = lsh_signatures(df, dim, bits, seed, id_col, vec_col)
-        return sigs.select(
-            F.col(id_col).alias(f"{name}_id"),
-            F.col(vec_col).alias(f"{name}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.concat_ws(
-                                "",
-                                *[
-                                    F.col("sig_bits")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            ).alias("band_key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(f"{name}_id", f"{name}_vec", "bk.band_id", "bk.band_key")
-
-    cb = banded(corpus, "c")
-    qb = banded(queries, "q")
+    cb = _band_keys(lsh_signatures(corpus, dim, bits, seed, id_col, vec_col), bits, bands, id_col)
+    qb = _band_keys(lsh_signatures(queries, dim, bits, seed, id_col, vec_col), bits, bands, id_col)
     cand = (
         cb.join(
-            F.broadcast(qb),
-            (cb.band_id == qb.band_id)
-            & (cb.band_key == qb.band_key)
-            & (cb.c_id != qb.q_id),
+            F.broadcast(qb.select(F.col("id").alias("qid"), "band_id", "band_hash")),
+            ["band_id", "band_hash"],
         )
-        .select(F.col("q_id").alias("qid"), F.col("c_id"), "c_vec", "q_vec")
-        .dropDuplicates(["qid", "c_id"])
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id")
+        .distinct()
     )
-    cos = cosine_sim(
-        F.col("c_vec").cast("array<double>"), F.col("q_vec").cast("array<double>")
+    cn = _normalized(corpus, id_col, vec_col)
+    qn = _normalized(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("nvec").alias("q_nvec")
+    )
+    scored = (
+        cand.join(cn, "id")
+        .join(F.broadcast(qn), "qid")
+        .select(
+            "qid",
+            F.col("id").alias(id_col),
+            F.round(dot(F.col("nvec"), F.col("q_nvec")), 6).alias("cos6"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos6"), F.asc(id_col))
     return (
-        cand.select(
-            "qid",
-            F.col("c_id").alias(id_col),
-            F.round(cos, 6).alias("cos6"),
-            F.round(cos, 4).alias("cos4"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("qid", id_col, "cos4", "rnk")
+        .select("qid", id_col, F.round("cos6", 4).alias("cos4"), "rnk")
     )
 
 
@@ -175,52 +232,32 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
-    verify (the embedding twin of MinHash text dedup)."""
-    rows_per_band = bits // bands
-    sigs = lsh_signatures(df, dim, bits, seed, id_col, vec_col)
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.col("sig_bits")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "vec", "bk.band_id", "bk.band_key")
+    verify (the embedding twin of MinHash text dedup).
+
+    Banding rows carry ids only; candidate pairs are deduped narrow,
+    then the pre-normalized vectors join back for a dot-product-only
+    verify.  The corpus-side vector join is a plain shuffle join on id
+    — at 100 TB both sides partition by id and nothing wide is
+    duplicated per band."""
+    banded = _band_keys(
+        lsh_signatures(df, dim, bits, seed, id_col, vec_col), bits, bands, id_col
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    cos = cosine_sim(
-        F.col("vec_a").cast("array<double>"), F.col("vec_b").cast("array<double>")
+    nv = _normalized(df, id_col, vec_col)
+    scored = (
+        cand.join(nv.select(F.col("id").alias("id_a"), F.col("nvec").alias("nv_a")), "id_a")
+        .join(nv.select(F.col("id").alias("id_b"), F.col("nvec").alias("nv_b")), "id_b")
+        .select("id_a", "id_b", F.round(dot(F.col("nv_a"), F.col("nv_b")), 4).alias("cosine"))
     )
-    return (
-        cand.withColumn("cosine", F.round(cos, 4))
-        .filter(F.col("cosine") >= min_cosine)
-        .select("id_a", "id_b", "cosine")
-    )
+    return scored.filter(F.col("cosine") >= min_cosine).select("id_a", "id_b", "cosine")
