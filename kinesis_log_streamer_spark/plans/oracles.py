@@ -303,6 +303,60 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+ORACLES["q29_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+ORACLES["q30_lead_ntile"] = """
+SELECT c_nationkey, c_custkey,
+       CAST(dense_rank() OVER w AS BIGINT)       AS drnk,
+       CAST(ntile(4)     OVER w AS INTEGER)      AS quartile,
+       lead(c_custkey, 1) OVER w                 AS next_custkey
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+ORACLES["q31_token_explode"] = """
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents WHERE doc_id % 20 = 0
+)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+ORACLES["q32_array_funcs"] = """
+SELECT vec_id,
+       round(e[1], 4)                              AS first_dim,
+       round(list_max(e), 4)                       AS dim_max,
+       round(list_min(e), 4)                       AS dim_min,
+       round(e[1] + e[2] + e[3] + e[4], 4)         AS head4_sum,
+       CAST(len(e) AS INTEGER)                     AS dim
+FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WHERE vec_id < 200
+ORDER BY vec_id
+"""
+
+ORACLES["q33_except_all"] = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_excess
+FROM (
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 ORACLES["q27_percentiles"] = """
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,

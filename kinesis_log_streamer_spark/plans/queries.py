@@ -390,6 +390,95 @@ def q17_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — finer than rollup/cube
+    (q13/q14): only the (flag, status), (flag), and grand-total sets.
+
+    Scale: one Expand + single shuffle; Catalyst never materializes the
+    ungrouped cross product."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q29_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM q29_li
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+def q30_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation coverage: lead, ntile quartiles, dense_rank
+    over customer account balance within nation."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("c_custkey", 1).over(w).alias("next_custkey"),
+    )
+
+
+def q31_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (UDTF-shape): top-20 tokens across a document
+    subset via posexplode of the token array.
+
+    Scale: tokens never gather to the driver; explode → map-side
+    partial count → single shuffle on token."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def q32_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array expression coverage over embeddings: element access, max,
+    min, slice-sum — JVM array ops, no UDF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    head4 = F.slice(v, 1, 4)
+    return (
+        emb.select(
+            "vec_id",
+            F.round(F.element_at(v, 1), 4).alias("first_dim"),
+            F.round(F.array_max(v), 4).alias("dim_max"),
+            F.round(F.array_min(v), 4).alias("dim_min"),
+            F.round(
+                F.aggregate(head4, F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("head4_sum"),
+            F.size(v).alias("dim"),
+        )
+        .filter(F.col("vec_id") < 200)
+        .orderBy("vec_id")
+    )
+
+
+def q33_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-op coverage: EXCEPT ALL keeps duplicate cardinality
+    (q15 is the distinct-set variant): order-priority rows of OPEN
+    orders minus those of FINISHED orders, counted."""
+    orders = _t(spark, sf_dir, "orders")
+    open_p = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    done_p = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return (
+        open_p.exceptAll(done_p)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_excess"))
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Expression-language coverage: strings, dates, JSON
 # ---------------------------------------------------------------------------
@@ -852,6 +941,11 @@ REGISTRY = {
     "q26_pivot": q26_pivot,
     "q27_percentiles": q27_percentiles,
     "q28_approx_stats": q28_approx_stats,
+    "q29_grouping_sets": q29_grouping_sets,
+    "q30_lead_ntile": q30_lead_ntile,
+    "q31_token_explode": q31_token_explode,
+    "q32_array_funcs": q32_array_funcs,
+    "q33_except_all": q33_except_all,
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_pairs": d02_minhash_pairs,
     "d03_simhash_pairs": d03_simhash_pairs,

@@ -1,0 +1,162 @@
+"""Custom stateful streaming operators.
+
+The reference keeps only operational state (partial-line carry,
+linestreamer.go:18,71,83; the 5-record buffer, basestreamer.go:20) and
+has no semantic keyed state.  These operators supply the stateful
+query surface a log-analytics engine needs on top of that ingest
+(SURVEY.md §2.2 "Stateful streaming ops"):
+
+* :func:`dedup_stream` — exactly-once-per-key records inside a
+  watermark horizon (``dropDuplicatesWithinWatermark``): the streaming
+  twin of exact dedup; state is bounded by the watermark, so it holds
+  at 100 TB/day ingest where an unbounded ``dropDuplicates`` would OOM.
+* :func:`stream_stream_join` — watermarked stream-stream equi-join
+  with a time-bound condition; both sides' state is purged as the
+  watermark advances.
+* :func:`sessionize_with_state` — ``applyInPandasWithState`` custom
+  sessionizer with explicit gap-timeout semantics, for session shapes
+  ``session_window`` can't express (e.g. emitting per-session
+  first/last event types).  Python-side, Arrow-batched; keyed state
+  lives in the state store and is keyed by user, so it scales
+  horizontally with executors.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, first_type string, last_type string"
+)
+_STATE_SCHEMA = "start long, end long, n long, first_type string, last_type string"
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drop duplicate events by key within the watermark horizon.
+
+    State size is bounded: a key's fingerprint is dropped once the
+    watermark passes it (unlike plain ``dropDuplicates``, whose state
+    grows forever on an unbounded stream).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events for the same user that happen within ``max_delay``
+    after it.  The time-bound condition lets Spark purge both sides'
+    state as the watermark advances — mandatory for unbounded joins.
+    """
+    lhs = left.select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", watermark)
+    rhs = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    ).withWatermark("r_ts", watermark)
+    return lhs.join(
+        rhs,
+        F.expr(
+            f"""
+            l_user = r_user AND
+            r_ts > l_ts AND
+            r_ts <= l_ts + interval {max_delay}
+            """
+        ),
+    )
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    idle_timeout_ms: int = 30_000,
+) -> Iterator[pd.DataFrame]:
+    """Per-user session accumulator.
+
+    Keeps (start, end, count, first/last event type) in the state
+    store; a processing-time timeout closes and emits the session when
+    the user goes quiet.  Timestamps are tracked as epoch-micros longs
+    inside the state tuple (state schemas are columnar primitives).
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, end, n, first_type, last_type = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
+                "n_events": [n],
+                "first_type": [first_type],
+                "last_type": [last_type],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdf_iter)).sort_values("ts")
+    ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
+    if state.exists:
+        start, end, n, first_type, last_type = state.get
+        start = min(start, int(ts_us.iloc[0]))
+        end = max(end, int(ts_us.iloc[-1]))
+        n += len(rows)
+        last_type = str(rows["event_type"].iloc[-1])
+    else:
+        start, end = int(ts_us.iloc[0]), int(ts_us.iloc[-1])
+        n = len(rows)
+        first_type = str(rows["event_type"].iloc[0])
+        last_type = str(rows["event_type"].iloc[-1])
+    state.update((start, end, n, first_type, last_type))
+    state.setTimeoutDuration(idle_timeout_ms)  # close session on idle
+    return
+    yield  # pragma: no cover — make this a generator
+
+
+def sessionize_with_state(
+    events: DataFrame, idle_timeout_ms: int = 30_000
+) -> DataFrame:
+    """Custom sessionization via ``applyInPandasWithState``.
+
+    Emits one row per closed session with first/last event types —
+    state ``session_window`` cannot carry.  Requires update output
+    mode; drive with a file source + processing-time trigger in tests.
+    ``idle_timeout_ms`` is the processing-time gap that closes a
+    session.
+    """
+
+    def fn(key, pdf_iter, state):
+        return _sessionize_fn(key, pdf_iter, state, idle_timeout_ms)
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -91,3 +91,111 @@ class TestWindowedAggregation:
         assert (0, "click", 2) in got  # 00:01, 00:02
         assert (5, "click", 1) in got  # 00:09
         assert (5, "view", 1) in got  # 00:07
+
+
+class TestStatefulOps:
+    def test_dedup_stream_drops_duplicates(self, spark, tmp_path):
+        import datetime as dt
+
+        from kinesis_log_streamer_spark.streaming.stateful import dedup_stream
+
+        t = dt.datetime(2024, 1, 1, 0, 0)
+        rows = [(1, t, "click"), (1, t, "click"), (2, t, "view"), (2, t, "view"), (3, t, "click")]
+        src = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        pq = str(tmp_path / "dups_pq")
+        src.coalesce(1).write.parquet(pq)
+        stream = spark.readStream.schema(src.schema).parquet(pq)
+        q = (
+            dedup_stream(stream, keys=["event_id"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id").collect()
+        assert [r.event_id for r in out] == [1, 2, 3]
+
+    def test_stream_stream_join_time_bound(self, spark, tmp_path):
+        import datetime as dt
+
+        from kinesis_log_streamer_spark.streaming.stateful import stream_stream_join
+
+        base = dt.datetime(2024, 1, 1, 0, 0)
+        rows = [
+            (10, base, "impression"),
+            (10, base + dt.timedelta(minutes=2), "click"),     # within 5m -> joins
+            (10, base + dt.timedelta(minutes=30), "click"),    # outside  -> dropped
+            (20, base + dt.timedelta(minutes=1), "click"),     # other user, no impression
+        ]
+        src = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        pq = str(tmp_path / "join_pq")
+        src.coalesce(1).write.parquet(pq)
+
+        def stream():
+            return spark.readStream.schema(src.schema).parquet(pq)
+
+        joined = stream_stream_join(
+            stream().filter(F.col("event_type") == "impression"),
+            stream().filter(F.col("event_type") == "click"),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_out")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT l_user, r_type FROM ssj_out").collect()
+        assert [(r.l_user, r.r_type) for r in out] == [(10, "click")]
+
+    def test_sessionize_with_state_emits_closed_sessions(self, spark, tmp_path):
+        import datetime as dt
+        import time
+
+        from kinesis_log_streamer_spark.streaming.stateful import (
+            sessionize_with_state,
+        )
+
+        base = dt.datetime(2024, 1, 1, 0, 0)
+        rows = [
+            (1, base, "login"),
+            (1, base + dt.timedelta(minutes=1), "click"),
+            (1, base + dt.timedelta(minutes=2), "logout"),
+            (2, base, "view"),
+        ]
+        src = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        pq = str(tmp_path / "sess_pq")
+        src.coalesce(1).write.parquet(pq)
+        stream = spark.readStream.schema(src.schema).parquet(pq)
+        q = (
+            sessionize_with_state(stream, idle_timeout_ms=5000)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("sess_out")
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        # Sessions close via processing-time timeout (5s idle); poll the
+        # sink until both users' sessions are emitted.
+        deadline = time.time() + 120
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) AS c FROM sess_out").collect()[0].c
+            if n >= 2:
+                break
+            time.sleep(2)
+        q.stop()
+        out = {
+            r.user_id: r
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[1].n_events == 3
+        assert out[1].first_type == "login" and out[1].last_type == "logout"
+        assert out[2].n_events == 1
