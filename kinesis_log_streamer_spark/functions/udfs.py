@@ -1,0 +1,91 @@
+"""User-defined function surface: scalar pandas UDF, grouped-agg
+pandas UDF (UDAF), and a Python UDTF (SURVEY.md §2.2 "UDF / UDAF /
+UDTF").
+
+The engine's rule (README): built-ins first — every hot-path operator
+in this repo is JVM-side.  When an extension point is genuinely
+needed, these are the shapes to use, ordered by cost:
+
+1. **pandas_udf scalar** — Arrow-batched columnar transfer, numpy
+   vector math; ~10–100× over row-at-a-time Python UDFs.
+2. **pandas_udf grouped-agg** — one pandas Series per group per
+   column; partial aggregation does NOT apply (the whole group ships
+   to Python), so keep groups bounded.
+3. **@udtf** — table function; one output table per input row.  Used
+   where a row legitimately expands into variable-length typed rows.
+
+Factories (not module-level decorators): registering a pandas UDF /
+UDTF parses its DDL return type, which requires an active
+SparkSession — build them lazily so importing this module never
+creates one.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+
+
+@lru_cache(maxsize=1)
+def vec_norm_pd():
+    """Scalar pandas UDF: L2 norm of a numeric-array column via numpy.
+
+    Kept as the documented Arrow-path example; the production cosine /
+    norm operators use JVM expressions (functions/vector.py) which
+    avoid the Python worker entirely.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _norm(arrs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return arrs.map(lambda a: float(np.sqrt(np.dot(a, a))))
+
+    return _norm
+
+
+@lru_cache(maxsize=1)
+def median_agg_pd():
+    """Grouped-agg pandas UDF (UDAF): exact in-group median.
+
+    The whole group's values ship to the Python worker — no map-side
+    partials — so this is for bounded-cardinality groups; unbounded
+    groups should use percentile_approx (mergeable sketch) instead.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:  # type: ignore[misc]
+        return float(v.median())
+
+    return _median
+
+
+class _ParseKvEntries:
+    """Python UDTF: explode a ``k=v,k2=v2`` entry list into typed rows.
+
+    The CLI's ``--add-entry`` grammar (reference main.go:102–122):
+    split on the FIRST '=' only — values may contain '='.  A UDTF (not
+    explode+split) because each input row yields a variable number of
+    typed rows with per-row validation.
+    """
+
+    def eval(self, entries: str):  # noqa: D102
+        if not entries:
+            return
+        for item in entries.split(","):
+            if "=" not in item:
+                continue  # permissive: skip malformed entries
+            k, _, v = item.partition("=")
+            if k:
+                yield (k, v)
+
+
+@lru_cache(maxsize=1)
+def parse_kv_entries_udtf():
+    """The ``ParseKvEntries`` UDTF wrapped with its output schema."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(_ParseKvEntries, returnType="entry_key string, entry_value string")
