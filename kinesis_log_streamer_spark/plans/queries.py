@@ -847,6 +847,15 @@ def s03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, dim=64, k=10).orderBy("qid", "rnk")
 
 
+def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF cell probing (seeded-sample coarse
+    quantizer, nprobe=4 of 16 cells) — the partition-pruned ANN path
+    complementing s03's LSH (rows-only; recall asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=10).orderBy("qid", "rnk")
+
+
 def s04_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
     verify (rows-only). Threshold 0.3 — this synthetic corpus has no
@@ -959,6 +968,7 @@ REGISTRY = {
     "s02_norm_stats": s02_norm_stats,
     "s03_lsh_topk": s03_lsh_topk,
     "s04_embedding_near_dups": s04_embedding_near_dups,
+    "s05_ivf_topk": s05_ivf_topk,
     "m01_multimodal_meta": m01_multimodal_meta,
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,

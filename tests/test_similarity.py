@@ -75,3 +75,41 @@ class TestLshTopK:
         for r in out.collect():
             assert r.id_a < r.id_b
             assert r.cosine >= 0.3
+
+
+class TestIvf:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        from kinesis_log_streamer_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter("vec_id < 5")
+        exact = cosine_topk(emb, queries, k=10).collect()
+        approx = ivf_topk(emb, queries, k=10, nprobe=4).collect()
+        by_q_exact = {}
+        for r in exact:
+            by_q_exact.setdefault(r.qid, set()).add(r.vec_id)
+        by_q_approx = {}
+        for r in approx:
+            by_q_approx.setdefault(r.qid, set()).add(r.vec_id)
+        recalls = [
+            len(by_q_exact[q] & by_q_approx.get(q, set())) / len(by_q_exact[q])
+            for q in by_q_exact
+        ]
+        assert sum(recalls) / len(recalls) >= 0.3  # IVF is approximate
+
+    def test_probing_more_cells_is_exact(self, spark, sf_dir):
+        # nprobe == n_centroids probes every cell -> identical to brute force
+        from kinesis_log_streamer_spark.operators.similarity import (
+            cosine_topk,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter("vec_id < 300")
+        queries = emb.filter("vec_id < 3")
+        exact = {(r.qid, r.rnk): r.vec_id for r in cosine_topk(emb, queries, k=5).collect()}
+        full = {(r.qid, r.rnk): r.vec_id
+                for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8).collect()}
+        assert exact == full
