@@ -36,6 +36,9 @@ HEADLINE = [
     "q23_asof_join",
     "q24_tumbling_window",
     "q25_sessionize",
+    "q29_grouping_sets",
+    "q31_token_explode",
+    "q33_except_all",
     "d01_exact_dedup",
     "d02_minhash_pairs",
     "d03_simhash_pairs",
@@ -43,6 +46,8 @@ HEADLINE = [
     "t04_token_stats",
     "s01_cosine_topk",
     "s03_lsh_topk",
+    "s04_embedding_near_dups",
+    "s05_ivf_topk",
 ]
 
 

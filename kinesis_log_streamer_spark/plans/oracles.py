@@ -357,6 +357,16 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
 
+ORACLES["q34_map_funcs"] = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INTEGER)                    AS n_keys,
+       list_aggr(list_sort(json_keys(props)::VARCHAR[]), 'string_agg', ',') AS keys_csv,
+       CAST(props->>'k' AS BIGINT)                               AS k_val
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+"""
+
 ORACLES["q27_percentiles"] = """
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,

@@ -479,6 +479,22 @@ def q33_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type expression coverage: build a map from the JSON props
+    column (str_to_map shape via from_json MapType), then map_keys /
+    element_at / size — the open-keyed-record toolkit
+    (reference record model is exactly this map, jsonstreamer.go:42-43).
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+    ).orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # Expression-language coverage: strings, dates, JSON
 # ---------------------------------------------------------------------------
@@ -955,6 +971,7 @@ REGISTRY = {
     "q31_token_explode": q31_token_explode,
     "q32_array_funcs": q32_array_funcs,
     "q33_except_all": q33_except_all,
+    "q34_map_funcs": q34_map_funcs,
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_pairs": d02_minhash_pairs,
     "d03_simhash_pairs": d03_simhash_pairs,
