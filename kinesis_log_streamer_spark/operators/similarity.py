@@ -79,7 +79,7 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def lsh_signatures(
+def lsh_sig_bits(
     df: DataFrame,
     dim: int,
     bits: int = 16,
@@ -87,7 +87,8 @@ def lsh_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane signature: bit i = sign(v · plane_i).
+    """(id, sig_bits): random-hyperplane signature, bit i =
+    sign(v · plane_i) — NO vector column (banding never needs it).
 
     Computed as a matrix product in codegen land: posexplode the
     vector to (id, pos, val) rows, broadcast-join the plane matrix as
@@ -121,7 +122,22 @@ def lsh_signatures(
             for i in range(bits)
         ]
     ).alias("sig_bits")
-    return df.select(id_col, vec_col).join(projs.select(id_col, sig), id_col)
+    return projs.select(id_col, sig)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, sig_bits) — :func:`lsh_sig_bits` joined back to the
+    vectors, for callers that need both."""
+    return df.select(id_col, vec_col).join(
+        lsh_sig_bits(df, dim, bits, seed, id_col, vec_col), id_col
+    )
 
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -189,8 +205,8 @@ def lsh_topk(
     candidate set.  Recall < 1 by design; the driver check is
     rows-only and tests assert recall vs brute force.
     """
-    cb = _band_keys(lsh_signatures(corpus, dim, bits, seed, id_col, vec_col), bits, bands, id_col)
-    qb = _band_keys(lsh_signatures(queries, dim, bits, seed, id_col, vec_col), bits, bands, id_col)
+    cb = _band_keys(lsh_sig_bits(corpus, dim, bits, seed, id_col, vec_col), bits, bands, id_col)
+    qb = _band_keys(lsh_sig_bits(queries, dim, bits, seed, id_col, vec_col), bits, bands, id_col)
     cand = (
         cb.join(
             F.broadcast(qb.select(F.col("id").alias("qid"), "band_id", "band_hash")),
@@ -353,7 +369,7 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
     min_cosine: float = 0.95,
-    bits: int = 16,
+    bits: int = 32,
     bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -366,9 +382,14 @@ def embedding_near_dup_pairs(
     then the pre-normalized vectors join back for a dot-product-only
     verify.  The corpus-side vector join is a plain shuffle join on id
     — at 100 TB both sides partition by id and nothing wide is
-    duplicated per band."""
+    duplicated per band.
+
+    Default 32 bits / 4 bands = 8-bit band keys: random pairs collide
+    at ~1/256 per band (vs 1/16 with 4-bit bands — a candidate-set
+    blowup measured at sf0.1), while true near-dups at the default
+    0.95 threshold still collide in some band with p ≈ 0.9."""
     banded = _band_keys(
-        lsh_signatures(df, dim, bits, seed, id_col, vec_col), bits, bands, id_col
+        lsh_sig_bits(df, dim, bits, seed, id_col, vec_col), bits, bands, id_col
     )
     a = banded.alias("a")
     b = banded.alias("b")
