@@ -1,0 +1,69 @@
+"""Skew-aware join utilities.
+
+At 100 TB a handful of hot keys (one chatty host, one viral URL) can
+put an entire shuffle partition on one task.  Two remedies, in order:
+
+1. **AQE skew-join** (on by default in ``session.get_spark``):
+   ``spark.sql.adaptive.skewJoin.enabled`` splits oversized partitions
+   at runtime.  Prefer it — zero code.
+2. **Salting** (:func:`salted_join`) for the cases AQE can't fix —
+   e.g. a broadcast-ineligible build side whose single key exceeds a
+   task, or aggregations (:func:`salted_count`) where one group
+   dominates.
+
+Salting trades one shuffle for two balanced ones: the skewed side
+adds a random salt in [0, n); the other side explodes each row to all
+n salt values; join on (key, salt).  The explosion multiplies the
+small side by n — use only when the small side × n ≪ the skewed
+partition it removes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side salted into ``n_salts`` buckets.
+
+    ``skewed`` gets ``salt = pmod(xxhash64(monotonically_increasing_id),
+    n)`` (uniform, no RNG nondeterminism across retries is fine here
+    because the salt only balances placement, never affects results);
+    ``other`` is exploded to every salt value.  The join key becomes
+    (key, salt) so each hot key spreads over n tasks.
+    """
+    salted = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
+    )
+    exploded = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted.join(exploded, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_count(
+    df: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase count for skewed group keys: partial count per
+    (key, salt), then final sum per key.  The first shuffle spreads a
+    hot key over n partitions; the second moves only n rows per key.
+    (For algebraic aggregates Spark's map-side partials usually make
+    this unnecessary — it matters when upstream partitioning feeds a
+    single reducer, e.g. after a join ON the skewed key.)"""
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
+    return partial.groupBy(key).agg(F.sum("__c").alias("n"))
