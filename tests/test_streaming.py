@@ -199,3 +199,78 @@ class TestStatefulOps:
         assert out[1].n_events == 3
         assert out[1].first_type == "login" and out[1].last_type == "logout"
         assert out[2].n_events == 1
+
+
+class TestKinesisSource:
+    def test_stream_reads_shards_in_order(self, spark, tmp_path):
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            KinesisDataSource,
+            write_fake_shard,
+        )
+
+        ep = str(tmp_path / "stream")
+        write_fake_shard(ep, "000", [("a1", "h1"), ("a2", "h1")])
+        write_fake_shard(ep, "001", [("b1", "h2")])
+        spark.dataSource.register(KinesisDataSource)
+        df = (
+            spark.readStream.format("kinesis_py")
+            .option("endpoint", f"dir:{ep}")
+            .load()
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("kin_out")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT * FROM kin_out ORDER BY shardId, sequenceNumber"
+        ).collect()
+        assert [(r.data, r.partitionKey, r.shardId, r.sequenceNumber) for r in rows] == [
+            ("a1", "h1", "000", 0),
+            ("a2", "h1", "000", 1),
+            ("b1", "h2", "001", 0),
+        ]
+
+    def test_incremental_offsets_no_reread(self, spark, tmp_path):
+        import time
+
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            KinesisDataSource,
+            write_fake_shard,
+        )
+
+        ep = str(tmp_path / "stream2")
+        write_fake_shard(ep, "000", [("x1", "k")])
+        spark.dataSource.register(KinesisDataSource)
+        df = (
+            spark.readStream.format("kinesis_py")
+            .option("endpoint", f"dir:{ep}")
+            .load()
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("kin_inc")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) c FROM kin_inc").collect()[0].c >= 1:
+                    break
+                time.sleep(1)
+            write_fake_shard(ep, "000", [("x2", "k")])
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) c FROM kin_inc").collect()[0].c >= 2:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        rows = spark.sql("SELECT data FROM kin_inc ORDER BY sequenceNumber").collect()
+        # each record delivered exactly once, appended records picked up
+        assert [r.data for r in rows] == ["x1", "x2"]
