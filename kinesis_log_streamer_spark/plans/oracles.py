@@ -367,6 +367,17 @@ WHERE event_id < 500
 ORDER BY event_id
 """
 
+ORACLES["q35_sliding_window"] = """
+SELECT time_bucket(INTERVAL '30 minutes', ts)
+         - k * INTERVAL '30 minutes'  AS w_start,
+       event_type,
+       count(*)                       AS n_events,
+       max(value)                     AS max_value
+FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
+GROUP BY 1, 2
+ORDER BY w_start, event_type
+"""
+
 ORACLES["q27_percentiles"] = """
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,

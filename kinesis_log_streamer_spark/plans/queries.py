@@ -495,6 +495,26 @@ def q34_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q35_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) time-window aggregation: 1-hour windows every
+    30 minutes, so each event lands in width/slide = 2 windows.  Batch
+    twin of ``F.window(ts, width, slide)`` in the streaming path
+    (streaming/pipeline.py:windowed_event_counts) — the overlap is what
+    distinguishes it from q24's tumbling buckets."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").start.alias("w_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Expression-language coverage: strings, dates, JSON
 # ---------------------------------------------------------------------------
@@ -972,6 +992,7 @@ REGISTRY = {
     "q32_array_funcs": q32_array_funcs,
     "q33_except_all": q33_except_all,
     "q34_map_funcs": q34_map_funcs,
+    "q35_sliding_window": q35_sliding_window,
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_pairs": d02_minhash_pairs,
     "d03_simhash_pairs": d03_simhash_pairs,

@@ -143,6 +143,47 @@ class KinesisDataSource(DataSource):
         return KinesisStreamReader(self.options)
 
 
+class DirKinesisClient:
+    """boto3-shaped Kinesis client over a ``dir:`` endpoint.
+
+    ``put_records`` routes each record to ``shard-<n>.jsonl`` by
+    ``md5(partitionKey) % num_shards`` — the service's hash-range
+    routing, simplified — and appends the batch's per-shard groups
+    each as one write.  Plugs into :class:`~..streaming.kinesis_sink.
+    KinesisSink` as ``client_factory``, closing the loop: sink →
+    local shards → ``kinesis_py`` streaming source, the same producer/
+    consumer contract as the real service (PutRecords shape,
+    basestreamer.go:65-72) with zero AWS dependencies.
+    """
+
+    def __init__(self, endpoint_dir: str, num_shards: int = 2) -> None:
+        self._dir = endpoint_dir
+        self._num_shards = num_shards
+
+    def _shard_for(self, partition_key: str) -> str:
+        import hashlib  # noqa: PLC0415
+
+        h = int(hashlib.md5(partition_key.encode()).hexdigest(), 16)
+        return f"{h % self._num_shards:03d}"
+
+    def put_records(self, StreamName: str, Records: list[dict]) -> dict:  # noqa: N803
+        os.makedirs(self._dir, exist_ok=True)
+        groups: dict[str, list[str]] = {}
+        for rec in Records:
+            data = rec["Data"]
+            if isinstance(data, (bytes, bytearray)):
+                data = data.decode("utf-8")
+            key = rec["PartitionKey"]
+            groups.setdefault(self._shard_for(key), []).append(
+                json.dumps({"data": data, "partitionKey": key})
+            )
+        for shard, lines in groups.items():
+            path = os.path.join(self._dir, f"shard-{shard}.jsonl")
+            with open(path, "a", encoding="utf-8") as fh:
+                fh.write("\n".join(lines) + "\n")
+        return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+
 def write_fake_shard(endpoint_dir: str, shard_id: str, records: list[tuple[str, str]]) -> None:
     """Append (data, partitionKey) records to a fake shard file — the
     test-side producer matching the reference's sink contract."""

@@ -274,3 +274,48 @@ class TestKinesisSource:
         rows = spark.sql("SELECT data FROM kin_inc ORDER BY sequenceNumber").collect()
         # each record delivered exactly once, appended records picked up
         assert [r.data for r in rows] == ["x1", "x2"]
+
+    def test_sink_source_round_trip(self, spark, tmp_path):
+        """Full loop with zero AWS deps: KinesisSink (PutRecords contract,
+        500-record sub-batching) → DirKinesisClient hash-routes to local
+        shard files → kinesis_py streaming source reads them back with
+        per-shard ordering."""
+        import pyspark.sql.functions as F
+
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            DirKinesisClient,
+            KinesisDataSource,
+        )
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import KinesisSink
+
+        ep = str(tmp_path / "roundtrip")
+        src = spark.range(50).select(
+            F.concat(F.lit("rec-"), F.col("id")).alias("data"),
+            F.concat(F.lit("host-"), (F.col("id") % 3)).alias("partitionKey"),
+        )
+        sink = KinesisSink("Test", client_factory=lambda: DirKinesisClient(ep))
+        sink.write_batch(src, epoch_id=0)
+
+        spark.dataSource.register(KinesisDataSource)
+        df = (
+            spark.readStream.format("kinesis_py")
+            .option("endpoint", f"dir:{ep}")
+            .load()
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("kin_rt")
+            .option("checkpointLocation", str(tmp_path / "ck_rt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM kin_rt").collect()
+        assert {(r.data, r.partitionKey) for r in rows} == {
+            (f"rec-{i}", f"host-{i % 3}") for i in range(50)
+        }
+        # one partition key never straddles shards (hash routing)
+        key_shards = {}
+        for r in rows:
+            key_shards.setdefault(r.partitionKey, set()).add(r.shardId)
+        assert all(len(s) == 1 for s in key_shards.values())
