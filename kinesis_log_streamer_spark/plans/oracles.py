@@ -378,6 +378,20 @@ GROUP BY 1, 2
 ORDER BY w_start, event_type
 """
 
+ORACLES["q36_binned_range_join"] = """
+SELECT band_id,
+       count(*)                         AS n_items,
+       round(sum(l_extendedprice), 2)   AS sum_price
+FROM lineitem
+JOIN (SELECT range          AS band_id,
+             range * 1000.0 AS lo,
+             (range + 1) * 1000.0 AS hi
+      FROM range(120)) bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band_id
+ORDER BY band_id
+"""
+
 ORACLES["q27_percentiles"] = """
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,

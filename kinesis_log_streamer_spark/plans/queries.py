@@ -495,6 +495,32 @@ def q34_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q36_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join executed as an equi-join on a computed bin
+    (operators/rangejoin.py) instead of BroadcastNestedLoopJoin: price
+    bands wide enough (120) that the BNLJ comparison count would be
+    |lineitem|·120.  The binned plan shuffles/broadcasts on the bin id
+    and refines — the strategy that survives when neither side is
+    broadcastable."""
+    from kinesis_log_streamer_spark.operators.rangejoin import bin_range_join
+
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = spark.range(120).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * F.lit(1000.0)).alias("lo"),
+        ((F.col("id") + 1) * F.lit(1000.0)).alias("hi"),
+    )
+    j = bin_range_join(lineitem, bands, "l_extendedprice", "lo", "hi", 1000.0)
+    return (
+        j.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def q35_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) time-window aggregation: 1-hour windows every
     30 minutes, so each event lands in width/slide = 2 windows.  Batch
@@ -993,6 +1019,7 @@ REGISTRY = {
     "q33_except_all": q33_except_all,
     "q34_map_funcs": q34_map_funcs,
     "q35_sliding_window": q35_sliding_window,
+    "q36_binned_range_join": q36_binned_range_join,
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_pairs": d02_minhash_pairs,
     "d03_simhash_pairs": d03_simhash_pairs,

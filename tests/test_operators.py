@@ -83,3 +83,35 @@ class TestTopK:
         assert got == [("a", 3, 1), ("a", 2, 2), ("b", 9, 1)] or got == sorted(
             [("a", 3, 1), ("a", 2, 2), ("b", 9, 1)]
         )
+
+
+class TestBinRangeJoin:
+    def _bands(self, spark):
+        return spark.createDataFrame(
+            [(0, 0.0, 10.0), (1, 10.0, 25.0), (2, 25.0, 100.0)],
+            "band_id long, lo double, hi double",
+        )
+
+    def test_matches_naive_non_equi_join(self, spark):
+        from kinesis_log_streamer_spark.operators.rangejoin import bin_range_join
+
+        pts = spark.range(200).select((F.col("id") * 0.7).alias("p"))
+        bands = self._bands(spark)
+        binned = bin_range_join(pts, bands, "p", "lo", "hi", 10.0)
+        naive = pts.join(
+            bands, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+        )
+        got = sorted((r.p, r.band_id) for r in binned.collect())
+        want = sorted((r.p, r.band_id) for r in naive.collect())
+        assert got == want
+
+    def test_boundary_points_and_no_nested_loop(self, spark):
+        from kinesis_log_streamer_spark.operators.rangejoin import bin_range_join
+
+        # points exactly on lo (kept) and hi (excluded), bin-aligned hi
+        pts = spark.createDataFrame([(0.0,), (10.0,), (25.0,), (100.0,)], "p double")
+        out = bin_range_join(pts, self._bands(spark), "p", "lo", "hi", 10.0)
+        got = sorted((r.p, r.band_id) for r in out.collect())
+        assert got == [(0.0, 0), (10.0, 1), (25.0, 2)]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan
