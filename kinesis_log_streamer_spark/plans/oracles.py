@@ -392,6 +392,26 @@ GROUP BY band_id
 ORDER BY band_id
 """
 
+ORACLES["q37_unpivot"] = """
+WITH wide AS (
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(sum(l_discount), 2)      AS sum_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM (
+    SELECT l_returnflag, 'sum_qty'   AS metric, sum_qty   AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc'  AS metric, sum_disc  AS value FROM wide
+)
+ORDER BY l_returnflag, metric
+"""
+
 ORACLES["q27_percentiles"] = """
 SELECT l_returnflag,
        round(quantile_cont(l_quantity, 0.5), 4)      AS median_qty,

@@ -521,6 +521,25 @@ def q36_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag aggregates → long (flag, metric,
+    value) rows — the inverse of q26's pivot.  Uses the native
+    ``DataFrame.unpivot`` (STACK in SQL), which stays a narrow
+    projection: no shuffle beyond the feeding aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "value",
+    ).orderBy("l_returnflag", "metric")
+
+
 def q35_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) time-window aggregation: 1-hour windows every
     30 minutes, so each event lands in width/slide = 2 windows.  Batch
@@ -1020,6 +1039,7 @@ REGISTRY = {
     "q34_map_funcs": q34_map_funcs,
     "q35_sliding_window": q35_sliding_window,
     "q36_binned_range_join": q36_binned_range_join,
+    "q37_unpivot": q37_unpivot,
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_pairs": d02_minhash_pairs,
     "d03_simhash_pairs": d03_simhash_pairs,

@@ -319,3 +319,62 @@ class TestKinesisSource:
         for r in rows:
             key_shards.setdefault(r.partitionKey, set()).add(r.shardId)
         assert all(len(s) == 1 for s in key_shards.values())
+
+    def test_source_composes_with_windowed_agg(self, spark, tmp_path):
+        """The north-star pipeline: Kinesis source → JSON parse →
+        watermarked tumbling-window aggregation, end to end in one
+        streaming query."""
+        import json
+
+        import pyspark.sql.functions as F
+
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            KinesisDataSource,
+            write_fake_shard,
+        )
+
+        ep = str(tmp_path / "win_stream")
+        payload = [
+            ("2024-01-01 10:01:00", "click"),
+            ("2024-01-01 10:02:00", "click"),
+            ("2024-01-01 10:07:00", "view"),
+        ]
+        write_fake_shard(
+            ep,
+            "000",
+            [(json.dumps({"ts": ts, "event_type": et}), "h1") for ts, et in payload],
+        )
+        spark.dataSource.register(KinesisDataSource)
+        stream = (
+            spark.readStream.format("kinesis_py")
+            .option("endpoint", f"dir:{ep}")
+            .load()
+            .select(
+                F.from_json(
+                    "data", "ts timestamp, event_type string"
+                ).alias("r")
+            )
+            .select("r.ts", "r.event_type")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").start.alias("w"), "event_type")
+            .count()
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("kin_win")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck_win"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (str(r.w), r.event_type, r["count"])
+            for r in spark.sql("SELECT * FROM kin_win").collect()
+        }
+        assert got == {
+            ("2024-01-01 10:00:00", "click", 2),
+            ("2024-01-01 10:05:00", "view", 1),
+        }
