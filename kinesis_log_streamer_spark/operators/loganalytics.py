@@ -24,6 +24,41 @@ from pyspark.sql import functions as F
 from kinesis_log_streamer_spark.model import APACHE_ACCESS_SCHEMA
 
 
+def access_records_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic Apache access-log JSON records derived from the
+    driver's ``events`` table — the adapter that lets oracle-checked
+    queries drive the full JSON parse path (FIXTURES.md §A1 shape)
+    without an Apache corpus.  Every derived field is integer-exact so
+    a DuckDB oracle can recompute the same values from ``events``
+    directly."""
+    m = F.col("event_id") % 10
+    status = (
+        F.when(m <= 5, 200)
+        .when(m == 6, 301)
+        .when(m == 7, 404)
+        .when(m == 8, 500)
+        .otherwise(503)
+        .cast("int")
+    )
+    path = F.concat(
+        F.lit("/"),
+        F.col("event_type"),
+        F.lit("/"),
+        (F.col("user_id") % 20).cast("string"),
+    )
+    rec = F.struct(
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")).alias("ClientAddress"),
+        F.col("event_type").alias("RequestHandler"),
+        F.concat(F.lit("GET "), path, F.lit(" HTTP/1.1")).alias("RequestLine"),
+        ((F.col("event_id") * 101) % 500000).alias("RequestTimeMicroseconds"),
+        ((F.col("event_id") * 37) % 10000).alias("ResponseBodySize"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("StartTime"),
+        status.alias("Status"),
+        path.alias("UrlPath"),
+    )
+    return events.select(F.to_json(rec).alias("value"))
+
+
 def parse_access_logs(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """Typed access-log rows from raw JSON strings.
 

@@ -564,3 +564,38 @@ SELECT event_id,
 FROM events
 ORDER BY event_id
 """
+
+ORACLES["l01_status_rollup"] = """
+WITH synth AS (
+    SELECT CASE WHEN event_id % 10 <= 5 THEN 200
+                WHEN event_id % 10 = 6  THEN 301
+                WHEN event_id % 10 = 7  THEN 404
+                WHEN event_id % 10 = 8  THEN 500
+                ELSE 503 END            AS status,
+           (event_id * 37) % 10000     AS bytes,
+           (event_id * 101) % 500000   AS us
+    FROM events
+)
+SELECT CAST(status // 100 AS VARCHAR) || 'xx' AS status_class,
+       count(*)                   AS n_requests,
+       CAST(sum(bytes) AS BIGINT) AS bytes_sent,
+       round(avg(us), 1)          AS avg_us
+FROM synth
+GROUP BY 1
+ORDER BY status_class
+"""
+
+ORACLES["l02_topk_urls"] = """
+WITH synth AS (
+    SELECT '/' || event_type || '/' || CAST(user_id % 20 AS VARCHAR) AS url_path,
+           (event_id * 37) % 10000 AS bytes
+    FROM events
+)
+SELECT url_path,
+       count(*)                   AS hits,
+       CAST(sum(bytes) AS BIGINT) AS bytes_sent
+FROM synth
+GROUP BY url_path
+ORDER BY hits DESC, url_path
+LIMIT 10
+"""

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kinesis_log_streamer_spark.operators import dedup as D
+from kinesis_log_streamer_spark.operators import loganalytics as LA
 from kinesis_log_streamer_spark.operators import multimodal as M
 from kinesis_log_streamer_spark.operators import similarity as S
 from kinesis_log_streamer_spark.operators import text as TX
@@ -961,6 +962,26 @@ def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "kind", "n_bytes").orderBy("doc_id")
 
 
+def l01_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache access-log analytics end to end: synthesize FIXTURES §A1
+    JSON records from events, parse with the declared schema
+    (from_json round trip — a parse bug breaks the oracle match), roll
+    up requests/bytes/latency by status class."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = LA.parse_access_logs(LA.access_records_from_events(ev))
+    return LA.status_class_rollup(parsed.filter(~F.col("is_corrupt")))
+
+
+def l02_topk_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 URL paths by hits over parsed access records (aggregate
+    before sort — the shuffle carries |distinct paths| rows)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = LA.parse_access_logs(LA.access_records_from_events(ev))
+    return LA.topk_urls(parsed.filter(~F.col("is_corrupt")), k=10).select(
+        F.col("UrlPath").alias("url_path"), "hits", "bytes_sent"
+    )
+
+
 def i01_wrap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference T2+T4+E1 (line→JSON wrap + enrichment + partition key)
     over the documents corpus as the line source
@@ -1055,6 +1076,8 @@ REGISTRY = {
     "s04_embedding_near_dups": s04_embedding_near_dups,
     "s05_ivf_topk": s05_ivf_topk,
     "m01_multimodal_meta": m01_multimodal_meta,
+    "l01_status_rollup": l01_status_rollup,
+    "l02_topk_urls": l02_topk_urls,
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
 }
