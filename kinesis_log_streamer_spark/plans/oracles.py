@@ -599,3 +599,36 @@ GROUP BY url_path
 ORDER BY hits DESC, url_path
 LIMIT 10
 """
+
+ORACLES["st01_stream_window_counts"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+ORACLES["st02_stream_session_counts"] = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts)  AS session_start,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""

@@ -982,6 +982,65 @@ def l02_topk_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_stream_to_table(agg: DataFrame, name: str) -> None:
+    """Run a bounded streaming aggregation to completion:
+    ``Trigger.AvailableNow`` (the reference's EOF drain,
+    basestreamer.go:27-33) into a memory sink, complete output mode so
+    every window/session is emitted regardless of watermark."""
+    spark = agg.sparkSession
+    spark.catalog.dropTempView(name)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+
+def st01_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantics inside the correctness gate: the events
+    table replayed through the file streaming source (micro-batch
+    engine, stateful window aggregation, memory sink) must produce
+    byte-identical windows to the batch plan — so the oracle is plain
+    batch SQL.  This is Spark's unbounded-table equivalence made
+    testable."""
+    from kinesis_log_streamer_spark.streaming.pipeline import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("bucket_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    _drain_stream_to_table(agg, "st01_out")
+    return spark.table("st01_out").orderBy("bucket_start", "event_type")
+
+
+def st02_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``session_window`` (gap-merged state) drained to
+    batch-equal sessions; the oracle rebuilds the same sessions with a
+    gaps-and-islands SQL over the static table."""
+    from kinesis_log_streamer_spark.streaming.pipeline import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    _drain_stream_to_table(agg, "st02_out")
+    return (
+        spark.table("st02_out")
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def i01_wrap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference T2+T4+E1 (line→JSON wrap + enrichment + partition key)
     over the documents corpus as the line source
@@ -1078,6 +1137,8 @@ REGISTRY = {
     "m01_multimodal_meta": m01_multimodal_meta,
     "l01_status_rollup": l01_status_rollup,
     "l02_topk_urls": l02_topk_urls,
+    "st01_stream_window_counts": st01_stream_window_counts,
+    "st02_stream_session_counts": st02_stream_session_counts,
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
 }

@@ -139,6 +139,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
-        .load(f"{sf_dir}")
+        .option("basePath", sf_dir)
+        .load(f"{sf_dir}/events*.parquet")
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
