@@ -610,6 +610,27 @@ GROUP BY 1, 2
 ORDER BY bucket_start, event_type
 """
 
+ORACLES["st03_stream_stream_join"] = """
+SELECT a.event_type AS l_type,
+       b.event_type AS r_type,
+       count(*) AS n_pairs,
+       count(DISTINCT a.user_id) AS n_users
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL '5 minutes'
+GROUP BY 1, 2
+ORDER BY l_type, r_type
+"""
+
+ORACLES["st04_stream_dedup"] = """
+SELECT event_type, count(*) AS n_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES["st02_stream_session_counts"] = """
 WITH flagged AS (
     SELECT user_id, ts,

@@ -982,17 +982,19 @@ def l02_topk_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain_stream_to_table(agg: DataFrame, name: str) -> None:
-    """Run a bounded streaming aggregation to completion:
+def _drain_stream_to_table(agg: DataFrame, name: str, mode: str = "complete") -> None:
+    """Run a bounded streaming query to completion:
     ``Trigger.AvailableNow`` (the reference's EOF drain,
-    basestreamer.go:27-33) into a memory sink, complete output mode so
-    every window/session is emitted regardless of watermark."""
+    basestreamer.go:27-33) into a memory sink.  ``complete`` mode for
+    aggregations (every window/session emitted regardless of
+    watermark); ``append`` for stream-stream joins / dedup, which emit
+    rows as they materialize."""
     spark = agg.sparkSession
     spark.catalog.dropTempView(name)
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -1038,6 +1040,51 @@ def st02_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("user_id", "session_start")
+    )
+
+
+def st03_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join
+    (`streaming/stateful.py:stream_stream_join`) drained bounded: each
+    event paired with same-user events in the following 5 minutes.
+    Inner joins emit matches as state arrives, so the drained result
+    equals the batch self-join — the oracle is that self-join rolled up
+    to (l_type, r_type) pair counts."""
+    from kinesis_log_streamer_spark.streaming.pipeline import read_events_stream
+    from kinesis_log_streamer_spark.streaming.stateful import stream_stream_join
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = stream_stream_join(ev, ev, watermark="10 minutes", max_delay="5 minutes")
+    _drain_stream_to_table(joined, "st03_out", mode="append")
+    return (
+        spark.table("st03_out")
+        .groupBy("l_type", "r_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("l_user").alias("n_users"),
+        )
+        .orderBy("l_type", "r_type")
+    )
+
+
+def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (`streaming/stateful.py:dedup_stream`,
+    ``dropDuplicatesWithinWatermark``) drained bounded: exactly one row
+    per (user_id, event_type) key survives, so per-type distinct-user
+    counts must match batch ``SELECT DISTINCT``.  The kept row's other
+    columns are processing-order-dependent, so the comparison projects
+    to the key space before aggregating."""
+    from kinesis_log_streamer_spark.streaming.pipeline import read_events_stream
+    from kinesis_log_streamer_spark.streaming.stateful import dedup_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(ev, keys=["user_id", "event_type"], watermark="10 minutes")
+    _drain_stream_to_table(deduped, "st04_out", mode="append")
+    return (
+        spark.table("st04_out")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
     )
 
 
@@ -1139,6 +1186,8 @@ REGISTRY = {
     "l02_topk_urls": l02_topk_urls,
     "st01_stream_window_counts": st01_stream_window_counts,
     "st02_stream_session_counts": st02_stream_session_counts,
+    "st03_stream_stream_join": st03_stream_stream_join,
+    "st04_stream_dedup": st04_stream_dedup,
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
 }
