@@ -62,45 +62,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def hashed_shingle_rows(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-) -> DataFrame:
-    """Distinct word-n-gram shingles as (id, s: bigint) ROWS — no
-    shingle strings, no arrays, no interpreted higher-order lambdas.
+def hashed_shingles_col(tok: Column, n: int = 3) -> Column:
+    """Hashed word-n-gram shingles of a token array as
+    ``array<bigint>``, entirely as array expressions — no explode, no
+    shuffle, no per-doc window.
 
-    posexplode the token stream, xxhash64 each token once, then form
-    the shingle hash from the n consecutive token hashes with ``lead``
-    over a per-document window and one more xxhash64 (order-sensitive,
-    ANSI-safe).  Everything stays in whole-stage codegen; the only
-    shuffle is the per-doc window partition (docs are independent, so
-    this parallelizes perfectly at 100 TB).  Compare: building shingle
-    arrays with ``transform``+``element_at`` is evaluated in Spark's
-    interpreted HOF path and re-evaluates the token-hash array per
-    access — quadratic per document (~6× slower measured at sf0.1).
-
-    Rows are a multiset (duplicate shingles within a doc are kept):
-    every downstream consumer — min-aggregate signatures,
-    ``collect_set`` arrays — is duplicate-insensitive, and skipping
-    the distinct saves a shuffle.
+    xxhash64 each token once, then form each shingle hash from the n
+    consecutive token hashes by ``arrays_zip``-ping n shifted
+    ``slice``\\ s of the hash array and hashing each zipped struct
+    (order-sensitive, ANSI-safe).  Zipping slices evaluates the
+    token-hash array once per document; by contrast indexing with
+    ``transform``+``element_at`` re-evaluates it per access —
+    quadratic per document.  Texts shorter than n tokens yield an
+    empty array.  Because this is a narrow per-row projection, shingle
+    profiling costs ZERO shuffles at any scale (the earlier
+    posexplode + ``lead``-window formulation shuffled every token row;
+    ~15× slower measured at sf0.1).
     """
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
-    ).select("id", "pos", F.xxhash64("tok").alias("h"))
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = toks.select(
-        "id",
-        F.col("h").alias("h0"),
-        *[F.lead("h", j).over(w).alias(f"h{j}") for j in range(1, n)],
-    )
-    return leads.filter(F.col(f"h{n-1}").isNotNull()).select(
-        "id", F.xxhash64(*[f"h{j}" for j in range(n)]).alias("s")
-    )
+    hs = F.transform(tok, lambda t: F.xxhash64(t))
+    width = F.greatest(F.size(hs) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(hs, j + 1, width) for j in range(n)])
+    return F.transform(zipped, lambda s: F.xxhash64(*[s[str(j)] for j in range(n)]))
 
 
 def minhash_signatures(
@@ -111,22 +93,36 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, shingles, sig): per-doc distinct hashed-shingle set + MinHash
-    signature, in ONE aggregation.
+    signature — shingle arrays built narrow, signatures by hash-agg.
 
-    ``shingles`` is ``array<bigint>`` via ``collect_set``; the k-th
+    The shingle hashes come from :func:`hashed_shingles_col` (array
+    expressions, zero shuffle), exploded to (id, s) rows; the k-th
     MinHash is the affine permutation h_k = (a_k·h + b_k) mod (2^31−1)
     over the shingle hash (classic universal-hash MinHash), computed as
-    ``min`` aggregates in the same groupBy.  The groupBy key equals the
-    shingle window's partition key, so Catalyst reuses the exchange —
-    the whole profile costs a single shuffle after the explode, and the
-    shuffle carries longs only (no strings, no doc bodies).
+    plain ``min`` aggregates — whole-stage-codegen scalar expressions,
+    with map-side partial aggregation so the one shuffle carries ≈1 row
+    per doc.  (The all-array alternative — ``array_min`` over 32
+    ``transform`` lambdas — avoids even that shuffle but generates a
+    far larger interpreted expression tree whose codegen compile time
+    dominates single-pass runs; the explode+hash-agg form is faster
+    end-to-end at sf0.1 and scales identically: per-doc independent,
+    linear in executors.)  Docs shorter than ``shingle_n`` tokens are
+    dropped by a cheap scan-level token-count predicate — do NOT filter
+    on size(shingles) after the projection; pushdown inlines the filter
+    and CollapseProject then re-evaluates the interpreted shingle
+    pipeline per signature expression (~10× slower, measured).
     """
     m = 2147483647  # Mersenne prime 2^31 - 1
     rng = __import__("random").Random(42)
     a_consts = [rng.randrange(1, m) for _ in range(num_hashes)]
     b_consts = [rng.randrange(0, m) for _ in range(num_hashes)]
 
-    rows = hashed_shingle_rows(df, text_col, id_col, shingle_n)
+    rows = df.filter(F.size(tokens_col(F.col(text_col))) >= shingle_n).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            hashed_shingles_col(tokens_col(F.col(text_col)), shingle_n)
+        ).alias("s"),
+    )
     h = F.pmod(F.col("s"), F.lit(m))
     prof = rows.groupBy("id").agg(
         F.collect_set("s").alias("shingles"),
@@ -218,7 +214,15 @@ def minhash_dedup_pairs(
     tokenize/shingle/aggregate; on a cluster this materialization
     would be a checkpoint/persist to cluster storage.
     """
-    profiles = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    from kinesis_log_streamer_spark.operators.parallelize import spread_for_compute
+
+    profiles = minhash_signatures(
+        spread_for_compute(df.select(id_col, text_col)),
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_n,
+    ).cache()
     cands = lsh_candidate_pairs(profiles, bands, num_hashes // bands)
     return jaccard_verify(cands, profiles, threshold)
 
@@ -308,10 +312,14 @@ def simhash_pairs(
     ``max_hamming`` ≤ 3; for larger radii the chunk filter is a
     high-recall heuristic (a pair may differ in all four chunks).
     """
+    from kinesis_log_streamer_spark.operators.parallelize import spread_for_compute
+
     # Cache: the 64-bit fingerprint is consumed by both sides of the
     # chunk self-join; without it the fingerprint aggregation would
     # run twice.
-    sh = simhash_fingerprints(df, text_col, id_col).cache()
+    sh = simhash_fingerprints(
+        spread_for_compute(df.select(id_col, text_col)), text_col, id_col
+    ).cache()
     chunked = sh.select(
         "id",
         "simhash",
