@@ -653,3 +653,32 @@ FROM sessions
 GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
+
+ORACLES["q38_salted_join"] = """
+SELECT s.s_nationkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+ORDER BY s.s_nationkey
+"""
+
+ORACLES["u01_pandas_udaf"] = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+         AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["f01_csv_roundtrip"] = """
+SELECT n_regionkey,
+       count(*) AS n_nations,
+       min(n_name) AS first_name,
+       sum(length(n_name)) AS name_chars
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""

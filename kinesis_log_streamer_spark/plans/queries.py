@@ -20,6 +20,7 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1043,6 +1044,80 @@ def st02_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-remedy equivalence (`operators/skew.py:salted_join`): the
+    lineitem⋈supplier join with the fact side salted into 8 buckets
+    must produce exactly the plain join's answer — salting balances
+    placement, never results.  Revenue rolled up per supplier nation.
+    """
+    from kinesis_log_streamer_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, "l_suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def u01_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDF surface inside the correctness gate: a grouped-agg
+    pandas UDF (Arrow-batched UDAF) computing the quantity-weighted
+    mean price per return flag; the oracle is the algebraic identity
+    sum(price·qty)/sum(qty).  Python is the slow path by policy
+    (SURVEY §2.2 UDF row) — this query exists to prove the path is
+    wired and exact, not to be the fast plan."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 2).alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+def f01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-format sink/source coverage (`sources/sinks.py`): nation →
+    CSV (header, quoted) → schema'd read-back → aggregate.  The oracle
+    runs on the original parquet, so any loss in the CSV round trip
+    (quoting, type coercion, nulls) breaks the hash match."""
+    import tempfile
+
+    from kinesis_log_streamer_spark.sources.sinks import read_csv, write_csv
+
+    nation = _t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="klss_csv_")
+    write_csv(nation, path)
+    back = read_csv(
+        spark,
+        path,
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.sum(F.length("n_name")).alias("name_chars"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 def st03_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream inner join
     (`streaming/stateful.py:stream_stream_join`) drained bounded: each
@@ -1167,6 +1242,9 @@ REGISTRY = {
     "q35_sliding_window": q35_sliding_window,
     "q36_binned_range_join": q36_binned_range_join,
     "q37_unpivot": q37_unpivot,
+    "q38_salted_join": q38_salted_join,
+    "u01_pandas_udaf": u01_pandas_udaf,
+    "f01_csv_roundtrip": f01_csv_roundtrip,
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_pairs": d02_minhash_pairs,
     "d03_simhash_pairs": d03_simhash_pairs,
