@@ -196,6 +196,7 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries_in_corpus: bool = False,
 ) -> DataFrame:
     """Approximate top-k via banded hyperplane-LSH + exact re-rank.
 
@@ -204,9 +205,25 @@ def lsh_topk(
     — a single dot product over pre-normalized vectors — ranks the
     candidate set.  Recall < 1 by design; the driver check is
     rows-only and tests assert recall vs brute force.
+
+    ``queries_in_corpus=True`` declares the query set a subset of the
+    corpus (the common self-search shape): signatures and normalized
+    vectors are computed ONCE over the corpus and the query side is a
+    semi-join on query ids, so Catalyst reuses the signature exchange
+    instead of running the posexplode→broadcast-matmul→agg pipeline a
+    second time.  Results are identical (same seed, same planes).
     """
     cb = _band_keys(lsh_sig_bits(corpus, dim, bits, seed, id_col, vec_col), bits, bands, id_col)
-    qb = _band_keys(lsh_sig_bits(queries, dim, bits, seed, id_col, vec_col), bits, bands, id_col)
+    cn = _normalized(corpus, id_col, vec_col)
+    if queries_in_corpus:
+        qids = queries.select(F.col(id_col).alias("id"))
+        qb = cb.join(F.broadcast(qids), "id")
+        qn_src = cn.join(F.broadcast(qids), "id")
+    else:
+        qb = _band_keys(
+            lsh_sig_bits(queries, dim, bits, seed, id_col, vec_col), bits, bands, id_col
+        )
+        qn_src = _normalized(queries, id_col, vec_col)
     cand = (
         cb.join(
             F.broadcast(qb.select(F.col("id").alias("qid"), "band_id", "band_hash")),
@@ -216,10 +233,7 @@ def lsh_topk(
         .select("qid", "id")
         .distinct()
     )
-    cn = _normalized(corpus, id_col, vec_col)
-    qn = _normalized(queries, id_col, vec_col).select(
-        F.col("id").alias("qid"), F.col("nvec").alias("q_nvec")
-    )
+    qn = qn_src.select(F.col("id").alias("qid"), F.col("nvec").alias("q_nvec"))
     scored = (
         cand.join(cn, "id")
         .join(F.broadcast(qn), "qid")
@@ -322,6 +336,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries_in_corpus: bool = False,
 ) -> DataFrame:
     """Approximate top-k via IVF cells: corpus vectors live in their
     single nearest cell, queries probe their ``nprobe`` nearest cells,
@@ -332,10 +347,27 @@ def ivf_topk(
     nprobe/|C| of the data — partition pruning for vector search.
     Recall tunes with nprobe; rows-only driver check, recall asserted
     vs brute force in tests.
+
+    ``queries_in_corpus=True``: query cell-probes are derived by
+    filtering the corpus by query id before assignment (identical
+    numbers — same centroids), and the normalized query vectors are a
+    semi-join on the corpus's normalized output, letting Catalyst
+    reuse the corpus-side exchanges rather than re-running the
+    assignment matmul on a second scan.
     """
     cents = sample_centroids(corpus, n_centroids, seed, id_col, vec_col)
     c_cells = ivf_assign(corpus, cents, 1, id_col, vec_col)
-    q_cells = ivf_assign(queries, cents, nprobe, id_col, vec_col)
+    cn = _normalized(corpus, id_col, vec_col)
+    if queries_in_corpus:
+        qids = queries.select(F.col(id_col).alias("id"))
+        q_src = corpus.join(
+            F.broadcast(queries.select(id_col)), id_col
+        )
+        q_cells = ivf_assign(q_src, cents, nprobe, id_col, vec_col)
+        qn_src = cn.join(F.broadcast(qids), "id")
+    else:
+        q_cells = ivf_assign(queries, cents, nprobe, id_col, vec_col)
+        qn_src = _normalized(queries, id_col, vec_col)
     cand = (
         c_cells.join(
             F.broadcast(q_cells.select(F.col("id").alias("qid"), "cell")), "cell"
@@ -344,10 +376,7 @@ def ivf_topk(
         .select("qid", "id")
         .distinct()
     )
-    cn = _normalized(corpus, id_col, vec_col)
-    qn = _normalized(queries, id_col, vec_col).select(
-        F.col("id").alias("qid"), F.col("nvec").alias("q_nvec")
-    )
+    qn = qn_src.select(F.col("id").alias("qid"), F.col("nvec").alias("q_nvec"))
     scored = (
         cand.join(cn, "id")
         .join(F.broadcast(qn), "qid")

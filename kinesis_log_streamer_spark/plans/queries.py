@@ -927,7 +927,9 @@ def s03_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB scale path (rows-only; recall asserted in tests)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(emb, queries, dim=64, k=10).orderBy("qid", "rnk")
+    return S.lsh_topk(
+        emb, queries, dim=64, k=10, queries_in_corpus=True
+    ).orderBy("qid", "rnk")
 
 
 def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,7 +938,9 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementing s03's LSH (rows-only; recall asserted in tests)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(emb, queries, k=10).orderBy("qid", "rnk")
+    return S.ivf_topk(
+        emb, queries, k=10, queries_in_corpus=True
+    ).orderBy("qid", "rnk")
 
 
 def s04_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
