@@ -66,39 +66,54 @@ def wrap_line_as_json(
     return df.select(F.to_json(F.struct(*fields)).alias("data"))
 
 
+def enriched_json_col(col: str = "value", entries: Mapping[str, str] | None = None) -> Column:
+    """T4 (JSON mode) + T3 as a single column expression: merge static
+    entries into *object* records only, then re-serialize.
+
+    Scalars/arrays pass through un-enriched (jsonstreamer.go:49-56); an
+    added entry overwrites a same-named key already present
+    (jsonstreamer.go:52-54).  Implemented JVM-side on
+    ``map<string,variant>`` so the round trip preserves value TYPES —
+    numbers stay numbers, booleans stay booleans, nested objects/arrays
+    keep their structure — matching the reference's
+    ``json.Unmarshal → Marshal`` of ``interface{}``
+    (jsonstreamer.go:42-62).  A ``map<string,string>`` parse would
+    stringify ``{"Status":200,"nested":{"a":1}}`` into
+    ``{"Status":"200","nested":"{\\"a\\":1}"}`` — silently corrupting
+    typical typed log records (the README's own Apache LogFormat emits
+    numeric fields).  ``map_zip_with``'s coalesce gives entry-map-wins
+    overwrite; merged keys keep the original object's position, new
+    keys append — byte-compatible with RFC 7386 merge-patch for
+    string-valued patches.
+    """
+    import json
+
+    entries = dict(entries or {})
+    is_object = F.trim(F.col(col)).startswith("{")
+    parsed = F.from_json(F.col(col), "map<string,variant>")
+    if not entries:
+        return F.when(is_object, F.to_json(parsed)).otherwise(F.col(col)).alias("data")
+    # Reference entries are strings (main.go:102,120) → string variants.
+    entry_map = F.create_map(
+        *[
+            x
+            for k, v in entries.items()
+            for x in (F.lit(k), F.parse_json(F.lit(json.dumps(str(v)))))
+        ]
+    )
+    # map_zip_with: value from entry_map wins on key collision (overwrite
+    # semantics of jsonstreamer.go:52-54).
+    merged = F.map_zip_with(parsed, entry_map, lambda _k, v1, v2: F.coalesce(v2, v1))
+    return F.when(is_object, F.to_json(merged)).otherwise(F.col(col)).alias("data")
+
+
 def enrich_json_objects(
     df: DataFrame,
     col: str = "value",
     entries: Mapping[str, str] | None = None,
 ) -> DataFrame:
-    """T4 (JSON mode) + T3: merge static entries into *object* records only,
-    then re-serialize.
-
-    Scalars/arrays pass through un-enriched (jsonstreamer.go:49-56); an
-    added entry overwrites a same-named key already present
-    (jsonstreamer.go:52-54).  Implemented JVM-side: parse to a
-    string→string map, concat the entry map (map_concat's later map wins
-    with mapKeyDedupPolicy=LAST_WIN semantics via map_zip_with), and
-    re-serialize with to_json (T3 normalization, jsonstreamer.go:58-62).
-    """
-    entries = dict(entries or {})
-    is_object = F.trim(F.col(col)).startswith("{")
-    if not entries:
-        return df.select(
-            F.when(is_object, F.to_json(F.from_json(F.col(col), "map<string,string>")))
-            .otherwise(F.col(col))
-            .alias("data")
-        )
-    parsed = F.from_json(F.col(col), "map<string,string>")
-    entry_map = F.create_map(
-        *[x for k, v in entries.items() for x in (F.lit(k), F.lit(v))]
-    )
-    # map_zip_with: value from entry_map wins on key collision (overwrite
-    # semantics of jsonstreamer.go:52-54).
-    merged = F.map_zip_with(parsed, entry_map, lambda _k, v1, v2: F.coalesce(v2, v1))
-    return df.select(
-        F.when(is_object, F.to_json(merged)).otherwise(F.col(col)).alias("data")
-    )
+    """DataFrame form of :func:`enriched_json_col` (T3+T4)."""
+    return df.select(enriched_json_col(col, entries))
 
 
 def stamp_partition_key(df: DataFrame, partition_key: str) -> DataFrame:

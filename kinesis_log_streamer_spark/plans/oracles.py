@@ -559,8 +559,9 @@ ORDER BY doc_id
 
 ORACLES["i02_enrich_json"] = """
 SELECT event_id,
-       '{"k":"' || json_extract_string(props, '$.k') || '","source":"engine"}'
-           AS data
+       CASE WHEN json_valid(props) AND json_type(props) = 'OBJECT'
+            THEN json_merge_patch(props, '{"source":"engine"}')::VARCHAR
+            ELSE props END AS data
 FROM events
 ORDER BY event_id
 """
@@ -677,7 +678,7 @@ ORACLES["f01_csv_roundtrip"] = """
 SELECT n_regionkey,
        count(*) AS n_nations,
        min(n_name) AS first_name,
-       sum(length(n_name)) AS name_chars
+       CAST(sum(length(n_name)) AS BIGINT) AS name_chars
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey

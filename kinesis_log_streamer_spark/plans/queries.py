@@ -1099,12 +1099,15 @@ def f01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     CSV (header, quoted) → schema'd read-back → aggregate.  The oracle
     runs on the original parquet, so any loss in the CSV round trip
     (quoting, type coercion, nulls) breaks the hash match."""
+    import os
     import tempfile
 
     from kinesis_log_streamer_spark.sources.sinks import read_csv, write_csv
 
     nation = _t(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="klss_csv_")
+    # Fixed path + overwrite mode: repeated invocations reuse one dir
+    # instead of leaking a fresh mkdtemp per call.
+    path = os.path.join(tempfile.gettempdir(), "klss_csv_roundtrip")
     write_csv(nation, path)
     back = read_csv(
         spark,
@@ -1188,19 +1191,16 @@ def i01_wrap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def i02_enrich_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference T3+T4 (JSON-object enrichment + re-serialization) over
-    the events.props JSON records (jsonstreamer.go:49-62)."""
+    the events.props JSON records (jsonstreamer.go:49-62).  The variant
+    path preserves value types — ``{"k": 69}`` enriches to
+    ``{"k":69,"source":"engine"}``, numeric 69 intact — so the DuckDB
+    oracle is a plain ``json_merge_patch``."""
+    from kinesis_log_streamer_spark.operators.transforms import enriched_json_col
+
     events = _t(spark, sf_dir, "events")
-    # Same expression enrich_json_objects builds, with event_id kept as
-    # a stable compare key for the oracle.
-    parsed = F.from_json(F.col("props"), "map<string,string>")
-    entry_map = F.create_map(F.lit("source"), F.lit("engine"))
-    merged = F.map_zip_with(
-        parsed, entry_map, lambda _k, v1, v2: F.coalesce(v2, v1)
-    )
-    is_object = F.trim(F.col("props")).startswith("{")
+    # event_id kept as a stable compare key for the oracle.
     return events.select(
-        "event_id",
-        F.when(is_object, F.to_json(merged)).otherwise(F.col("props")).alias("data"),
+        "event_id", enriched_json_col("props", {"source": "engine"})
     ).orderBy("event_id")
 
 
@@ -1209,6 +1209,23 @@ def i02_enrich_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 REGISTRY = {
+    # r01's correctness run truncated after 50 entries, leaving the
+    # tail unverified; the previously-unverified queries run FIRST so
+    # a budget cut can never starve them again (VERDICT r01 item 1).
+    "i01_wrap_lines": i01_wrap_lines,
+    "i02_enrich_json": i02_enrich_json,
+    "l01_status_rollup": l01_status_rollup,
+    "l02_topk_urls": l02_topk_urls,
+    "s02_norm_stats": s02_norm_stats,
+    "s03_lsh_topk": s03_lsh_topk,
+    "s04_embedding_near_dups": s04_embedding_near_dups,
+    "s05_ivf_topk": s05_ivf_topk,
+    "m01_multimodal_meta": m01_multimodal_meta,
+    "st01_stream_window_counts": st01_stream_window_counts,
+    "st02_stream_session_counts": st02_stream_session_counts,
+    "st03_stream_stream_join": st03_stream_stream_join,
+    "st04_stream_dedup": st04_stream_dedup,
+    "f01_csv_roundtrip": f01_csv_roundtrip,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
     "q03_topk_orders": q03_topk_orders,
@@ -1248,7 +1265,6 @@ REGISTRY = {
     "q37_unpivot": q37_unpivot,
     "q38_salted_join": q38_salted_join,
     "u01_pandas_udaf": u01_pandas_udaf,
-    "f01_csv_roundtrip": f01_csv_roundtrip,
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_pairs": d02_minhash_pairs,
     "d03_simhash_pairs": d03_simhash_pairs,
@@ -1259,17 +1275,4 @@ REGISTRY = {
     "t04_token_stats": t04_token_stats,
     "t05_fingerprint": t05_fingerprint,
     "s01_cosine_topk": s01_cosine_topk,
-    "s02_norm_stats": s02_norm_stats,
-    "s03_lsh_topk": s03_lsh_topk,
-    "s04_embedding_near_dups": s04_embedding_near_dups,
-    "s05_ivf_topk": s05_ivf_topk,
-    "m01_multimodal_meta": m01_multimodal_meta,
-    "l01_status_rollup": l01_status_rollup,
-    "l02_topk_urls": l02_topk_urls,
-    "st01_stream_window_counts": st01_stream_window_counts,
-    "st02_stream_session_counts": st02_stream_session_counts,
-    "st03_stream_stream_join": st03_stream_stream_join,
-    "st04_stream_dedup": st04_stream_dedup,
-    "i01_wrap_lines": i01_wrap_lines,
-    "i02_enrich_json": i02_enrich_json,
 }

@@ -77,6 +77,45 @@ class TestJsonEnrichment:
         )
         assert [r.data for r in df.collect()] == ["42", "[1,2]"]
 
+    def test_typed_values_preserved(self, spark):
+        # T3 round trip must preserve JSON value TYPES, mirroring the
+        # reference's json.Unmarshal→Marshal of interface{}
+        # (jsonstreamer.go:42-62): numbers stay numbers, booleans stay
+        # booleans, nested objects/arrays keep structure — never
+        # stringified or double-encoded.
+        rec = '{"Status":200,"ok":true,"nested":{"a":1},"arr":[1,2.5],"s":"x"}'
+        df = TR.enrich_json_objects(_lines(spark, [rec]), entries={"src": "e"})
+        got = json.loads(df.first().data)
+        assert got == {
+            "Status": 200,
+            "ok": True,
+            "nested": {"a": 1},
+            "arr": [1, 2.5],
+            "s": "x",
+            "src": "e",
+        }
+        assert isinstance(got["Status"], int)
+        assert got["ok"] is True
+        assert isinstance(got["nested"], dict)
+
+    def test_typed_values_preserved_without_entries(self, spark):
+        # The no-entry re-serialize path (pure T3) keeps types too.
+        rec = '{"n":7,"b":false,"o":{"x":[true,null]}}'
+        df = TR.enrich_json_objects(_lines(spark, [rec]))
+        assert json.loads(df.first().data) == {
+            "n": 7,
+            "b": False,
+            "o": {"x": [True, None]},
+        }
+
+    def test_overwrite_keeps_original_key_position(self, spark):
+        # Merge-patch byte contract: overwritten key keeps its slot,
+        # new keys append (what DuckDB json_merge_patch also does).
+        df = TR.enrich_json_objects(
+            _lines(spark, ['{"a":1,"k":"orig","z":2}']), entries={"k": "new"}
+        )
+        assert df.first().data == '{"a":1,"k":"new","z":2}'
+
 
 class TestSinkContract:
     def test_partition_key_stamp(self, spark):
