@@ -35,31 +35,52 @@ def asof_join(
     ``right_ts <= left_ts``; left rows with no prior right row keep
     nulls. Output columns: all left columns + right value columns.
     """
+    from pyspark.sql.types import StructField, StructType
+
     rcols = [c for c in right.columns if c not in (key, right_ts)]
     lcols = left.columns
 
-    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    for c in rcols:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = right.withColumn("__ts", F.col(right_ts)).withColumn("__side", F.lit(0))
+    # Right value columns travel as ONE struct so the forward fill picks
+    # whole rows: filling each column independently with
+    # last(col, ignorenulls=True) would stitch together values from
+    # DIFFERENT right rows whenever a right row holds nulls in some
+    # value columns — not "the most recent right row" semantics.
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in rcols]
+    )
+    l_tagged = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__r", F.lit(None).cast(r_struct_type))
+    )
+    r_tagged = (
+        right.withColumn("__ts", F.col(right_ts))
+        .withColumn("__side", F.lit(0))
+        .withColumn("__r", F.struct(*[F.col(c) for c in rcols]))
+    )
     for c in lcols:
-        if c not in (key,):
+        if c != key:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    unioned = l_tagged.select(key, "__ts", "__side", *[c for c in lcols if c != key], *rcols).unionByName(
-        r_tagged.select(key, "__ts", "__side", *[c for c in lcols if c != key], *rcols)
-    )
+    sel = [key, "__ts", "__side", "__r", *[c for c in lcols if c != key]]
+    unioned = l_tagged.select(*sel).unionByName(r_tagged.select(*sel))
     # Right rows sort before left rows at equal ts (__side 0 < 1) so an
     # exactly-simultaneous right row IS visible to the left row (<=).
+    # __r as the final sort key makes ties between right rows at an
+    # identical (key, ts) deterministic (struct comparison is
+    # lexicographic by field; last() then always picks the max row).
+    # Maps are not orderable — fall back to the ts-only ordering then.
+    orderable = "map" not in r_struct_type.simpleString()
+    order = ["__ts", "__side"] + (["__r"] if orderable else [])
     w = (
         W.partitionBy(key)
-        .orderBy("__ts", "__side")
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    filled = unioned
-    for c in rcols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled.filter(F.col("__side") == 1).select(*lcols, *rcols)
+    filled = unioned.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__r.{c}").alias(c) for c in rcols]
+    )
 
 
 def asof_join_ranked(

@@ -38,7 +38,17 @@ def salted_join(
     because the salt only balances placement, never affects results);
     ``other`` is exploded to every salt value.  The join key becomes
     (key, salt) so each hot key spreads over n tasks.
+
+    Only ``inner`` and ``left`` are equivalence-preserving: in a
+    right/full outer join every unmatched row of the exploded ``other``
+    side exists once per salt value and would be emitted ``n_salts``
+    times null-extended.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "outer joins would duplicate unmatched rows of the exploded side"
+        )
     salted = skewed.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),

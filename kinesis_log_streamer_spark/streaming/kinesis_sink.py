@@ -22,6 +22,7 @@ substitution.
 
 from __future__ import annotations
 
+import logging
 import time
 from collections.abc import Callable, Iterable, Iterator
 
@@ -44,6 +45,15 @@ def chunk_records(
     size = 0
     for data, key in rows:
         rec_size = len(data) + len(key.encode())
+        if rec_size > MAX_BYTES_PER_RECORD:
+            # The API rejects oversized records on EVERY attempt; sending
+            # one would burn retries and then vanish — fail fast instead
+            # (the at-least-once contract forbids a silent drop).
+            raise ValueError(
+                f"record of {rec_size} bytes exceeds the "
+                f"{MAX_BYTES_PER_RECORD}-byte Kinesis per-record limit "
+                f"(partitionKey={key!r})"
+            )
         if batch and (len(batch) >= max_records or size + rec_size > max_bytes):
             yield batch
             batch, size = [], 0
@@ -59,12 +69,17 @@ def put_records_with_retry(
     batch: list[tuple[bytes, str]],
     max_retries: int = 3,
     backoff_s: float = 0.2,
+    on_drop: Callable[[list[tuple[bytes, str]]], None] | None = None,
 ) -> int:
     """One PutRecords call + per-record retry of failures.
 
     Returns the number of records durably accepted. The reference logs
     and drops failures (basestreamer.go:73-83); we retry — documented
-    at-least-once upgrade."""
+    at-least-once upgrade.  Records still failing after ``max_retries``
+    are handed to ``on_drop`` (a dead-letter hook); with no hook the
+    call RAISES so Structured Streaming fails the task and replays the
+    batch from the checkpoint — a silent drop would void the
+    at-least-once guarantee."""
     pending = batch
     for attempt in range(max_retries + 1):
         resp = client.put_records(
@@ -81,6 +96,12 @@ def put_records_with_retry(
             if "ErrorCode" in result
         ]
         if attempt == max_retries:
+            if on_drop is None:
+                raise RuntimeError(
+                    f"{len(failed)} record(s) still failing after "
+                    f"{max_retries} retries on stream {stream_name!r}"
+                )
+            on_drop(failed)
             return len(batch) - len(failed)
         pending = failed
         time.sleep(backoff_s * (2**attempt))
@@ -101,11 +122,15 @@ class KinesisSink:
         client_factory: Callable | None = None,
         region: str | None = None,
         profile: str | None = None,
+        on_drop: Callable[[list[tuple[bytes, str]]], None] | None = None,
     ) -> None:
         self.stream_name = stream_name
         self.region = region
         self.profile = profile
         self.client_factory = client_factory or self._boto3_factory
+        # Dead-letter hook for records that exhaust retries; None means
+        # raise → task retry → micro-batch replay (at-least-once).
+        self.on_drop = on_drop
 
     def _boto3_factory(self):
         try:
@@ -125,6 +150,8 @@ class KinesisSink:
         no driver collect."""
         stream_name = self.stream_name
         factory = self.client_factory
+        on_drop = self.on_drop
+        accepted = df.sparkSession.sparkContext.accumulator(0)
 
         def write_partition(rows) -> None:
             client = factory()
@@ -136,10 +163,20 @@ class KinesisSink:
                 for r in rows
             )
             for batch in chunk_records(pairs):
-                put_records_with_retry(client, stream_name, batch)
+                accepted.add(
+                    put_records_with_retry(
+                        client, stream_name, batch, on_drop=on_drop
+                    )
+                )
 
         df.select("data", "partitionKey").repartition("partitionKey").foreachPartition(
             write_partition
+        )
+        logging.getLogger(__name__).info(
+            "epoch %s: %s record(s) accepted by %s",
+            epoch_id,
+            accepted.value,
+            stream_name,
         )
 
 

@@ -58,6 +58,43 @@ class TestAsofJoin:
         row = asof_join(left, right, "key", "ts", "rts").first()
         assert row.val is None
 
+    def test_whole_row_semantics_with_partial_nulls(self, spark):
+        # A right row with nulls in SOME value columns must be taken as a
+        # whole — never stitched per-column with values from an older row.
+        left = spark.createDataFrame(
+            [(1, 10, _ts("2024-01-01T12:00:00"))],
+            "event_id long, key long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, _ts("2024-01-01T09:00:00"), 100, "old"),
+                (10, _ts("2024-01-01T11:00:00"), None, "new"),
+            ],
+            "key long, rts timestamp, a long, b string",
+        )
+        row = asof_join(left, right, "key", "ts", "rts").first()
+        assert (row.a, row.b) == (None, "new")  # not (100, "new")
+
+    def test_right_tie_is_deterministic(self, spark):
+        # Two right rows at an identical (key, ts): the struct tiebreaker
+        # always resolves to the max row, independent of partitioning.
+        left = spark.createDataFrame(
+            [(1, 10, _ts("2024-01-01T12:00:00"))],
+            "event_id long, key long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, _ts("2024-01-01T11:00:00"), 7, "x"),
+                (10, _ts("2024-01-01T11:00:00"), 9, "y"),
+            ],
+            "key long, rts timestamp, a long, b string",
+        )
+        for _ in range(3):
+            row = asof_join(
+                left, right.repartition(4), "key", "ts", "rts"
+            ).first()
+            assert (row.a, row.b) == (9, "y")
+
 
 class TestSessionize:
     def test_gap_splits_sessions(self, spark):

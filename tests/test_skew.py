@@ -40,6 +40,16 @@ class TestSaltedJoin:
             map(tuple, salted.collect())
         )
 
+    def test_outer_join_rejected(self, spark, skewed_df):
+        # right/full outer would emit each unmatched exploded row once
+        # per salt — only inner/left are equivalence-preserving.
+        import pytest
+
+        dim = spark.createDataFrame([("hot", "H")], "k string, label string")
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError, match="inner"):
+                salted_join(skewed_df, dim, "k", n_salts=4, how=how)
+
     def test_salts_spread_hot_key(self, spark, skewed_df):
         from kinesis_log_streamer_spark.operators.skew import salted_join  # noqa
 

@@ -36,6 +36,63 @@ class TestChunking:
         flat = [r for b in chunk_records(rows, max_records=3) for r in b]
         assert [d for d, _ in flat] == [str(i).encode() for i in range(7)]
 
+    def test_oversized_record_rejected(self):
+        # A >1 MiB record is rejected by the API on every attempt — it
+        # must fail fast, not burn retries and silently vanish.
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            MAX_BYTES_PER_RECORD,
+        )
+
+        rows = [(b"x" * (MAX_BYTES_PER_RECORD + 1), "k")]
+        with pytest.raises(ValueError, match="per-record limit"):
+            list(chunk_records(rows))
+
+
+class _AlwaysFailingClient:
+    """put_records stub that fails the last record of every call."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def put_records(self, StreamName, Records):
+        self.calls += 1
+        results = [{} for _ in Records]
+        results[-1] = {"ErrorCode": "ProvisionedThroughputExceededException"}
+        return {"FailedRecordCount": 1, "Records": results}
+
+
+class TestPutRecordsRetry:
+    def test_exhausted_retries_raise_by_default(self):
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            put_records_with_retry,
+        )
+
+        client = _AlwaysFailingClient()
+        batch = [(b"a", "k1"), (b"b", "k2")]
+        with pytest.raises(RuntimeError, match="still failing"):
+            put_records_with_retry(
+                client, "s", batch, max_retries=2, backoff_s=0.0
+            )
+        assert client.calls == 3  # initial + 2 retries
+
+    def test_on_drop_receives_dead_letters(self):
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            put_records_with_retry,
+        )
+
+        dropped: list = []
+        batch = [(b"a", "k1"), (b"b", "k2")]
+        n = put_records_with_retry(
+            _AlwaysFailingClient(),
+            "s",
+            batch,
+            max_retries=1,
+            backoff_s=0.0,
+            on_drop=dropped.extend,
+        )
+        assert n == 1
+        assert dropped == [(b"b", "k2")]
+
 
 class TestAvailableNowDrain:
     def test_stream_drains_and_flushes(self, spark, tmp_path):
