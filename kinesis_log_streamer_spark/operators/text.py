@@ -135,6 +135,61 @@ def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("pred_lang", F.array_max(candidates)["lang"])
 
 
+def tokens_col(text: Column) -> Column:
+    """Canonical whitespace tokenization (lowered) — shared by tf-idf /
+    n-grams so the DuckDB oracle can reproduce it with
+    ``string_split_regex(lower(trim(text)), '\\s+')``."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def ngrams_col(text: Column, n: int = 2) -> Column:
+    """Word n-grams as an array expression (the ``NGram``-transformer
+    equivalent, SURVEY.md §2.2 text row) — built narrow inside the scan
+    stage: no explode, no shuffle, no UDF.  Docs with fewer than ``n``
+    tokens yield an empty array."""
+    toks = tokens_col(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, term) tf-idf over the corpus (SURVEY.md §2.2 names the
+    HashingTF+IDF shape; this is the exact document-frequency join form,
+    so it is oracle-checkable).
+
+    ``tfidf = tf · (ln((N + 1) / (df + 1)) + 1)`` (smoothed idf).
+
+    100 TB shape: one shuffle to aggregate tf per (doc, term); document
+    frequency derives from the tf table (already one row per doc-term,
+    so df = count per term — no second pass over raw text); the df
+    table is |vocab|-sized and broadcast back onto tf.  Corpus size N
+    rides along as a scalar subquery, not a driver-side collect.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * idf).alias("tfidf"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Two content fingerprints per doc:
 

@@ -674,6 +674,153 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
+ORACLES["t06_tfidf_topterms"] = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM toks GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 4)
+               AS tfidf_r
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT doc_id, term, tf, df, tfidf_r,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf_r DESC, term ASC) AS rnk
+    FROM scored
+    WHERE doc_id % 25 = 0
+)
+SELECT doc_id, term,
+       CAST(tf AS BIGINT) AS tf_count,
+       CAST(df AS BIGINT) AS doc_freq,
+       tfidf_r AS tfidf,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+ORACLES["t07_bigram_topk"] = """
+WITH t AS (
+    SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+    FROM documents
+), grams AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM t
+)
+SELECT bigram, count(*) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 15
+"""
+
+ORACLES["l03_windowed_error_rate"] = """
+WITH synth AS (
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CASE WHEN event_id % 10 >= 8 THEN 1 ELSE 0 END AS is_err
+    FROM events
+)
+SELECT window_start,
+       count(*)                   AS n_requests,
+       CAST(sum(is_err) AS BIGINT) AS n_5xx,
+       round(sum(is_err) * 1.0 / count(*), 4) AS error_rate
+FROM synth
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+ORACLES["l04_request_line_split"] = """
+WITH synth AS (
+    SELECT 'GET' AS req_method,
+           'HTTP/1.1' AS req_protocol,
+           event_type AS path_segment,
+           '/' || event_type || '/' || CAST(user_id % 20 AS VARCHAR) AS req_path
+    FROM events
+)
+SELECT req_method, req_protocol, path_segment,
+       count(*)                          AS n_requests,
+       CAST(count(DISTINCT req_path) AS BIGINT) AS n_paths
+FROM synth
+GROUP BY req_method, req_protocol, path_segment
+ORDER BY req_method, req_protocol, path_segment
+"""
+
+ORACLES["l05_latency_percentiles"] = """
+WITH synth AS (
+    SELECT event_type AS handler,
+           (event_id * 101) % 500000 AS us
+    FROM events
+)
+SELECT handler,
+       round(quantile_cont(us, 0.5),  4) AS p50_us,
+       round(quantile_cont(us, 0.95), 4) AS p95_us,
+       round(quantile_cont(us, 0.99), 4) AS p99_us,
+       count(*) AS n
+FROM synth
+GROUP BY handler
+ORDER BY handler
+"""
+
+ORACLES["l06_client_sessions"] = """
+WITH synth AS (
+    SELECT '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS client, ts
+    FROM events
+), flagged AS (
+    SELECT client, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM synth
+    WINDOW w AS (PARTITION BY client ORDER BY ts)
+), sessions AS (
+    SELECT client, ts,
+           sum(new_s) OVER (PARTITION BY client ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT client,
+       min(ts)  AS session_start,
+       count(*) AS n_requests
+FROM sessions
+GROUP BY client, sid
+ORDER BY client, session_start
+"""
+
+ORACLES["st05_event_time_sessions"] = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts)  AS session_start,
+       max(ts)  AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
 ORACLES["f01_csv_roundtrip"] = """
 SELECT n_regionkey,
        count(*) AS n_nations,

@@ -788,8 +788,14 @@ def d02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming ≤ 12 over 64-bit fingerprints
-    (chunk-pigeonhole candidates; rows-only check)."""
+    """SimHash near-dup pairs at hamming ≤ 12 — HIGH-RECALL HEURISTIC,
+    not exhaustive: the 4×16-bit chunk-pigeonhole candidate filter is
+    exact only for hamming ≤ 3 (a pair differing in all four chunks is
+    never surfaced; `operators/dedup.py:simhash_pairs`).  Every emitted
+    pair IS verified ≤ 12 (precision is exact; recall is not).  An
+    exact radius-12 filter would need 13 ~5-bit chunks whose 32-value
+    buckets collapse toward O(n²/32) candidates — the heuristic is the
+    deliberate 100 TB trade.  Rows-only check."""
     docs = _t(spark, sf_dir, "documents")
     return D.simhash_pairs(docs, max_hamming=12).orderBy("id_a", "id_b")
 
@@ -893,6 +899,53 @@ def t05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t06_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf (`operators/text.py:tfidf`, SURVEY.md §2.2 text row): top-3
+    terms per document for a doc_id%25 subset, with document frequency
+    computed over the FULL corpus.
+
+    Scale: tf is one shuffle on (doc, term); df derives from tf and is
+    broadcast back; the doc subset filter applies after df so weights
+    are corpus-true.  Ties broken on the rounded score then term asc so
+    both engines rank identically."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = TX.tfidf(docs).withColumn("tfidf_r", F.round("tfidf", 4))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("term"))
+    return (
+        scored.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").alias("tf_count"),
+            F.col("df").alias("doc_freq"),
+            F.col("tfidf_r").alias("tfidf"),
+            "rnk",
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def t07_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigrams (`operators/text.py:ngrams_col`, the NGram
+    transformer shape): global top-15 bigrams by occurrence count.
+
+    Scale: the gram array is built narrow inside the scan stage (no
+    token-row shuffle), then explode → partial-agg → one shuffle of
+    |distinct bigrams| partial counts → bounded top-k sort."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(TX.ngrams_col(F.col("text"), 2)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(15)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search — SURVEY.md §2.2 extensions
 # ---------------------------------------------------------------------------
@@ -987,6 +1040,73 @@ def l02_topk_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed, corruption-filtered access records (the l0* input)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = LA.parse_access_logs(LA.access_records_from_events(ev))
+    return parsed.filter(~F.col("is_corrupt"))
+
+
+def l03_windowed_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly request/5xx counts + error rate over parsed access
+    records (`operators/loganalytics.py:windowed_error_rate`) — the
+    batch twin of the streaming error-rate monitor."""
+    out = LA.windowed_error_rate(_access(spark, sf_dir), "1 hour")
+    return out.withColumn("n_5xx", F.col("n_5xx").cast("long")).orderBy(
+        "window_start"
+    )
+
+
+def l04_request_line_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RequestLine decomposition
+    (`operators/loganalytics.py:split_request_line`): method/protocol
+    extraction plus per-path-segment rollup proves the regex fields
+    round-trip through the full JSON parse."""
+    split = LA.split_request_line(_access(spark, sf_dir))
+    seg = F.split(F.col("req_path"), "/")[1]
+    return (
+        split.groupBy(
+            "req_method", "req_protocol", seg.alias("path_segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.countDistinct("req_path").alias("n_paths"),
+        )
+        .orderBy("req_method", "req_protocol", "path_segment")
+    )
+
+
+def l05_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 request latency per handler — the
+    oracle-checkable twin of
+    `operators/loganalytics.py:latency_percentiles_by_handler` (whose
+    production form uses mergeable percentile_approx sketches; exact
+    percentile gathers per-group values, fine at |handlers| groups)."""
+    acc = _access(spark, sf_dir)
+    return (
+        acc.groupBy(F.col("RequestHandler").alias("handler"))
+        .agg(
+            F.round(F.expr("percentile(RequestTimeMicroseconds, 0.5)"), 4).alias("p50_us"),
+            F.round(F.expr("percentile(RequestTimeMicroseconds, 0.95)"), 4).alias("p95_us"),
+            F.round(F.expr("percentile(RequestTimeMicroseconds, 0.99)"), 4).alias("p99_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("handler")
+    )
+
+
+def l06_client_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-client sessionization over access-record event time
+    (`operators/loganalytics.py:sessionize_clients`,
+    ``session_window`` batch form); oracle = gaps-and-islands SQL."""
+    out = LA.sessionize_clients(_access(spark, sf_dir), gap="30 minutes")
+    return out.select(
+        F.col("ClientAddress").alias("client"),
+        "session_start",
+        "n_requests",
+    ).orderBy("client", "session_start")
+
+
 def _drain_stream_to_table(agg: DataFrame, name: str, mode: str = "complete") -> None:
     """Run a bounded streaming query to completion:
     ``Trigger.AvailableNow`` (the reference's EOF drain,
@@ -996,14 +1116,23 @@ def _drain_stream_to_table(agg: DataFrame, name: str, mode: str = "complete") ->
     rows as they materialize."""
     spark = agg.sparkSession
     spark.catalog.dropTempView(name)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    # Stateful streaming tasks = shuffle partitions, fixed at first
+    # batch; the oracle-gate inputs are tiny, so 8 state-store tasks
+    # instead of 32 cuts per-batch overhead (the conf is restored —
+    # batch queries keep the session default).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def st01_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1170,6 +1299,92 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_with_flush(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Events file stream plus two far-future sentinel files.
+
+    Event-time timeouts fire when the WATERMARK passes them, and the
+    watermark only advances between micro-batches — so a bounded drain
+    would otherwise end with every trailing session still parked in the
+    state store.  Two sentinel files (forced into their own batches via
+    ``maxFilesPerTrigger=1`` + mtime ordering) give the engine: batch N
+    advances the watermark past every real timeout, batch N+1 fires
+    them.  Sentinel rows carry ``user_id = -1`` so queries filter them.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the timezone like sources/tables.py:load_table — timestamps
+    # must be oracle-comparable from a bare driver session too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = os.path.join(tempfile.gettempdir(), f"klss_{name}_src")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    shutil.copy(src, os.path.join(tmp, "events.parquet"))
+
+    max_ts_ns = (
+        spark.read.schema(schema).parquet(src).agg(F.max("ts")).first()[0]
+    )
+    day_ns = 86_400_000_000_000
+    now = os.path.getmtime(os.path.join(tmp, "events.parquet"))
+    for i in (1, 2):
+        path = os.path.join(tmp, f"zz_flush_{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-i], pa.int64()),
+                    "ts": pa.array([max_ts_ns + i * day_ns], pa.int64()),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["flush"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(["{}"], pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (now + 10 * i, now + 10 * i))
+
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/*.parquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def st05_event_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionizer with EVENT-TIME timeouts
+    (`streaming/stateful.py:sessionize_by_event_time`,
+    ``applyInPandasWithState``): deterministic gap-split sessions, so —
+    unlike the processing-time variant — the q25-style gaps-and-islands
+    SQL is a true oracle.  Sessions closing mid-stream emit as data
+    arrives; trailing sessions emit when the sentinel batches push the
+    watermark past their ``end + gap`` timeouts."""
+    from kinesis_log_streamer_spark.streaming.stateful import (
+        sessionize_by_event_time,
+    )
+
+    ev = _events_stream_with_flush(spark, sf_dir, "st05")
+    sessions = sessionize_by_event_time(ev, gap="30 minutes")
+    _drain_stream_to_table(sessions, "st05_out", mode="append")
+    return (
+        spark.table("st05_out")
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
 def i01_wrap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference T2+T4+E1 (line→JSON wrap + enrichment + partition key)
     over the documents corpus as the line source
@@ -1226,6 +1441,14 @@ REGISTRY = {
     "st03_stream_stream_join": st03_stream_stream_join,
     "st04_stream_dedup": st04_stream_dedup,
     "f01_csv_roundtrip": f01_csv_roundtrip,
+    # round-2 additions (VERDICT r01 items 4, 5, 7)
+    "t06_tfidf_topterms": t06_tfidf_topterms,
+    "t07_bigram_topk": t07_bigram_topk,
+    "l03_windowed_error_rate": l03_windowed_error_rate,
+    "l04_request_line_split": l04_request_line_split,
+    "l05_latency_percentiles": l05_latency_percentiles,
+    "l06_client_sessions": l06_client_sessions,
+    "st05_event_time_sessions": st05_event_time_sessions,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
     "q03_topk_orders": q03_topk_orders,

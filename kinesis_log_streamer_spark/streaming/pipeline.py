@@ -132,6 +132,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the timezone like sources/tables.py:load_table — timestamps
+    # must be oracle-comparable from a bare driver session too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = (
         "event_id long, ts long, user_id long, event_type string, "
         "value double, props string"

@@ -134,6 +134,109 @@ def _sessionize_fn(
     yield  # pragma: no cover — make this a generator
 
 
+def _event_sessionize_fn(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_ms: int,
+) -> Iterator[pd.DataFrame]:
+    """Per-user EVENT-TIME sessionizer.
+
+    Sessions split on an event-time gap ``>= gap_ms`` (the same
+    contract as the q25 gaps-and-islands oracle), so results are a pure
+    function of the data — unlike the processing-time variant, this is
+    oracle-checkable.  Sessions that close *inside* a batch (a later
+    event arrives past the gap) are emitted immediately; the trailing
+    open session is parked in the state store with an event-time
+    timeout at ``session_end + gap``, emitted when the watermark passes
+    it.
+    """
+    (user_id,) = key
+
+    def session_row(start, end, n, first_type, last_type):
+        return {
+            "user_id": user_id,
+            "session_start": pd.Timestamp(start, unit="us"),
+            "session_end": pd.Timestamp(end, unit="us"),
+            "n_events": n,
+            "first_type": first_type,
+            "last_type": last_type,
+        }
+
+    if state.hasTimedOut:
+        start, end, n, first_type, last_type = state.get
+        state.remove()
+        yield pd.DataFrame([session_row(start, end, n, first_type, last_type)])
+        return
+
+    rows = pd.concat(list(pdf_iter)).sort_values("ts", kind="mergesort")
+    ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns -> us
+    types = rows["event_type"].astype(str).tolist()
+
+    cur = list(state.get) if state.exists else None
+    closed: list[dict] = []
+    for t_us, etype in zip(ts_us, types):
+        if cur is None:
+            cur = [t_us, t_us, 1, etype, etype]
+        elif t_us - cur[1] >= gap_ms * 1000:
+            closed.append(session_row(*cur))
+            cur = [t_us, t_us, 1, etype, etype]
+        else:
+            cur[1] = max(cur[1], t_us)
+            cur[2] += 1
+            cur[4] = etype
+    state.update(tuple(cur))
+    # Event-time timeout: fires once the watermark passes end + gap.
+    state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+    if closed:
+        yield pd.DataFrame(closed)
+
+
+def sessionize_by_event_time(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Custom sessionization via ``applyInPandasWithState`` with
+    EVENT-TIME timeout semantics.
+
+    The processing-time variant (:func:`sessionize_with_state`) closes
+    sessions on wall-clock idleness, so its output depends on run
+    timing and cannot be oracle-gated; this variant is deterministic:
+    sessions are exactly the gaps-and-islands partitioning of each
+    user's event times.  Requires a watermark (event-time timeouts are
+    measured against it).
+    """
+    gap_ms = _duration_to_ms(gap)
+
+    def fn(key, pdf_iter, state):
+        return _event_sessionize_fn(key, pdf_iter, state, gap_ms)
+
+    return (
+        events.select("user_id", "ts", "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_to_ms(s: str) -> int:
+    """'30 minutes' → 1_800_000 (the handful of units tests use)."""
+    n, unit = s.split()
+    factor = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s")]
+    return int(n) * factor
+
+
 def sessionize_with_state(
     events: DataFrame, idle_timeout_ms: int = 30_000
 ) -> DataFrame:

@@ -435,3 +435,70 @@ class TestKinesisSource:
             ("2024-01-01 10:00:00", "click", 2),
             ("2024-01-01 10:05:00", "view", 1),
         }
+
+
+class TestEventTimeSessionizer:
+    def test_gap_split_sessions_emitted_deterministically(self, spark, tmp_path):
+        import datetime as dt
+        import os
+
+        from kinesis_log_streamer_spark.streaming.stateful import (
+            sessionize_by_event_time,
+        )
+
+        base = dt.datetime(2024, 1, 1, 0, 0)
+        rows = [
+            # user 1: two sessions split by a 45-min gap
+            (1, base, "a"),
+            (1, base + dt.timedelta(minutes=10), "b"),
+            (1, base + dt.timedelta(minutes=55), "c"),
+            # user 2: one session
+            (2, base + dt.timedelta(minutes=5), "x"),
+        ]
+        schema = "user_id long, ts timestamp, event_type string"
+        src_dir = tmp_path / "sess_src"
+        src_dir.mkdir()
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src_dir / "data")
+        )
+        # Two far-future sentinel batches advance the watermark past every
+        # real timeout, then fire them (see _events_stream_with_flush).
+        for i in (1, 2):
+            p = str(src_dir / f"zz{i}")
+            spark.createDataFrame(
+                [(-1, base + dt.timedelta(days=i), "flush")], schema
+            ).coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(
+                    os.path.join(p, f), (2_000_000_000 + i, 2_000_000_000 + i)
+                )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src_dir}/*")
+        )
+        q = (
+            sessionize_by_event_time(stream, gap="30 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ets_out")
+            .option("checkpointLocation", str(tmp_path / "ck_ets"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql(
+            "SELECT user_id, session_start, n_events, first_type, last_type "
+            "FROM ets_out WHERE user_id >= 0 "
+            "ORDER BY user_id, session_start"
+        ).collect()
+        got = [
+            (r.user_id, r.session_start, r.n_events, r.first_type, r.last_type)
+            for r in out
+        ]
+        assert got == [
+            (1, base, 2, "a", "b"),
+            (1, base + dt.timedelta(minutes=55), 1, "c", "c"),
+            (2, base + dt.timedelta(minutes=5), 1, "x", "x"),
+        ]

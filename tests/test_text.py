@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kinesis_log_streamer_spark.operators import text as TX
@@ -56,3 +57,52 @@ class TestFingerprint:
         )
         rows = {r.doc_id: r.fp_roll for r in TX.fingerprint(df).collect()}
         assert rows[0] != rows[1]
+
+
+class TestNgrams:
+    def test_bigrams(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("A b c d",)], "text string")
+        row = df.select(TX.ngrams_col(F.col("text"), 2).alias("g")).first()
+        assert row.g == ["a b", "b c", "c d"]
+
+    def test_trigrams_and_short_doc(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("a b c",), ("a",)], "text string")
+        rows = [
+            r.g
+            for r in df.select(TX.ngrams_col(F.col("text"), 3).alias("g")).collect()
+        ]
+        assert rows == [["a b c"], []]
+
+
+class TestTfidf:
+    def test_scores_match_formula(self, spark):
+        import math
+
+        # 3 docs; "rare" appears in 1, "common" in all 3.
+        df = spark.createDataFrame(
+            [
+                (0, "common rare"),
+                (1, "common common"),
+                (2, "common"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r.doc_id, r.term): r for r in TX.tfidf(df).collect()
+        }
+        idf = lambda d: math.log(4.0 / (d + 1)) + 1.0  # N=3, smoothed
+        assert rows[(0, "rare")].df == 1
+        assert rows[(0, "rare")].tfidf == pytest.approx(1 * idf(1))
+        assert rows[(1, "common")].tf == 2
+        assert rows[(1, "common")].tfidf == pytest.approx(2 * idf(3))
+
+    def test_df_counts_docs_not_occurrences(self, spark):
+        df = spark.createDataFrame(
+            [(0, "x x x"), (1, "x")], "doc_id long, text string"
+        )
+        r = {(r.doc_id, r.term): r for r in TX.tfidf(df).collect()}
+        assert r[(0, "x")].df == 2  # 2 docs, not 4 occurrences
