@@ -48,6 +48,19 @@ HEADLINE = [
     "s03_lsh_topk",
     "s04_embedding_near_dups",
     "s05_ivf_topk",
+    # round-2 additions: ingest transforms, log analytics, streaming
+    # drains, tf-idf — the families previously absent from the
+    # headline set (VERDICT r01 item 8).
+    "i02_enrich_json",
+    "i04_line_pipeline_roundtrip",
+    "l01_status_rollup",
+    "l03_windowed_error_rate",
+    "l06_client_sessions",
+    "t06_tfidf_topterms",
+    "t07_bigram_topk",
+    "st01_stream_window_counts",
+    "st03_stream_stream_join",
+    "st05_event_time_sessions",
 ]
 
 
@@ -67,18 +80,36 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    _append_history(result)
     return 0
+
+
+def _append_history(result: dict) -> None:
+    """Keep a per-run log so later rounds have a regression signal
+    (compare per-query seconds at the same sf across commits)."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = "unknown"
+    entry = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), "commit": head, **result}
+    try:
+        with open(os.path.join(REPO, "BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

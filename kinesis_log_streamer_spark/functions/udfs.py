@@ -41,7 +41,13 @@ def vec_norm_pd():
     def _norm(arrs: pd.Series) -> pd.Series:
         import numpy as np
 
-        return arrs.map(lambda a: float(np.sqrt(np.dot(a, a))))
+        def norm(a):
+            # Widen float32 embeddings to f64 BEFORE accumulating — the
+            # result must match a double-precision oracle bit-for-bit.
+            v = np.asarray(a, dtype=np.float64)
+            return float(np.sqrt(np.dot(v, v)))
+
+        return arrs.map(norm)
 
     return _norm
 

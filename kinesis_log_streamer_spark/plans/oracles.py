@@ -821,6 +821,49 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
 
+ORACLES["i03_enrich_nested_json"] = """
+SELECT event_id,
+       json_merge_patch(
+           to_json(struct_pack(
+               event_id := event_id,
+               u := struct_pack(event_type := event_type,
+                                user_id := user_id),
+               tags := [event_type, 'x'])),
+           '{"source":"engine"}')::VARCHAR AS data
+FROM events
+ORDER BY event_id
+"""
+
+ORACLES["i04_line_pipeline_roundtrip"] = """
+SELECT text AS data, 'test-host' AS "partitionKey"
+FROM documents
+ORDER BY data
+"""
+
+ORACLES["u02_scalar_pandas_udf"] = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])), 4) AS l2_norm
+FROM embeddings
+WHERE vec_id % 10 = 0
+ORDER BY vec_id
+"""
+
+ORACLES["u03_udtf_kv_explode"] = """
+WITH src AS (SELECT event_id, user_id, event_type
+             FROM events WHERE event_id < 500)
+SELECT event_id, entry_key, entry_value
+FROM (
+    SELECT event_id, 'u' AS entry_key,
+           CAST(user_id AS VARCHAR) AS entry_value
+    FROM src
+    UNION ALL
+    SELECT event_id, 't', event_type || '=x'
+    FROM src
+)
+ORDER BY event_id, entry_key
+"""
+
 ORACLES["f01_csv_roundtrip"] = """
 SELECT n_regionkey,
        count(*) AS n_nations,

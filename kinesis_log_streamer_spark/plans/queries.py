@@ -1107,7 +1107,9 @@ def l06_client_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("client", "session_start")
 
 
-def _drain_stream_to_table(agg: DataFrame, name: str, mode: str = "complete") -> None:
+def _drain_stream_to_table(
+    agg: DataFrame, name: str, mode: str = "complete", n_partitions: int = 8
+) -> None:
     """Run a bounded streaming query to completion:
     ``Trigger.AvailableNow`` (the reference's EOF drain,
     basestreamer.go:27-33) into a memory sink.  ``complete`` mode for
@@ -1118,10 +1120,12 @@ def _drain_stream_to_table(agg: DataFrame, name: str, mode: str = "complete") ->
     spark.catalog.dropTempView(name)
     # Stateful streaming tasks = shuffle partitions, fixed at first
     # batch; the oracle-gate inputs are tiny, so 8 state-store tasks
-    # instead of 32 cuts per-batch overhead (the conf is restored —
-    # batch queries keep the session default).
+    # instead of 32 cut per-batch overhead for JVM-side state ops (the
+    # conf is restored — batch queries keep the session default).
+    # Python-stateful ops (applyInPandasWithState) pass a higher count:
+    # their per-group work runs in Python workers, so parallelism wins.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
     try:
         q = (
             agg.writeStream.format("memory")
@@ -1374,9 +1378,18 @@ def st05_event_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_by_event_time,
     )
 
+    import os
+
     ev = _events_stream_with_flush(spark, sf_dir, "st05")
     sessions = sessionize_by_event_time(ev, gap="30 minutes")
-    _drain_stream_to_table(sessions, "st05_out", mode="append")
+    # Python-stateful work wants parallelism once the per-batch work
+    # outweighs task overhead; below ~2 MiB of input the 8-partition
+    # drain default wins (measured: 10s vs 20s at sf0.01, inverted at
+    # sf0.1).
+    big = os.path.getsize(os.path.join(sf_dir, "events.parquet")) > 2 * 1024 * 1024
+    _drain_stream_to_table(
+        sessions, "st05_out", mode="append", n_partitions=32 if big else 8
+    )
     return (
         spark.table("st05_out")
         .filter(F.col("user_id") >= 0)
@@ -1419,6 +1432,116 @@ def i02_enrich_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def i03_enrich_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-object enrichment fixture (VERDICT r01 item 3): records
+    with nested objects, arrays, and integer values — built from events
+    columns — must survive T3+T4 STRUCTURALLY (the reference re-marshals
+    decoded ``interface{}``, jsonstreamer.go:42-62; a
+    ``map<string,string>`` parse would stringify the nested struct).
+    The oracle builds the identical record and ``json_merge_patch``-es
+    it, so any type/structure loss breaks the byte compare.  NOTE one
+    canonicalization the variant path applies: keys of NESTED objects
+    re-serialize in sorted order (variant metadata dictionaries are
+    sorted) — same canonical form Go's ``json.Marshal`` gives the
+    reference's decoded maps; top-level keys keep insertion order (the
+    top level is ``map<string,variant>``).  The oracle packs nested
+    structs pre-sorted."""
+    from kinesis_log_streamer_spark.operators.transforms import enriched_json_col
+
+    events = _t(spark, sf_dir, "events")
+    rec = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.struct(F.col("user_id"), F.col("event_type")).alias("u"),
+            F.array(F.col("event_type"), F.lit("x")).alias("tags"),
+        )
+    )
+    return (
+        events.select("event_id", rec.alias("rec"))
+        .select("event_id", enriched_json_col("rec", {"source": "engine"}))
+        .orderBy("event_id")
+    )
+
+
+def i04_line_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference line-mode entry point end-to-end through a REAL text
+    file (S1 scan + S2 CRLF strip + F1 empty filter + T1 passthrough +
+    E1 key stamp; linestreamer.go:59-106): documents.text written with
+    CRLF endings on every third line and interleaved blank lines, read
+    back, and pushed through ``build_line_pipeline`` — the oracle is
+    the original table, so any CR residue, dropped/extra line, or
+    payload mutation breaks the hash."""
+    import os
+    import tempfile
+
+    from kinesis_log_streamer_spark.streaming.pipeline import build_line_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\r")).otherwise(F.lit("")),
+        ).alias("value")
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(F.lit("").alias("value"))
+    )
+    path = os.path.join(tempfile.gettempdir(), "klss_i04_lines")
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    return build_line_pipeline(
+        raw, output_format="string", host_id="test-host"
+    ).orderBy("data")
+
+
+def u02_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF surface inside the correctness gate
+    (`functions/udfs.py:vec_norm_pd`): Arrow-batched L2 norms over the
+    embedding column, verified against DuckDB's list_dot_product.
+    Python is the slow path by policy — this proves the path is wired
+    and numerically exact (float32 values widened to f64 accumulation,
+    matching the oracle's ::DOUBLE[] cast)."""
+    from kinesis_log_streamer_spark.functions.udfs import vec_norm_pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            "vec_id",
+            F.round(vec_norm_pd()(F.col("embedding")), 4).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def u03_udtf_kv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface inside the correctness gate
+    (`functions/udfs.py:_ParseKvEntries`): the reference's --add-entry
+    ``k=v`` grammar (split on the FIRST '=', values may contain '=';
+    main.go:102-122) exploded per event via LATERAL.  The oracle
+    reconstructs the expected typed rows directly."""
+    from kinesis_log_streamer_spark.functions.udfs import parse_kv_entries_udtf
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ev.select(
+        "event_id",
+        F.concat(
+            F.lit("u="),
+            F.col("user_id").cast("string"),
+            F.lit(",t="),
+            F.col("event_type"),
+            F.lit("=x,malformed"),
+        ).alias("entries"),
+    ).createOrReplaceTempView("u03_src")
+    spark.udtf.register("klss_parse_kv", parse_kv_entries_udtf())
+    return spark.sql(
+        """
+        SELECT event_id, entry_key, entry_value
+        FROM u03_src, LATERAL klss_parse_kv(entries)
+        ORDER BY event_id, entry_key
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1449,6 +1572,10 @@ REGISTRY = {
     "l05_latency_percentiles": l05_latency_percentiles,
     "l06_client_sessions": l06_client_sessions,
     "st05_event_time_sessions": st05_event_time_sessions,
+    "i03_enrich_nested_json": i03_enrich_nested_json,
+    "i04_line_pipeline_roundtrip": i04_line_pipeline_roundtrip,
+    "u02_scalar_pandas_udf": u02_scalar_pandas_udf,
+    "u03_udtf_kv_explode": u03_udtf_kv_explode,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
     "q03_topk_orders": q03_topk_orders,
