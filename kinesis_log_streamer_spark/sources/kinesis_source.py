@@ -17,21 +17,43 @@ driver-side poller:
   ordering is preserved end-to-end (the property the reference's
   single partition key exists to provide, linestreamer.go:102).
 * **Transport** is pluggable via the ``endpoint`` option:
-  ``dir:<path>`` reads a directory with one JSON-lines file per shard
-  (``shard-*.jsonl``) — the local stand-in used by tests, same record
-  contract as the real service; ``aws`` builds a boto3 client on the
-  executor (boto3 is not in this container — import-gated, untested
-  here by design).
+
+  - ``dir:<path>`` reads a directory with one JSON-lines file per
+    shard (``shard-*.jsonl``) — the local stand-in used by tests, same
+    record contract as the real service.
+  - ``aws`` drives the real consumer API sequence —
+    ``list_shards`` → ``get_shard_iterator`` → ``get_records`` —
+    against a ``stream`` option.  The *client* is injected via the
+    ``client`` option: default ``boto3`` (import-gated; not in this
+    container), or ``module.path:factory`` resolving to
+    ``factory(options) -> client`` — tests pass
+    ``kinesis_log_streamer_spark.sources.fake_aws:client_for``, a
+    boto3-shaped fake over the same shard files, so the whole aws
+    transport is exercised end-to-end without AWS.
+
+AWS-mode batch semantics: ``latestOffset`` probes each shard from the
+last checkpointed sequence number and records the batch-end sequence
+(bounded by ``maxRecordsPerShard``); executors then re-fetch their
+shard's ``(start, end]`` sequence range with their own client.  Replay
+of a checkpointed batch is deterministic because sequence numbers are
+stable and monotonic per shard — the replayable-source half of
+exactly-once.  The probe does download the batch once on the driver
+(Kinesis has no "peek tip sequence" API); at very high volume, swap
+``maxRecordsPerShard`` down so the probe stays cheap relative to the
+shard's 2 MB/s read ceiling.
 
 Output schema: ``data string, partitionKey string, shardId string,
-sequenceNumber long``.
+sequenceNumber long`` for ``dir:``; aws mode uses ``sequenceNumber
+string`` (real sequence numbers are ~186-bit decimals — they do not
+fit a long).
 """
 
 from __future__ import annotations
 
+import importlib
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -40,6 +62,30 @@ from pyspark.sql.datasource import (
 )
 
 SCHEMA = "data string, partitionKey string, shardId string, sequenceNumber long"
+AWS_SCHEMA = "data string, partitionKey string, shardId string, sequenceNumber string"
+
+
+def make_read_client(options: dict):
+    """Resolve the ``client`` option into a live Kinesis read client.
+
+    ``boto3`` (default) builds the real client; anything containing a
+    colon is ``module.path:factory`` called with the options dict —
+    resolvable on executors (the module must be importable there, which
+    in-package factories always are).
+    """
+    spec = options.get("client", "boto3")
+    if spec == "boto3":
+        try:
+            import boto3  # noqa: PLC0415
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "endpoint=aws with client=boto3 requires boto3; pass "
+                "client=module.path:factory to inject one"
+            ) from exc
+        session = boto3.Session(region_name=options.get("region"))
+        return session.client("kinesis")
+    mod_name, _, fn_name = spec.partition(":")
+    return getattr(importlib.import_module(mod_name), fn_name)(options)
 
 
 def shard_files(endpoint_dir: str) -> dict[str, str]:
@@ -71,16 +117,136 @@ class _ShardSlice(InputPartition):
     end: int
 
 
+@dataclass
+class _AwsShardSlice(InputPartition):
+    """One shard's ``(start, end]`` sequence range plus everything an
+    executor needs to build its own client (options are plain strings,
+    so the slice pickles cleanly)."""
+
+    shard_id: str
+    start_seq: str  # exclusive; "" = TRIM_HORIZON
+    end_seq: str  # inclusive
+    stream: str
+    options: dict = field(default_factory=dict)
+
+
+class AwsKinesisStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the real Kinesis consumer API
+    (ListShards / GetShardIterator / GetRecords).
+
+    Offsets are ``{"shards": {shard_id: last_sequence_number}}`` with
+    ``""`` meaning nothing read yet.  ``latestOffset`` advances each
+    shard by probing from the last known sequence (driver-side, bounded
+    by ``maxRecordsPerShard``); ``read`` re-fetches the recorded range
+    executor-side.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self._options = dict(options)
+        self._stream = options.get("stream") or options.get("streamname", "")
+        if not self._stream:
+            raise ValueError("endpoint=aws requires a 'stream' option")
+        self._max_per_shard = int(options.get("maxrecordspershard", "10000"))
+        self._client = None
+        self._last: dict[str, str] | None = None
+
+    def _c(self):
+        if self._client is None:
+            self._client = make_read_client(self._options)
+        return self._client
+
+    def initialOffset(self) -> dict:
+        shards = self._c().list_shards(StreamName=self._stream)["Shards"]
+        self._last = {s["ShardId"]: "" for s in shards}
+        return {"shards": dict(self._last)}
+
+    def _iterator(self, shard_id: str, after_seq: str) -> str:
+        kwargs = {"StreamName": self._stream, "ShardId": shard_id}
+        if after_seq:
+            kwargs["ShardIteratorType"] = "AFTER_SEQUENCE_NUMBER"
+            kwargs["StartingSequenceNumber"] = after_seq
+        else:
+            kwargs["ShardIteratorType"] = "TRIM_HORIZON"
+        return self._c().get_shard_iterator(**kwargs)["ShardIterator"]
+
+    def latestOffset(self) -> dict:
+        if self._last is None:
+            shards = self._c().list_shards(StreamName=self._stream)["Shards"]
+            self._last = {s["ShardId"]: "" for s in shards}
+        # Pick up shards created since the last batch (resharding).
+        for s in self._c().list_shards(StreamName=self._stream)["Shards"]:
+            self._last.setdefault(s["ShardId"], "")
+        out: dict[str, str] = {}
+        for shard_id, last in self._last.items():
+            end = last
+            it = self._iterator(shard_id, last)
+            remaining = self._max_per_shard
+            while it and remaining > 0:
+                resp = self._c().get_records(
+                    ShardIterator=it, Limit=min(remaining, 10000)
+                )
+                recs = resp.get("Records", [])
+                if not recs:
+                    break
+                end = recs[-1]["SequenceNumber"]
+                remaining -= len(recs)
+                it = resp.get("NextShardIterator")
+            out[shard_id] = end
+        self._last = out
+        return {"shards": dict(out)}
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for shard_id, hi in end["shards"].items():
+            lo = start["shards"].get(shard_id, "")
+            if hi != lo:
+                parts.append(
+                    _AwsShardSlice(shard_id, lo, hi, self._stream, self._options)
+                )
+        return parts or [_AwsShardSlice("__empty__", "", "", self._stream, {})]
+
+    def read(self, partition: _AwsShardSlice):
+        if partition.shard_id == "__empty__":
+            return
+        client = make_read_client(partition.options)
+        kwargs = {"StreamName": partition.stream, "ShardId": partition.shard_id}
+        if partition.start_seq:
+            kwargs["ShardIteratorType"] = "AFTER_SEQUENCE_NUMBER"
+            kwargs["StartingSequenceNumber"] = partition.start_seq
+        else:
+            kwargs["ShardIteratorType"] = "TRIM_HORIZON"
+        it = client.get_shard_iterator(**kwargs)["ShardIterator"]
+        end = int(partition.end_seq)
+        while it:
+            resp = client.get_records(ShardIterator=it, Limit=10000)
+            recs = resp.get("Records", [])
+            if not recs:
+                break
+            for rec in recs:
+                seq = rec["SequenceNumber"]
+                if int(seq) > end:
+                    return
+                data = rec["Data"]
+                if isinstance(data, (bytes, bytearray)):
+                    data = data.decode("utf-8")
+                yield (data, rec.get("PartitionKey", ""), partition.shard_id, seq)
+                if int(seq) == end:
+                    return
+            it = resp.get("NextShardIterator")
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+
 class KinesisStreamReader(DataSourceStreamReader):
-    """Micro-batch reader over per-shard record indexes."""
+    """Micro-batch reader over per-shard record indexes (``dir:``)."""
 
     def __init__(self, options: dict) -> None:
         endpoint = options.get("endpoint", "")
         if not endpoint.startswith("dir:"):
             raise NotImplementedError(
-                "only dir:<path> endpoints are supported in this container; "
-                "the aws endpoint needs boto3 (GetShardIterator/GetRecords "
-                "with the same offset contract)"
+                "KinesisStreamReader handles dir:<path> endpoints; "
+                "aws endpoints are served by AwsKinesisStreamReader"
             )
         self._dir = endpoint[len("dir:"):]
 
@@ -137,9 +303,13 @@ class KinesisDataSource(DataSource):
         return "kinesis_py"
 
     def schema(self) -> str:
+        if self.options.get("endpoint", "") == "aws":
+            return AWS_SCHEMA  # real sequence numbers don't fit a long
         return SCHEMA
 
-    def streamReader(self, schema) -> KinesisStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        if self.options.get("endpoint", "") == "aws":
+            return AwsKinesisStreamReader(self.options)
         return KinesisStreamReader(self.options)
 
 
