@@ -840,6 +840,18 @@ FROM documents
 ORDER BY data
 """
 
+ORACLES["i05_concat_json_decode"] = """
+WITH src AS (SELECT event_id, props FROM events WHERE event_id < 2000)
+SELECT value FROM (
+    SELECT '{"k":' || json_extract(props, '$.k') || '}' AS value FROM src
+    UNION ALL
+    SELECT CAST(event_id AS VARCHAR) FROM src
+    UNION ALL
+    SELECT '[' || CAST(event_id AS VARCHAR) || ',5]' FROM src
+)
+ORDER BY value
+"""
+
 ORACLES["u02_scalar_pandas_udf"] = """
 SELECT vec_id,
        round(sqrt(list_dot_product(embedding::DOUBLE[],

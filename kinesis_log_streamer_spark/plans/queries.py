@@ -1493,6 +1493,35 @@ def i04_line_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("data")
 
 
+def i05_concat_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concatenated-JSON decoder itself (reference S3+F2,
+    jsonstreamer.go:40-48): each line packs an object, a ``null``, a
+    bare scalar, and an array with NO separation
+    (``{"k": 69}null123[123,5]``); the decoder must yield one record
+    per top-level value, skip the nulls, and re-serialize compactly —
+    the oracle reconstructs the expected value multiset from the
+    events table directly."""
+    import os
+    import tempfile
+
+    from kinesis_log_streamer_spark.sources.json_source import (
+        read_concatenated_json,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    blob = F.concat(
+        F.col("props"),
+        F.lit("null"),
+        F.col("event_id").cast("string"),
+        F.lit("["),
+        F.col("event_id").cast("string"),
+        F.lit(",5]"),
+    )
+    path = os.path.join(tempfile.gettempdir(), "klss_i05_concat")
+    ev.select(blob.alias("value")).write.mode("overwrite").text(path)
+    return read_concatenated_json(spark, path).orderBy("value")
+
+
 def u02_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas UDF surface inside the correctness gate
     (`functions/udfs.py:vec_norm_pd`): Arrow-batched L2 norms over the
@@ -1574,6 +1603,7 @@ REGISTRY = {
     "st05_event_time_sessions": st05_event_time_sessions,
     "i03_enrich_nested_json": i03_enrich_nested_json,
     "i04_line_pipeline_roundtrip": i04_line_pipeline_roundtrip,
+    "i05_concat_json_decode": i05_concat_json_decode,
     "u02_scalar_pandas_udf": u02_scalar_pandas_udf,
     "u03_udtf_kv_explode": u03_udtf_kv_explode,
     "q01_pricing_summary": q01_pricing_summary,
