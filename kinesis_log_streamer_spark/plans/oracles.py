@@ -821,6 +821,33 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
 
+ORACLES["m02_multimodal_decode"] = """
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT doc_id,
+       'digest' AS kind,
+       CAST(32 AS BIGINT) AS n_bytes,
+       round(list_avg(list_transform(range(1, 33),
+                                     i -> ascii(substr(h, i, 1)))), 4)
+           AS feat_mean,
+       CAST(ascii(substr(h, 1, 1)) AS BIGINT)  AS feat_first,
+       CAST(ascii(substr(h, 32, 1)) AS BIGINT) AS feat_last
+FROM m
+ORDER BY doc_id
+"""
+
+ORACLES["m03_frame_sample"] = """
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+frames AS (
+    SELECT doc_id, unnest(range(0, 4)) AS frame_no, h FROM m
+)
+SELECT doc_id,
+       frame_no,
+       frame_no * 8 AS frame_offset,
+       substr(h, frame_no * 8 + 1, 1) AS frame_token
+FROM frames
+ORDER BY doc_id, frame_no
+"""
+
 ORACLES["i03_enrich_nested_json"] = """
 SELECT event_id,
        json_merge_patch(

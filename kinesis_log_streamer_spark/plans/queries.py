@@ -1020,6 +1020,44 @@ def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "kind", "n_bytes").orderBy("doc_id")
 
 
+def m02_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched ``mapInPandas`` decode path itself
+    (`operators/multimodal.py:decode_media`) inside the oracle gate: an
+    ASCII payload (the document's md5 hex — every byte == its
+    character, so DuckDB can recompute byte stats with ascii()) runs
+    through the REAL batch-decode plumbing with the deterministic fake
+    featurizer.  Swapping the stub for a true codec changes only the
+    inner function; this pins the schema, batching, and byte math."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload_src", F.md5(F.col("text"))
+    )
+    media = M.attach_binary_payload(docs, text_col="payload_src", kind="digest")
+    feats = M.decode_media(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        F.round("feat_mean", 4).alias("feat_mean"),
+        "feat_first",
+        "feat_last",
+    ).orderBy("doc_id")
+
+
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (`operators/multimodal.py:frame_sample`):
+    JVM-side explode of one row per sampled payload offset (what per-
+    frame video decode fans out to), over the ASCII md5 payload so the
+    sampled 'frame token' is oracle-recomputable."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload_src", F.md5(F.col("text"))
+    )
+    media = M.attach_binary_payload(docs, text_col="payload_src", kind="digest")
+    frames = M.frame_sample(media, every_n_bytes=8, fake=True)
+    return frames.select(
+        "doc_id", "frame_no", "frame_offset", "frame_token"
+    ).orderBy("doc_id", "frame_no")
+
+
 def l01_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache access-log analytics end to end: synthesize FIXTURES §A1
     JSON records from events, parse with the declared schema
@@ -1604,6 +1642,8 @@ REGISTRY = {
     "i03_enrich_nested_json": i03_enrich_nested_json,
     "i04_line_pipeline_roundtrip": i04_line_pipeline_roundtrip,
     "i05_concat_json_decode": i05_concat_json_decode,
+    "m02_multimodal_decode": m02_multimodal_decode,
+    "m03_frame_sample": m03_frame_sample,
     "u02_scalar_pandas_udf": u02_scalar_pandas_udf,
     "u03_udtf_kv_explode": u03_udtf_kv_explode,
     "q01_pricing_summary": q01_pricing_summary,
