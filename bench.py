@@ -72,12 +72,22 @@ def main() -> int:
     # Warm-up: touch the big fact table so JVM/codegen init is excluded.
     Q.q01_pricing_summary(spark, sf_dir).collect()
 
+    # Queries that .cache() intermediates (dedup fingerprints) would
+    # otherwise leave memory pressure behind for later queries — clear
+    # between measurements so each number is independent.  Set
+    # SPARK_GRAFT_BENCH_REPEAT>1 to report min-of-N (damps GC noise).
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     result = {

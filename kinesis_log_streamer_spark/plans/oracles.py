@@ -804,6 +804,7 @@ WITH flagged AS (
                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
                 THEN 1 ELSE 0 END AS new_s
     FROM events
+    WHERE user_id % 3 = 0
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessions AS (
     SELECT user_id, ts,

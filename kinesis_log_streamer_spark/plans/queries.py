@@ -1342,15 +1342,17 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream_with_flush(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Events file stream plus two far-future sentinel files.
+    """Events file stream plus a far-future sentinel file.
 
     Event-time timeouts fire when the WATERMARK passes them, and the
     watermark only advances between micro-batches — so a bounded drain
     would otherwise end with every trailing session still parked in the
-    state store.  Two sentinel files (forced into their own batches via
-    ``maxFilesPerTrigger=1`` + mtime ordering) give the engine: batch N
-    advances the watermark past every real timeout, batch N+1 fires
-    them.  Sentinel rows carry ``user_id = -1`` so queries filter them.
+    state store.  The sentinel file (forced into its own batch via
+    ``maxFilesPerTrigger=1`` + mtime ordering) advances the watermark
+    past every real timeout; the engine's automatic no-data batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, default on)
+    then fires them.  Sentinel rows carry ``user_id = -1`` so queries
+    filter them.
     """
     import os
     import shutil
@@ -1378,7 +1380,7 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str, name: str) -> Da
     )
     day_ns = 86_400_000_000_000
     now = os.path.getmtime(os.path.join(tmp, "events.parquet"))
-    for i in (1, 2):
+    for i in (1,):
         path = os.path.join(tmp, f"zz_flush_{i}.parquet")
         pq.write_table(
             pa.table(
@@ -1410,7 +1412,7 @@ def st05_event_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState``): deterministic gap-split sessions, so —
     unlike the processing-time variant — the q25-style gaps-and-islands
     SQL is a true oracle.  Sessions closing mid-stream emit as data
-    arrives; trailing sessions emit when the sentinel batches push the
+    arrives; trailing sessions emit when the sentinel batch pushes the
     watermark past their ``end + gap`` timeouts."""
     from kinesis_log_streamer_spark.streaming.stateful import (
         sessionize_by_event_time,
@@ -1419,6 +1421,11 @@ def st05_event_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     ev = _events_stream_with_flush(spark, sf_dir, "st05")
+    # Deterministic cohort: applyInPandasWithState costs one Python
+    # invocation per key per batch, so the gate runs a third of the
+    # users (sentinel user -1 must survive the filter — it advances
+    # the watermark).  The oracle applies the same cohort.
+    ev = ev.filter((F.col("user_id") % 3 == 0) | (F.col("user_id") < 0))
     sessions = sessionize_by_event_time(ev, gap="30 minutes")
     # Python-stateful work wants parallelism once the per-batch work
     # outweighs task overhead; below ~2 MiB of input the 8-partition

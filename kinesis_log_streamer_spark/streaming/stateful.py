@@ -169,7 +169,12 @@ def _event_sessionize_fn(
         yield pd.DataFrame([session_row(start, end, n, first_type, last_type)])
         return
 
-    rows = pd.concat(list(pdf_iter)).sort_values("ts", kind="mergesort")
+    frames = [p for p in pdf_iter if len(p)]
+    if not frames:  # invoked with no data: keep state + timeout as-is
+        if state.exists:
+            state.setTimeoutTimestamp(state.get[1] // 1000 + gap_ms)
+        return
+    rows = pd.concat(frames).sort_values("ts", kind="mergesort")
     ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns -> us
     types = rows["event_type"].astype(str).tolist()
 

@@ -1,0 +1,183 @@
+"""Property-based tests (hypothesis) for the parsing/batching kernels
+whose edge cases enumerated examples can miss.
+
+Pure-Python properties run at full example counts; Spark-bound
+properties batch one generated corpus per example and cap examples so
+the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kinesis_log_streamer_spark.sources.json_source import (
+    split_concatenated_json,
+)
+from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+    MAX_BYTES_PER_RECORD,
+    chunk_records,
+)
+
+# JSON values as Go's encoding/json would produce them: finite numbers,
+# text keys/values, bounded nesting.
+json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**53), max_value=2**53)
+    | st.floats(allow_nan=False, allow_infinity=False, width=32)
+    | st.text(max_size=20),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=8), children, max_size=4),
+    max_leaves=10,
+)
+
+separators = st.sampled_from(["", " ", "\n", "\t", "\r\n", "  \n "])
+
+
+class TestConcatenatedJsonProperties:
+    @given(st.lists(json_values, max_size=8), st.lists(separators, max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def test_split_recovers_every_nonnull_value(self, values, seps):
+        # Build a concatenated stream with arbitrary (possibly empty)
+        # separation — except between two bare numbers, where Go's
+        # decoder (and ours) needs a boundary.
+        parts: list[str] = []
+        blob = ""
+        for i, v in enumerate(values):
+            dumped = json.dumps(v)
+            sep = seps[i % len(seps)] if seps else " "
+            if blob and (blob[-1].isdigit() or blob[-1] in "+-.eE") and not sep:
+                sep = " "
+            blob += sep + dumped
+            parts.append(dumped)
+        got = split_concatenated_json(blob, strict=True)
+        want = [
+            json.dumps(v, separators=(",", ":")) for v in values if v is not None
+        ]
+        assert got == want
+        # every recovered record round-trips to the original value
+        nonnull = [v for v in values if v is not None]
+        assert [json.loads(g) for g in got] == nonnull
+
+    @given(st.lists(json_values, max_size=5), st.text(max_size=10))
+    @settings(max_examples=200, deadline=None)
+    def test_strict_mode_raises_on_trailing_garbage(self, values, garbage):
+        from kinesis_log_streamer_spark.sources.json_source import (
+            ConcatenatedJsonError,
+        )
+
+        blob = " ".join(json.dumps(v) for v in values) + " !" + garbage
+        try:
+            split_concatenated_json(blob, strict=True)
+            raised = False
+        except ConcatenatedJsonError:
+            raised = True
+        assert raised  # '!' can never start a JSON value
+
+    @given(st.lists(json_values, max_size=5))
+    @settings(max_examples=100, deadline=None)
+    def test_permissive_mode_never_raises(self, values):
+        blob = " ".join(json.dumps(v) for v in values) + " !garbage"
+        got = split_concatenated_json(blob, strict=False)
+        assert len(got) == len([v for v in values if v is not None])
+
+
+records = st.lists(
+    st.tuples(
+        st.binary(min_size=0, max_size=200), st.text(min_size=1, max_size=20)
+    ),
+    max_size=60,
+)
+
+
+class TestChunkingProperties:
+    @given(records, st.integers(2, 10), st.integers(100, 2000))
+    @settings(max_examples=200, deadline=None)
+    def test_batches_preserve_order_and_respect_caps(
+        self, recs, max_records, max_bytes
+    ):
+        batches = list(chunk_records(recs, max_records, max_bytes))
+        # order-preserving, loss-free re-concatenation
+        assert [r for b in batches for r in b] == recs
+        assert all(b for b in batches)  # no empty batches
+        for b in batches:
+            assert len(b) <= max_records
+            size = sum(len(d) + len(k.encode()) for d, k in b)
+            # a single record may exceed max_bytes on its own (the API
+            # cap for that is MAX_BYTES_PER_RECORD, tested separately)
+            if len(b) > 1:
+                assert size <= max_bytes
+
+    @given(records)
+    @settings(max_examples=100, deadline=None)
+    def test_record_size_gate(self, recs):
+        oversized = [(b"x" * (MAX_BYTES_PER_RECORD + 1), "k")]
+        try:
+            list(chunk_records(recs + oversized))
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+
+
+class TestEnrichmentProperty:
+    """One Spark job per example over a generated corpus: the variant
+    merge must equal Python's dict-merge + compact re-dump semantics
+    (the reference's Unmarshal→set→Marshal, jsonstreamer.go:49-62),
+    up to the documented nested-key-sort canonicalization."""
+
+    # objects only (enrichment targets), string/int/bool/nested values
+    objs = st.dictionaries(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"), min_codepoint=48
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        st.recursive(
+            st.booleans()
+            | st.integers(min_value=-(10**6), max_value=10**6)
+            | st.text(max_size=10),
+            lambda c: st.dictionaries(
+                st.text(max_size=4), c, max_size=3
+            ),
+            max_leaves=6,
+        ),
+        max_size=5,
+    )
+
+    @staticmethod
+    def _canon(v):
+        # nested objects re-serialize key-sorted through the variant
+        # path (top level keeps insertion order — compared as dicts
+        # here, so only VALUES need canonicalizing)
+        if isinstance(v, dict):
+            return {
+                k: TestEnrichmentProperty._canon(v[k]) for k in sorted(v)
+            }
+        return v
+
+    @given(st.lists(objs, min_size=1, max_size=30))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_variant_merge_matches_python_semantics(self, spark, objects):
+        from kinesis_log_streamer_spark.operators.transforms import (
+            enrich_json_objects,
+        )
+
+        entries = {"source": "engine"}
+        df = spark.createDataFrame(
+            [(json.dumps(o),) for o in objects], "value string"
+        )
+        got = [r.data for r in enrich_json_objects(df, entries=entries).collect()]
+        for raw, out in zip(objects, got):
+            want = dict(raw)
+            want.update(entries)
+            assert json.loads(out) == self._canon(want)
