@@ -904,6 +904,29 @@ FROM (
 ORDER BY event_id, entry_key
 """
 
+ORACLES["st06_watermark_late_drop"] = """
+WITH wm AS (
+    SELECT max(ts) - INTERVAL 10 MINUTE AS wm1
+    FROM events WHERE event_id % 2 = 0
+), keep AS (
+    -- the late filter is WINDOW-level (verified empirically): an odd
+    -- row is dropped iff the END of its 1-hour window is at-or-under
+    -- the lagged watermark — rows into the still-open partial window
+    -- containing wm1 are accepted even when their own ts < wm1
+    SELECT e.ts, e.event_type, e.value
+    FROM events e, wm
+    WHERE e.event_id % 2 = 0
+       OR time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour' > wm.wm1
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM keep
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
 ORACLES["f01_csv_roundtrip"] = """
 SELECT n_regionkey,
        count(*) AS n_nations,

@@ -1443,6 +1443,102 @@ def st05_event_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st06_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics inside the oracle gate: events
+    split by id parity — even ids arrive first, odd ids arrive LATE
+    (mtime-ordered batches via ``maxFilesPerTrigger=1``).  Spark's
+    late-event filter uses the watermark with a ONE-BATCH LAG (the
+    previous batch's eviction watermark — verified empirically: a late
+    row is judged against the watermark as of the batch before the one
+    it arrives in), so a spacer batch (one sentinel-user row at
+    ``max(even ts)``) sits between the two: the odd batch is then
+    judged against ``wm1 = max(even ts) - 10 minutes`` and every odd
+    row whose 1-hour window closed under wm1 is DROPPED, the rest
+    accepted.  A far-future sentinel batch pushes the final watermark
+    past every window so append mode emits them all.  The oracle
+    recomputes exactly that row set in SQL — hash-equality pins the
+    drop rule, not just row counts."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = os.path.join(tempfile.gettempdir(), "klss_st06_src")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    ev = spark.read.schema(schema).parquet(src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(tmp, "b1")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(tmp, "b3")
+    )
+    max_even_ns = (
+        ev.filter(F.col("event_id") % 2 == 0).agg(F.max("ts")).first()[0]
+    )
+
+    def _sentinel(dirname: str, ts_ns: int) -> None:
+        spark.createDataFrame(
+            [(-1, ts_ns, -1, "flush", 0.0, "{}")], schema
+        ).coalesce(1).write.parquet(os.path.join(tmp, dirname))
+
+    # b2: spacer batch (sentinel user at max even ts — does not move
+    # the watermark, bridges the one-batch late-filter lag);
+    # b4: far-future flush batch.
+    _sentinel("b2", max_even_ns)
+    _sentinel("b4", max_even_ns + 86_400_000_000_000)
+    now = os.path.getmtime(os.path.join(tmp, "b1"))
+    for i, d in enumerate(("b1", "b2", "b3", "b4"), start=1):
+        full = os.path.join(tmp, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (now + 10 * i, now + 10 * i))
+        os.utime(full, (now + 10 * i, now + 10 * i))
+
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/b*/*.parquet")
+    )
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # NO pre-aggregation sentinel filter: Catalyst pushes deterministic
+    # filters below the EventTimeWatermark node into the parquet scan,
+    # where row-group stats prune the sentinel FILES outright — the
+    # watermark then never advances and trailing windows never emit
+    # (observed: numInputRows=0 for the sentinel batches).  Sentinel
+    # rows instead flow through the watermark into their own
+    # ``event_type='flush'`` groups and are excluded AFTER the drain.
+    # Append mode needs the event-time WINDOW column itself in the
+    # grouping (projecting .start inside groupBy severs the watermark
+    # attribute); the start is projected after aggregation.
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _drain_stream_to_table(agg, "st06_out", mode="append")
+    return (
+        spark.table("st06_out")
+        .filter(F.col("event_type") != "flush")
+        .orderBy("bucket_start", "event_type")
+    )
+
+
 def i01_wrap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference T2+T4+E1 (line→JSON wrap + enrichment + partition key)
     over the documents corpus as the line source
@@ -1646,6 +1742,7 @@ REGISTRY = {
     "l05_latency_percentiles": l05_latency_percentiles,
     "l06_client_sessions": l06_client_sessions,
     "st05_event_time_sessions": st05_event_time_sessions,
+    "st06_watermark_late_drop": st06_watermark_late_drop,
     "i03_enrich_nested_json": i03_enrich_nested_json,
     "i04_line_pipeline_roundtrip": i04_line_pipeline_roundtrip,
     "i05_concat_json_decode": i05_concat_json_decode,
