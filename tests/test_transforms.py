@@ -125,3 +125,17 @@ class TestSinkContract:
         )
         assert set(df.columns) == {"data", "partitionKey"}
         assert {r.partitionKey for r in df.collect()} == {"host-1"}
+
+
+class TestPerExecutorPartitionKey:
+    def test_each_partition_stamps_a_valid_host_identity(self, spark):
+        # SURVEY §7 risk 4: the per-executor variant runs the identity
+        # cascade inside the workers.  In local mode every worker is on
+        # one host, so all rows carry the same well-formed key.
+        df = TR.line_passthrough(_lines(spark, ["a", "b", "c"])).repartition(3)
+        rows = TR.stamp_partition_key_per_executor(df).collect()
+        assert len(rows) == 3
+        keys = {r.partitionKey for r in rows}
+        assert len(keys) == 1
+        key = keys.pop()
+        assert key.split(":", 1)[0] in ("ip-address", "uuid", "arn")
