@@ -665,6 +665,30 @@ GROUP BY s.s_nationkey
 ORDER BY s.s_nationkey
 """
 
+ORACLES["q39_range_frame_window"] = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       count(*) OVER w                    AS n_recent,
+       round(sum(o_totalprice) OVER w, 2) AS recent_total
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+ORACLES["q40_stat_aggregates"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+       round(stddev_samp(l_extendedprice), 4)            AS sd_price,
+       round(var_samp(l_quantity), 6)                    AS var_qty,
+       round(avg(l_discount), 6)                         AS avg_disc,
+       count(*)                                          AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 ORACLES["u01_pandas_udaf"] = """
 SELECT l_returnflag,
        round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
@@ -902,6 +926,17 @@ FROM (
     FROM src
 )
 ORDER BY event_id, entry_key
+"""
+
+ORACLES["f02_partitioned_parquet_roundtrip"] = """
+SELECT CAST(ts AS DATE)      AS event_date,
+       event_type,
+       count(*)              AS n_events,
+       round(sum(value), 2)  AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+GROUP BY 1, 2
+ORDER BY event_date, event_type
 """
 
 ORACLES["st06_watermark_late_drop"] = """

@@ -1244,6 +1244,46 @@ def q38_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (the frame type q12's running totals —
+    ROWS — don't cover): per customer, each order sees the count/sum of
+    that customer's orders in the PRECEDING 30 DAYS including peers.
+    RANGE frames include all tie rows, so the result is deterministic
+    without a unique tiebreaker — exactly why the frame type exists."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q39_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               count(*) OVER w                          AS n_recent,
+               round(sum(o_totalprice) OVER w, 2)       AS recent_total
+        FROM q39_orders
+        WHERE o_custkey % 50 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+        """
+    )
+
+
+def q40_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate functions (corr / covariance / stddev /
+    variance / skewness via moments) per group — deterministic
+    double-precision math both engines compute identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def u01_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Python UDF surface inside the correctness gate: a grouped-agg
     pandas UDF (Arrow-batched UDAF) computing the quantity-weighted
@@ -1293,6 +1333,35 @@ def f01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("n_name")).alias("name_chars"),
         )
         .orderBy("n_regionkey")
+    )
+
+
+def f02_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical 100 TB table layout end-to-end
+    (`sources/sinks.py:write_partitioned_parquet`): events written
+    date-partitioned (pre-shuffled so each partition is one file, no
+    tiny-file fan-out), read back through a partition-PRUNED scan (the
+    date predicate never touches non-matching directories), and rolled
+    up.  The oracle aggregates the original table under the same
+    predicate, so partition routing, date derivation, and the pruned
+    read must all be lossless."""
+    import os
+    import tempfile
+
+    from kinesis_log_streamer_spark.sources.sinks import write_events_by_date
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), "klss_f02_events")
+    write_events_by_date(ev, path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_date") >= "2024-01-15")
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_date", "event_type")
     )
 
 
@@ -1734,6 +1803,7 @@ REGISTRY = {
     "st03_stream_stream_join": st03_stream_stream_join,
     "st04_stream_dedup": st04_stream_dedup,
     "f01_csv_roundtrip": f01_csv_roundtrip,
+    "f02_partitioned_parquet_roundtrip": f02_partitioned_parquet_roundtrip,
     # round-2 additions (VERDICT r01 items 4, 5, 7)
     "t06_tfidf_topterms": t06_tfidf_topterms,
     "t07_bigram_topk": t07_bigram_topk,
@@ -1788,6 +1858,8 @@ REGISTRY = {
     "q36_binned_range_join": q36_binned_range_join,
     "q37_unpivot": q37_unpivot,
     "q38_salted_join": q38_salted_join,
+    "q39_range_frame_window": q39_range_frame_window,
+    "q40_stat_aggregates": q40_stat_aggregates,
     "u01_pandas_udaf": u01_pandas_udaf,
     "d01_exact_dedup": d01_exact_dedup,
     "d02_minhash_pairs": d02_minhash_pairs,
