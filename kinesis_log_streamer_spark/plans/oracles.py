@@ -846,6 +846,18 @@ GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
 
+ORACLES["s06_cosine_pairs_exact"] = """
+WITH sub AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id % 20 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2
+ORDER BY id_a, id_b
+"""
+
 ORACLES["m02_multimodal_decode"] = """
 WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
 SELECT doc_id,

@@ -1007,6 +1007,35 @@ def s04_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s06_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine pair similarity on a bounded subset — the
+    oracle-hashed exact twin of s04's LSH-bucketed scale path (the same
+    relationship d04 bears to d02).  vec_id%20 keeps the quadratic
+    verifier at ~n²/400 pairs; the JVM zip_with/aggregate math must
+    match DuckDB's list_cosine_similarity to 4 decimals."""
+    from kinesis_log_streamer_spark.functions.vector import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + ingest parity
 # ---------------------------------------------------------------------------
@@ -1818,6 +1847,7 @@ REGISTRY = {
     "i05_concat_json_decode": i05_concat_json_decode,
     "m02_multimodal_decode": m02_multimodal_decode,
     "m03_frame_sample": m03_frame_sample,
+    "s06_cosine_pairs_exact": s06_cosine_pairs_exact,
     "u02_scalar_pandas_udf": u02_scalar_pandas_udf,
     "u03_udtf_kv_explode": u03_udtf_kv_explode,
     "q01_pricing_summary": q01_pricing_summary,
