@@ -360,3 +360,84 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 3,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an ENGINE-PORTABLE hash family.
+
+    Same banded-bucket design as :func:`minhash_dedup_pairs`, but the
+    min-hash is ``min(md5(seed ':' shingle))`` over the *string*
+    shingle set — md5 produces identical lowercase hex in Spark and
+    DuckDB and hex strings order lexicographically the same way, so
+    the candidate set (not just the verified output) is reproducible
+    across engines and the whole pipeline is oracle-checkable.  The
+    xxhash64 variant (d02) stays the production default: one 64-bit
+    JVM hash per shingle vs ``n_bands·rows_per_band`` md5 string
+    digests here.
+
+    Shape per doc: ``n_bands`` (band, band-key) rows, where a band key
+    concatenates ``rows_per_band`` independent min-hashes (P[key
+    collision] = J^rows_per_band, so J=0.98 dups survive while J≈0.02
+    background pairs almost never collide).  Candidates come from an
+    equi-join on (band, key); exact Jaccard ≥ ``threshold`` verifies
+    candidates only.  Zero O(n²) stage anywhere.
+
+    Returns (id_a, id_b) verified pairs, id_a < id_b.
+    """
+    tok = tokens_col(F.col(text_col))
+    with_sh = df.filter(F.size(tok) >= shingle_n).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(tok, shingle_n)).alias("sh"),
+    )
+
+    def _minhash(seed: int) -> Column:
+        return F.array_min(
+            F.transform(
+                "sh", lambda x: F.md5(F.concat_ws(":", F.lit(str(seed)), x))
+            )
+        )
+
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat(
+                *[
+                    _minhash(i * rows_per_band + r)
+                    for r in range(rows_per_band)
+                ]
+            ).alias("bkey"),
+        )
+        for i in range(n_bands)
+    ]
+    bands = with_sh.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = with_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = with_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return verified.filter(
+        inter.cast("double") / union >= threshold
+    ).select("id_a", "id_b")

@@ -1,0 +1,123 @@
+"""Distributed connected components over an edge list.
+
+The training-data dedup pipeline's last mile: pair emitters
+(`operators/dedup.py`, `operators/similarity.py`) produce a near-dup
+*graph*; turning it into keep/drop decisions needs its *components*
+(transitive closure — if A~B and B~C, all three are one duplicate
+cluster even when A and C were never compared).
+
+Algorithm: iterative min-label propagation. Every node starts
+labeled with itself; each round, every node adopts the minimum label
+among itself and its neighbors; fixpoint when no label changes. The
+rounds needed equal the graph diameter, which for near-dup clusters
+is small (duplicate clusters are dense — copies of one document all
+pair with each other), so plain propagation beats the more complex
+large-star/small-star scheme (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) that pays off only on
+long-chain graphs.
+
+Scale design (100 TB):
+* State per round is one (node, label) row per node — two longs.
+  Document text never enters the iteration.
+* Each round is one shuffle-join (labels ⋈ edges on src) plus one
+  partial-aggregated groupBy-min; both hash-partition on the node id,
+  and AQE coalesces the tiny label side as rounds converge.
+* `localCheckpoint` after every round truncates the lineage so the
+  plan does not grow linearly with iterations (a 20-round loop
+  otherwise re-derives round 1 in every stage and overwhelms the
+  optimizer). On a real cluster with HDFS/S3 checkpointing
+  configured, `checkpoint()` would make the cut fault-tolerant too.
+* Convergence is detected with a count of changed labels — a scalar
+  driver action, not a data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node of the undirected graph ``edges`` with the
+    minimum node id in its connected component.
+
+    Parameters
+    ----------
+    edges : DataFrame with two numeric node-id columns ``src``/``dst``.
+        Treated as undirected; self-loops and duplicates are fine.
+    max_iter : safety bound; raises if the fixpoint is not reached
+        (diameter > max_iter signals a pathological graph, not a
+        bigger budget).
+
+    Returns (node, component) — one row per node that appears in any
+    edge, component = min reachable node id.
+    """
+    spark = edges.sparkSession
+    # Symmetrize once: propagation along (src→dst) needs both arcs.
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    arcs = fwd.union(rev).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        arcs.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # Each node's candidate labels: its own + each neighbor's.
+        neighbor_labels = (
+            arcs.join(labels, arcs["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document a duplicate-cluster id.
+
+    ``pairs`` is a near-dup pair list (any emitter in
+    `operators/dedup.py`); ``all_ids`` the full id universe.
+    Documents in no pair become singleton clusters of themselves —
+    the left join keeps them without ever entering the iteration, so
+    the (typically huge) non-duplicate majority costs one broadcast
+    join, not graph state.
+    """
+    comps = connected_components(pairs, src=id_a, dst=id_b)
+    return (
+        all_ids.select(id_col)
+        .join(comps, all_ids[id_col] == comps["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )

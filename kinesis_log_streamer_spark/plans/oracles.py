@@ -983,3 +983,142 @@ FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
 """
+
+# Shared edge construction for the dedup-clustering oracles: the
+# portable-MinHash banding (md5 hash family — identical hex in both
+# engines) of operators/dedup.portable_minhash_pairs, exact-Jaccard
+# verify >= 0.5, then min-label connected components as a recursive
+# CTE over the full corpus.
+_CLUSTER_EDGES = """
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+    WHERE len(t) >= 3
+),
+bands AS (
+    SELECT doc_id, b.i AS band,
+           list_min(list_transform(s, x -> md5((2*b.i)::VARCHAR || ':' || x)))
+           || list_min(list_transform(s, x -> md5((2*b.i+1)::VARCHAR || ':' || x)))
+           AS bkey
+    FROM sh, (SELECT unnest(generate_series(0, 2)) AS i) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(node, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.comp
+    FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+    SELECT node AS doc_id, min(comp) AS cluster_id
+    FROM reach GROUP BY node
+)
+"""
+
+ORACLES["d05_dedup_clusters"] = f"""
+WITH RECURSIVE {_CLUSTER_EDGES}
+SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id
+"""
+
+ORACLES["d06_dedup_keep"] = f"""
+WITH RECURSIVE {_CLUSTER_EDGES},
+ranked AS (
+    SELECT c.cluster_id, c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn
+    FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       min(CASE WHEN rn = 1 THEN doc_id END) AS keeper,
+       count(*) AS n_members
+FROM ranked
+GROUP BY cluster_id
+HAVING count(*) >= 2
+ORDER BY cluster_id
+"""
+
+ORACLES["t08_quality_budget"] = """
+WITH scored AS (
+    SELECT doc_id, lang,
+           round(least(len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 100.0, 1.0) * 0.4
+                 + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / length(text)) * 0.3
+                 + len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
+                   / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.3,
+                 4) AS quality_score
+    FROM documents
+)
+SELECT doc_id, lang, quality_score, lang_rank
+FROM (SELECT *,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC, doc_id) AS lang_rank
+      FROM scored)
+WHERE lang_rank <= 20
+ORDER BY lang, lang_rank
+"""
+
+ORACLES["t09_hash_sample"] = """
+SELECT doc_id, lang,
+       substr(md5(lang || ':' || doc_id::VARCHAR), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5(lang || ':' || doc_id::VARCHAR), 1, 2)
+      < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+ORDER BY doc_id
+"""
+
+ORACLES["s07_label_centroids"] = """
+SELECT label, dim, round(avg(x), 4) AS mean_x, count(*) AS n_vecs
+FROM (SELECT label,
+             unnest(embedding) AS x,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+ORACLES["q41_histogram"] = """
+WITH binned AS (
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS price_bin,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY 1
+)
+SELECT price_bin, n_items,
+       round(sum(n_items) OVER (ORDER BY price_bin)::DOUBLE
+             / sum(n_items) OVER (), 6) AS cum_share
+FROM binned
+ORDER BY price_bin
+"""
+
+ORACLES["st07_stream_static_join"] = """
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY 1, 2
+ORDER BY segment, event_type
+"""

@@ -1,0 +1,79 @@
+"""Connected-components / dedup-clustering operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_log_streamer_spark.operators import dedup as D
+from kinesis_log_streamer_spark.operators import graph as G
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # Two components: {1,2,3,4} chained (diameter 3, so propagation
+    # needs >1 round) and {10,11}; 99 appears nowhere.
+    rows = [(2, 1), (2, 3), (3, 4), (10, 11)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+class TestConnectedComponents:
+    def test_transitive_closure(self, spark, edges):
+        comp = {
+            r.node: r.component
+            for r in G.connected_components(edges).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        # A 12-node path: worst case for min-label propagation
+        # (diameter 11) — exercises the multi-round loop + checkpoint.
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "src long, dst long"
+        )
+        comp = {r.node: r.component for r in G.connected_components(chain).collect()}
+        assert set(comp) == set(range(12))
+        assert set(comp.values()) == {0}
+
+    def test_non_convergence_raises(self, spark, edges):
+        with pytest.raises(RuntimeError, match="converge"):
+            G.connected_components(edges, max_iter=1)
+
+
+class TestDedupClusters:
+    def test_singletons_kept(self, spark, edges):
+        ids = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long"
+        )
+        pairs = edges.select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        )
+        out = {
+            r.doc_id: r.cluster_id
+            for r in G.dedup_clusters(pairs, ids).collect()
+        }
+        assert out[99] == 99  # never in a pair -> own cluster
+        assert out[1] == out[4] == 1
+        assert out[10] == out[11] == 10
+
+
+class TestPortableMinhash:
+    BASE = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+
+    def test_finds_near_dup_and_skips_far(self, spark):
+        rows = [
+            (0, self.BASE),
+            (1, self.BASE.replace("afternoon", "evening")),
+            (2, "entirely unrelated text about distributed shuffle joins"),
+            (3, "xy"),  # < 3 tokens: excluded from pairing
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in D.portable_minhash_pairs(docs, threshold=0.5).collect()
+        }
+        assert (0, 1) in pairs
+        assert all(2 not in p and 3 not in p for p in pairs)
