@@ -61,6 +61,14 @@ HEADLINE = [
     "st01_stream_window_counts",
     "st03_stream_stream_join",
     "st05_event_time_sessions",
+    # round-2 additions: dedup clustering, sampling/packing/selection,
+    # centroids, upsert merge.
+    "d05_dedup_clusters",
+    "t08_quality_budget",
+    "t09_hash_sample",
+    "t10_sequence_packing",
+    "s07_label_centroids",
+    "q42_upsert_merge",
 ]
 
 

@@ -1122,3 +1122,87 @@ JOIN customer c ON c.c_custkey = e.user_id + 1
 GROUP BY 1, 2
 ORDER BY segment, event_type
 """
+
+ORACLES["q42_upsert_merge"] = """
+WITH changes AS (
+    SELECT key, new_bal FROM (
+        SELECT user_id + 1401 AS key, value AS new_bal,
+               row_number() OVER (PARTITION BY user_id + 1401
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+),
+merged AS (
+    SELECT coalesce(c.c_custkey, ch.key) AS key,
+           round(coalesce(ch.new_bal, c.c_acctbal), 2) AS bal,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN ch.key IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM (SELECT c_custkey, c_acctbal FROM customer) c
+    FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+)
+SELECT key, bal, action FROM merged
+WHERE action <> 'keep'
+ORDER BY key
+"""
+
+ORACLES["q43_window_misc"] = """
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6)    AS cume_dist,
+       nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS second_price
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+ORACLES["t10_sequence_packing"] = """
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 4096) AS BIGINT) AS seq_no
+FROM (SELECT doc_id, lang,
+             len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens
+      FROM documents)
+ORDER BY doc_id
+"""
+
+ORACLES["q44_running_distinct"] = """
+WITH marked AS (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                   ORDER BY o_orderdate, o_orderkey) = 1
+                AS BIGINT) AS is_first
+    FROM orders
+    WHERE o_custkey % 10 = 0
+)
+SELECT o_custkey, o_orderkey,
+       sum(is_first) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_distinct_priorities
+FROM marked
+ORDER BY o_custkey, o_orderkey
+"""
+
+ORACLES["f03_orc_roundtrip"] = """
+SELECT s_nationkey,
+       count(*)                  AS n_suppliers,
+       round(sum(s_acctbal), 2)  AS total_bal
+FROM supplier
+WHERE s_acctbal > 0
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+ORACLES["f04_bucketed_join"] = """
+SELECT c_mktsegment,
+       count(*)                     AS n_orders,
+       round(sum(o_totalprice), 2)  AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -1042,6 +1042,38 @@ def t09_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t10_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing for training data: documents
+    are (conceptually) concatenated per shard in doc_id order and
+    split into 4096-token sequences; each document is assigned the
+    sequence its first token lands in (seq_no = ⌊preceding-total /
+    4096⌋ — a pure window expression, unlike exact greedy first-fit,
+    which is a sequential recurrence).
+
+    Scale: packing needs an order, but NOT a global one — training
+    pipelines pack per shard, so the window partitions by the shard
+    key (here: language) and the only shuffle is that partition;
+    token counting itself is scan-local regexp_count."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 4096).cast("long").alias("seq_no"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search — SURVEY.md §2.2 extensions
 # ---------------------------------------------------------------------------
@@ -1458,6 +1490,96 @@ def q41_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("price_bin")
 
 
+def q42_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch upsert (MERGE) semantics on plain parquet: a changeset
+    (latest purchase value per user, keys offset so both updates and
+    inserts occur) merged into the customer snapshot — full outer
+    join + coalesce, with the action (insert/update/keep) labeled.
+
+    Scale: the changeset is first reduced to one row per key with a
+    max_by-style ranked window (latest ts, event_id tiebreak), so the
+    outer join is key-to-key; on a real lakehouse this plan is what
+    MERGE INTO compiles to, with the join pruned to touched files."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("old_bal"),
+    )
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("key").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    changes = (
+        ev.select(
+            (F.col("user_id") + 1401).alias("key"),
+            F.col("value").alias("new_bal"),
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "new_bal")
+    )
+    merged = cust.join(changes, "key", "full_outer")
+    action = (
+        F.when(F.col("old_bal").isNull(), F.lit("insert"))
+        .when(F.col("new_bal").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        merged.select(
+            "key",
+            F.round(F.coalesce("new_bal", "old_bal"), 2).alias("bal"),
+            action.alias("action"),
+        )
+        .filter(F.col("action") != "keep")  # changed rows only
+        .orderBy("key")
+    )
+
+
+def q43_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining ranked-window functions over orders per customer:
+    percent_rank, cume_dist, nth_value(2) — one shuffle on the
+    partition key, all three computed in a single window exec."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q44_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — not directly
+    expressible (no distinct aggregates over running frames), so it
+    compiles to the standard two-window rewrite: mark each (customer,
+    priority) pair's first occurrence with a ranked window, then
+    running-sum the marks. Both windows shuffle on the same customer
+    key, so the second is exchange-free."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    first_seen = W.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    running = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.row_number().over(first_seen) == 1).cast("long").alias("is_first"),
+    )
+    return marked.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("is_first").over(running).alias("n_distinct_priorities"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 def u01_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Python UDF surface inside the correctness gate: a grouped-agg
     pandas UDF (Arrow-batched UDAF) computing the quantity-weighted
@@ -1536,6 +1658,86 @@ def f02_partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .orderBy("event_date", "event_type")
+    )
+
+
+def f03_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source coverage: supplier → ORC → read-back →
+    aggregate. ORC is Spark-native (no extra package) and, like
+    parquet, carries column stats for pushdown; the filter below
+    shows in the scan's PushedFilters."""
+    import os
+    import tempfile
+
+    sup = _t(spark, sf_dir, "supplier")
+    path = os.path.join(tempfile.gettempdir(), "klss_orc_roundtrip")
+    sup.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def f04_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the zero-shuffle big⋈big strategy:
+    both sides written ``bucketBy(8, key).sortBy(key)`` into the
+    session catalog, then joined with broadcast disabled.  Because
+    bucket layouts match, the sort-merge join reads buckets
+    pair-wise: the plan has NO Exchange on either side (the audit
+    asserts this in tests/test_sinks.py).  At 100 TB this is the
+    difference between re-shuffling both fact tables per query and
+    pre-paying the shuffle once at write time."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("klss_b_orders", "klss_b_customer"):
+        # DROP only clears THIS session's catalog; a stale warehouse dir
+        # from an earlier process still blocks saveAsTable
+        # (LOCATION_ALREADY_EXISTS), so remove the location too.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("klss_b_orders")
+    )
+    (
+        cust.select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("klss_b_customer")
+    )
+    # The MERGE hint travels with the plan (unlike a session conf), so
+    # whoever executes the returned DataFrame gets the bucketed
+    # sort-merge join, not a broadcast rewrite of it.
+    joined = (
+        spark.table("klss_b_orders")
+        .hint("merge")
+        .join(
+            spark.table("klss_b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 
@@ -1999,6 +2201,12 @@ REGISTRY = {
     "s07_label_centroids": s07_label_centroids,
     "q41_histogram": q41_histogram,
     "st07_stream_static_join": st07_stream_static_join,
+    "q42_upsert_merge": q42_upsert_merge,
+    "q43_window_misc": q43_window_misc,
+    "q44_running_distinct": q44_running_distinct,
+    "t10_sequence_packing": t10_sequence_packing,
+    "f03_orc_roundtrip": f03_orc_roundtrip,
+    "f04_bucketed_join": f04_bucketed_join,
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
     "l01_status_rollup": l01_status_rollup,
