@@ -392,10 +392,19 @@ def portable_minhash_pairs(
 
     Returns (id_a, id_b) verified pairs, id_a < id_b.
     """
+    from kinesis_log_streamer_spark.operators.parallelize import spread_for_compute
+
     tok = tokens_col(F.col(text_col))
-    with_sh = df.filter(F.size(tok) >= shingle_n).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(tok, shingle_n)).alias("sh"),
+    # n_bands·rows_per_band md5 digests per shingle is the most
+    # CPU-per-byte operator in the repo — a single-split input (one
+    # small parquet file) would serialize it on one core.
+    with_sh = (
+        spread_for_compute(df.select(id_col, text_col))
+        .filter(F.size(tok) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles_col(tok, shingle_n)).alias("sh"),
+        )
     )
 
     def _minhash(seed: int) -> Column:

@@ -72,23 +72,33 @@ def connected_components(
 
     for _ in range(max_iter):
         # Each node's candidate labels: its own + each neighbor's.
-        neighbor_labels = (
-            arcs.join(labels, arcs["u"] == labels["node"])
-            .select(F.col("v").alias("node"), "component")
+        # The self rows are tagged so the SAME groupBy that takes the
+        # min also recovers the previous label — the convergence check
+        # costs a filter over the checkpointed result instead of a
+        # second labels join per round.
+        neighbor_labels = arcs.join(
+            labels, arcs["u"] == labels["node"]
+        ).select(
+            F.col("v").alias("node"), "component", F.lit(False).alias("own")
         )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
+        own_labels = labels.select(
+            "node", "component", F.lit(True).alias("own")
+        )
+        stepped = (
+            own_labels.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("own"), F.col("component"))).alias(
+                    "old_component"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("component") != F.col("old_component")
+        ).count()
+        labels = stepped.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
