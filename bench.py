@@ -69,6 +69,11 @@ HEADLINE = [
     "t10_sequence_packing",
     "s07_label_centroids",
     "q42_upsert_merge",
+    # round-2 additions: SQL-surface (listagg/recursive CTE), profiling,
+    # z-order layout.
+    "q46_recursive_cte",
+    "p01_table_profile",
+    "f05_zorder_layout",
 ]
 
 

@@ -1206,3 +1206,89 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+ORACLES["q45_string_agg"] = """
+SELECT r_name AS region,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) FILTER (WHERE n_nationkey % 2 = 0) AS BIGINT)
+           AS n_even_keys,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY region
+"""
+
+ORACLES["q46_recursive_cte"] = """
+WITH RECURSIVE tree(node, depth) AS (
+    SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+    UNION ALL
+    SELECT c.c_custkey, t.depth + 1
+    FROM customer c JOIN tree t ON c.c_custkey // 2 = t.node
+    WHERE c.c_custkey > 1
+)
+SELECT node, CAST(depth AS BIGINT) AS depth FROM tree ORDER BY node
+"""
+
+ORACLES["p01_table_profile"] = """
+SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+       count(*) - count(o_custkey) AS n_nulls,
+       count(DISTINCT o_custkey) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_s,
+       CAST(max(o_custkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+       count(DISTINCT o_orderkey),
+       CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+ORDER BY col_name
+"""
+
+ORACLES["f05_zorder_layout"] = """
+WITH binned AS (
+    SELECT CAST(p_size AS BIGINT) AS xdim,
+           least(CAST(63 AS BIGINT),
+                 greatest(CAST(0 AS BIGINT),
+                          CAST(floor((p_retailprice - 900.0) / 20.0)
+                               AS BIGINT))) AS ydim
+    FROM part
+), zed AS (
+    SELECT xdim, ydim,
+           (((xdim >> 0) & 1) << 0) + (((ydim >> 0) & 1) << 1) +
+           (((xdim >> 1) & 1) << 2) + (((ydim >> 1) & 1) << 3) +
+           (((xdim >> 2) & 1) << 4) + (((ydim >> 2) & 1) << 5) +
+           (((xdim >> 3) & 1) << 6) + (((ydim >> 3) & 1) << 7) +
+           (((xdim >> 4) & 1) << 8) + (((ydim >> 4) & 1) << 9) +
+           (((xdim >> 5) & 1) << 10) + (((ydim >> 5) & 1) << 11) AS zval
+    FROM binned
+)
+SELECT zval // 64 AS file_id, count(*) AS n_rows,
+       min(xdim) AS min_x, max(xdim) AS max_x,
+       min(ydim) AS min_y, max(ydim) AS max_y
+FROM zed
+GROUP BY 1
+ORDER BY file_id
+"""
+
+ORACLES["st08_foreachbatch_upsert"] = """
+SELECT user_id, event_id AS last_event_id,
+       round(value, 2) AS last_value
+FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+"""

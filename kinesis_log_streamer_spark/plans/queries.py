@@ -1580,6 +1580,149 @@ def q44_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
+def q45_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface coverage through ``spark.sql``: ordered string
+    aggregation (``listagg … WITHIN GROUP``, Spark 4.0+) and the ANSI
+    ``FILTER (WHERE …)`` aggregate clause, over nation⋈region.
+
+    Scale: listagg materializes each group's values on one reducer —
+    correct usage is small-cardinality groups (here: 5 nations per
+    region); unbounded-group concatenation belongs in collect_list
+    with an explicit size guard, not listagg."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql("""
+        SELECT r_name AS region,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                   AS nations,
+               count(*) FILTER (WHERE n_nationkey % 2 = 0)
+                   AS n_even_keys,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY region
+    """)
+
+
+def q46_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.0+ ``WITH RECURSIVE``): ancestry depth
+    over the implicit binary tree ``parent(k) = k DIV 2`` rooted at
+    customer 1 — transitive closure expressed declaratively, the SQL
+    twin of the iterative driver loop in `operators/graph.py`.
+
+    Scale: each recursion step is one equi-join of the frontier
+    against the base table; depth = O(log n) steps for this tree.
+    Spark executes it as an iterative union with the same shape the
+    hand-rolled loop produces — but Catalyst owns the caching."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        WITH RECURSIVE tree(node, depth) AS (
+            SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+            UNION ALL
+            SELECT c.c_custkey, t.depth + CAST(1 AS BIGINT)
+            FROM customer c JOIN tree t ON c.c_custkey DIV 2 = t.node
+            WHERE c.c_custkey > 1
+        )
+        SELECT node, depth FROM tree ORDER BY node
+    """)
+
+
+def p01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: one row of quality metrics per column
+    (row count, nulls, exact distinct, min/max as strings) — the
+    ANALYZE/profile step a pipeline runs before training-data
+    selection.
+
+    Scale: ONE pass over the table computes every metric as partial
+    aggregates (the multi-distinct plan is Catalyst's expand, still
+    single-scan); the wide→long unpivot happens on the 1-row result.
+    min/max are surfaced as strings so one schema fits every column
+    type; only bigint/string columns are profiled here so the cast is
+    engine-portable."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max" for c in cols
+    )
+    return (
+        one.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS "
+                "(col_name, n_nonnull, n_distinct, min_s, max_s)"
+            ),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+            "n_distinct",
+            "min_s",
+            "max_s",
+        )
+        .orderBy("col_name")
+    )
+
+
+def f05_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) clustering layout: interleave the bits
+    of two dimensions — p_size and a fixed-width p_retailprice bin —
+    into one z-value, group rows into file-sized z-ranges, and report
+    each file group's (min, max) extent per dimension.  Tight extents
+    are the point: a min/max-pruned scan with a predicate on EITHER
+    dimension skips most file groups, which single-column sorting
+    only achieves for its leading column.
+
+    Scale: the z-value is scan-local bit arithmetic in codegen; file
+    assignment here is a pure z-range split (zval DIV 64 — no global
+    sort, no window).  A real layout write follows with
+    ``repartitionByRange(zval).sortWithinPartitions(zval)`` —
+    Spark's distributed sort — demonstrated in tests/test_layout.py."""
+    from kinesis_log_streamer_spark.operators.layout import zvalue
+
+    part = _t(spark, sf_dir, "part")
+    x = F.col("p_size").cast("long")  # 1..50 → 6 bits
+    y = (
+        F.least(
+            F.lit(63),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("p_retailprice") - 900.0) / 20.0),
+            ),
+        )
+    ).cast("long")
+    binned = part.select(
+        x.alias("xdim"),
+        y.alias("ydim"),
+        zvalue([x, y], bits=6).alias("zval"),
+    )
+    return (
+        binned.groupBy(F.floor(F.col("zval") / 64).alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xdim").alias("min_x"),
+            F.max("xdim").alias("max_x"),
+            F.min("ydim").alias("min_y"),
+            F.max("ydim").alias("max_y"),
+        )
+        .orderBy("file_id")
+    )
+
+
 def u01_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Python UDF surface inside the correctness gate: a grouped-agg
     pandas UDF (Arrow-batched UDAF) computing the quantity-weighted
@@ -2012,6 +2155,98 @@ def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st07_out").orderBy("segment", "event_type")
 
 
+def st08_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT via ``foreachBatch`` — the production sink
+    pattern for keyed snapshots on plain parquet (what MERGE INTO
+    does on a lakehouse): events replayed in 4 mtime-ordered
+    micro-batches; each batch is reduced to its latest row per user
+    and merged into the running snapshot with read → union → rank →
+    overwrite, committed by directory swap.
+
+    The merge (latest by (ts, event_id)) is associative and
+    idempotent, so the result is independent of how the stream was
+    micro-batched and survives foreachBatch's replay-on-failure
+    contract — which is why the batch ranked-window oracle can
+    hash-match it exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = os.path.join(tempfile.gettempdir(), "klss_st08_src")
+    tgt = os.path.join(tempfile.gettempdir(), "klss_st08_tbl")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tgt, ignore_errors=True)
+    os.makedirs(tmp)
+    ev = spark.read.schema(schema).parquet(src)
+    for b in range(4):
+        ev.filter(F.col("event_id") % 4 == b).coalesce(1).write.parquet(
+            os.path.join(tmp, f"b{b}")
+        )
+    now = os.path.getmtime(os.path.join(tmp, "b0"))
+    for i in range(4):
+        full = os.path.join(tmp, f"b{i}")
+        for name in os.listdir(full):
+            os.utime(os.path.join(full, name), (now + 10 * i, now + 10 * i))
+        os.utime(full, (now + 10 * i, now + 10 * i))
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        reduced = latest_per_user(
+            batch_df.select("event_id", "ts", "user_id", "value")
+        )
+        if os.path.exists(tgt):
+            merged = latest_per_user(
+                sp.read.parquet(tgt).unionByName(reduced)
+            )
+        else:
+            merged = reduced
+        # Commit by swap: never overwrite the directory being read.
+        staging = f"{tgt}.stage"
+        merged.coalesce(4).write.mode("overwrite").parquet(staging)
+        old = f"{tgt}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(tgt):
+            os.rename(tgt, old)
+        os.rename(staging, tgt)
+        shutil.rmtree(old, ignore_errors=True)
+
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/b*/*.parquet")
+    )
+    q = (
+        raw.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    snap = spark.read.parquet(tgt)
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    ).orderBy("user_id")
+
+
 def i01_wrap_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference T2+T4+E1 (line→JSON wrap + enrichment + partition key)
     over the documents corpus as the line source
@@ -2202,6 +2437,11 @@ REGISTRY = {
     "q41_histogram": q41_histogram,
     "st07_stream_static_join": st07_stream_static_join,
     "q42_upsert_merge": q42_upsert_merge,
+    "q45_string_agg": q45_string_agg,
+    "q46_recursive_cte": q46_recursive_cte,
+    "p01_table_profile": p01_table_profile,
+    "f05_zorder_layout": f05_zorder_layout,
+    "st08_foreachbatch_upsert": st08_foreachbatch_upsert,
     "q43_window_misc": q43_window_misc,
     "q44_running_distinct": q44_running_distinct,
     "t10_sequence_packing": t10_sequence_packing,
