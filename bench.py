@@ -74,6 +74,7 @@ HEADLINE = [
     "q46_recursive_cte",
     "p01_table_profile",
     "f05_zorder_layout",
+    "l08_cohort_retention",
 ]
 
 

@@ -1292,3 +1292,78 @@ FROM (
 WHERE rn = 1
 ORDER BY user_id
 """
+
+ORACLES["l07_funnel"] = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+    SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT '2_click', count(*) FROM s2
+    UNION ALL
+    SELECT '3_purchase', count(*) FROM s3
+)
+ORDER BY stage
+"""
+
+ORACLES["l08_cohort_retention"] = """
+WITH weeks AS (
+    SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), cohort AS (
+    SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, wk FROM weeks
+)
+SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+       CAST((epoch(a.wk) - epoch(c.cohort_week)) / 604800 AS BIGINT)
+           AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+ORACLES["t11_split_assignment"] = """
+WITH assigned AS (
+    SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           lang
+    FROM documents
+)
+SELECT split, lang, count(*) AS n_docs
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+ORACLES["t12_winsorize"] = """
+WITH pct AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS p05,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(avg(e.value), 4) AS avg_raw,
+       round(avg(least(greatest(e.value, p.p05), p.p95)), 4)
+           AS avg_clipped,
+       CAST(sum(CASE WHEN e.value < p.p05 OR e.value > p.p95
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM events e JOIN pct p ON e.event_type = p.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

@@ -1580,6 +1580,143 @@ def q44_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
+def l07_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    counts at stage k only with a stage-k event at-or-after their
+    stage-(k-1) entry time.  The classic product-analytics query that
+    needs per-user sequential state, expressed as staged conditional
+    mins — each stage is one groupBy(user) + one equi-join, no
+    windows, no per-user sort.
+
+    Scale: stage tables shrink monotonically (stage-k rows ≤ distinct
+    users at stage k), every join is on the user key, and AQE
+    broadcasts the later tiny stages automatically."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        _stage(s1, "1_view")
+        .unionByName(_stage(s2, "2_click"))
+        .unionByName(_stage(s3, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+def l08_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; per (cohort week, weeks-since-cohort) the count of
+    distinct active users — the triangle matrix behind every
+    retention chart.
+
+    Scale: first-event week is one groupBy(user); activity weeks are
+    a distinct over (user, week) — both shuffle on user; the final
+    count shuffles |cohorts × offsets| partial counts only."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = ev.distinct()
+    offset = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.to_date("cohort_week").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def t11_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split for training data:
+    assignment by md5 hex prefix of the doc id — 80/10/10 via the
+    byte thresholds 0xcc/0xe6.  Like `t09_hash_sample`, the hash
+    gate is scan-local, reproducible across engines/retries, and
+    stable under re-partitioning — no RNG state, no global sort, and
+    a document never migrates between splits when the corpus grows.
+
+    Returns per (split, lang) counts — the stratification check run
+    before training."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < "cc", F.lit("train"))
+        .when(b < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def t12_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clipping (winsorization) of a metric per group:
+    exact p05/p95 of ``value`` per event type, values clipped into
+    that band, with before/after means and the clipped-row count —
+    the outlier-robust normalization step of a feature pipeline.
+
+    Scale: the exact per-group percentile gathers each group's values
+    on one reducer — right for |groups| ≪ rows with bounded group
+    size; the production path swaps in mergeable approx_percentile
+    sketches with zero plan changes (q28 demonstrates them). The
+    5-row percentile table broadcasts back onto the scan."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "cv"
+        ),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")))
+        .cast("long")
+        .alias("is_clipped"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_raw"),
+            F.round(F.avg("cv"), 4).alias("avg_clipped"),
+            F.sum("is_clipped").alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q45_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface coverage through ``spark.sql``: ordered string
     aggregation (``listagg … WITHIN GROUP``, Spark 4.0+) and the ANSI
@@ -2439,6 +2576,10 @@ REGISTRY = {
     "q42_upsert_merge": q42_upsert_merge,
     "q45_string_agg": q45_string_agg,
     "q46_recursive_cte": q46_recursive_cte,
+    "l07_funnel": l07_funnel,
+    "l08_cohort_retention": l08_cohort_retention,
+    "t11_split_assignment": t11_split_assignment,
+    "t12_winsorize": t12_winsorize,
     "p01_table_profile": p01_table_profile,
     "f05_zorder_layout": f05_zorder_layout,
     "st08_foreachbatch_upsert": st08_foreachbatch_upsert,
