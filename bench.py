@@ -75,6 +75,8 @@ HEADLINE = [
     "p01_table_profile",
     "f05_zorder_layout",
     "l08_cohort_retention",
+    "q47_market_share",
+    "s08_pq_topk",
 ]
 
 

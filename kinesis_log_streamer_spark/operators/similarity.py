@@ -439,3 +439,160 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", F.round(dot(F.col("nv_a"), F.col("nv_b")), 4).alias("cosine"))
     )
     return scored.filter(F.col("cosine") >= min_cosine).select("id_a", "id_b", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks from a deterministic sample.
+
+    The vector is split into ``m`` contiguous subvectors; each
+    subspace gets ``n_codes`` centroids taken from the xxhash64-seeded
+    sample (same sampling shape as :func:`sample_centroids`; swap in a
+    per-subspace k-means fit for tighter cells).  Driver-side list —
+    m × n_codes × (dim/m) floats ≡ one full codebook the size of
+    ``n_codes`` vectors, broadcast-sized by construction.
+    """
+    rows = (
+        df.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(rows[0].v)
+    sub = dim // m
+    return [
+        [list(r.v[s * sub : (s + 1) * sub]) for r in rows] for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub, code): nearest-centroid code per subspace — the PQ
+    compressed representation (m small ints per vector; at byte codes
+    this is a 32× compression of a 64-float vector, which is what
+    makes 100 TB-scale re-scoring RAM-resident).
+
+    Encoding reuses :func:`ivf_assign` per subspace on the sliced
+    vector — the same broadcast-matmul-in-codegen shape, m times on
+    dim/m-wide slices, so total work ≈ one full assignment."""
+    m = len(books)
+    sub = len(books[0][0])
+    parts = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub).alias(
+                vec_col
+            ),
+        )
+        parts.append(
+            ivf_assign(sliced, books[s], 1, id_col, vec_col).select(
+                "id", F.lit(s).alias("sub"), F.col("cell").alias("code")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    rerank: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric-distance computation (ADC),
+    exact-cosine re-rank of the short list.
+
+    Per query, the dot product against ANY corpus vector is
+    approximated from its codes by table lookup:
+    ``dot(q, v) ≈ Σ_s lut[s][code_s(v)]`` where ``lut[s][c] =
+    dot(q_s, book[s][c])`` — the LUT is m × n_codes scalars per
+    query, built driver-side from the (bounded, broadcast-sized)
+    query set and codebooks, then broadcast-joined to the code
+    table.  The scan side therefore touches only (id, sub, code)
+    ints, never the vectors; the exact re-rank reads full vectors
+    for ``k·rerank`` candidates per query only.
+
+    Returns (qid, vec_id, cos4, rnk) — same contract as
+    :func:`cosine_topk`/:func:`ivf_topk`.  Rows-only driver check
+    (codes are engine-specific); recall vs brute force is asserted in
+    tests/test_similarity.py.
+    """
+    spark = corpus.sparkSession
+    books = pq_codebooks(corpus, m, n_codes, seed, id_col, vec_col)
+    codes = pq_encode(corpus, books, id_col, vec_col)
+
+    sub = len(books[0][0])
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        for s in range(m):
+            qs = r.v[s * sub : (s + 1) * sub]
+            for c, cent in enumerate(books[s]):
+                lut_rows.append(
+                    (r.qid, s, c, float(sum(a * b for a, b in zip(qs, cent))))
+                )
+    lut = spark.createDataFrame(
+        lut_rows, "qid long, sub int, code int, pdot double"
+    )
+
+    approx = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("pdot").alias("adc"))
+        .filter(F.col("id") != F.col("qid"))
+    )
+    wa = W.partitionBy("qid").orderBy(F.desc("adc"), F.asc("id"))
+    shortlist = (
+        approx.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= k * rerank)
+        .select("qid", "id")
+    )
+
+    cn = _normalized(corpus, id_col, vec_col)
+    qn = _normalized(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("nvec").alias("q_nvec")
+    )
+    scored = (
+        shortlist.join(cn, "id")
+        .join(F.broadcast(qn), "qid")
+        .select(
+            "qid",
+            F.col("id").alias(id_col),
+            F.round(dot(F.col("nvec"), F.col("q_nvec")), 6).alias("cos6"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos6"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", id_col, F.round("cos6", 4).alias("cos4"), "rnk")
+    )

@@ -1367,3 +1367,31 @@ FROM events e JOIN pct p ON e.event_type = p.event_type
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+ORACLES["q47_market_share"] = """
+WITH agg AS (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           n_name AS supp_nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+)
+SELECT o_year, supp_nation, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY o_year), 4) AS share
+FROM agg
+ORDER BY o_year, supp_nation
+"""
+
+ORACLES["f06_schema_evolution"] = """
+SELECT count(*) AS n_rows,
+       CAST(count(*) FILTER (WHERE s_suppkey % 2 = 0) AS BIGINT)
+           AS n_with_name,
+       CAST(count(*) FILTER (WHERE s_suppkey % 2 = 1) AS BIGINT)
+           AS n_with_nation,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+"""

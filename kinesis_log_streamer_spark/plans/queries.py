@@ -1580,6 +1580,85 @@ def q44_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
+def q47_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: 5-table join (lineitem ⋈ orders
+    ⋈ part ⋈ supplier ⋈ nation) → per-year supplier-nation revenue →
+    share-of-year via a window over the tiny aggregate.
+
+    Scale: the two fact tables meet in ONE shuffle join on orderkey;
+    part (filtered to PROMO before the join — the filter prunes the
+    broadcast, not the probe) and nation broadcast; supplier is left
+    to AQE, which broadcasts it while it fits and falls back to
+    shuffle when it doesn't.  The share window runs over
+    |years × nations| rows — negligible."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.col("n_name").alias("supp_nation"),
+    ).agg(F.round(F.sum(rev), 2).alias("revenue"))
+    share = F.round(
+        F.col("revenue") / F.sum("revenue").over(W.partitionBy("o_year")), 4
+    )
+    return agg.select(
+        "o_year", "supp_nation", "revenue", share.alias("share")
+    ).orderBy("o_year", "supp_nation")
+
+
+def f06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet landing zone: batch 1 written
+    with (suppkey, name, acctbal), batch 2 with (suppkey, acctbal,
+    nationkey) — the read merges schemas (``mergeSchema``), absent
+    columns surface as nulls, and the aggregate proves no rows or
+    values were lost.
+
+    Scale: mergeSchema reconciles footers only (no data rewrite);
+    at 100 TB the same evolution is a metadata operation, which is
+    exactly why pipelines add columns instead of rewriting tables."""
+    import os
+    import tempfile
+
+    sup = _t(spark, sf_dir, "supplier")
+    base = os.path.join(tempfile.gettempdir(), "klss_f06_evo")
+    even = F.col("s_suppkey") % 2 == 0
+    sup.filter(even).select("s_suppkey", "s_name", "s_acctbal").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "b1"))
+    sup.filter(~even).select(
+        "s_suppkey", "s_acctbal", "s_nationkey"
+    ).write.mode("overwrite").parquet(os.path.join(base, "b2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "b1"), os.path.join(base, "b2")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("s_name").alias("n_with_name"),
+        F.count("s_nationkey").alias("n_with_nation"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+def s08_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (`operators/similarity.pq_topk`):
+    vectors compressed to m=4 subspace codes, ADC table-lookup scoring
+    over the int-only code table, exact cosine re-rank of the
+    shortlist.  The third ANN scale path next to LSH (s03) and IVF
+    (s05): PQ trades the vector scan for a code scan ~32× smaller."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.pq_topk(emb, queries, k=10).orderBy("qid", "rnk")
+
+
 def l07_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user
     counts at stage k only with a stage-k event at-or-after their
@@ -2578,6 +2657,9 @@ REGISTRY = {
     "q46_recursive_cte": q46_recursive_cte,
     "l07_funnel": l07_funnel,
     "l08_cohort_retention": l08_cohort_retention,
+    "q47_market_share": q47_market_share,
+    "f06_schema_evolution": f06_schema_evolution,
+    "s08_pq_topk": s08_pq_topk,
     "t11_split_assignment": t11_split_assignment,
     "t12_winsorize": t12_winsorize,
     "p01_table_profile": p01_table_profile,

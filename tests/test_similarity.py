@@ -113,3 +113,45 @@ class TestIvf:
         full = {(r.qid, r.rnk): r.vec_id
                 for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8).collect()}
         assert exact == full
+
+
+class TestPq:
+    def test_recall_vs_brute_force(self, spark, sf_dir):
+        from kinesis_log_streamer_spark.operators.similarity import (
+            cosine_topk,
+            pq_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter("vec_id < 5")
+        exact = cosine_topk(emb, queries, k=10).collect()
+        approx = pq_topk(emb, queries, k=10).collect()
+        by_q_exact = {}
+        for r in exact:
+            by_q_exact.setdefault(r.qid, set()).add(r.vec_id)
+        by_q_approx = {}
+        for r in approx:
+            by_q_approx.setdefault(r.qid, set()).add(r.vec_id)
+        recalls = [
+            len(by_q_exact[q] & by_q_approx.get(q, set())) / len(by_q_exact[q])
+            for q in by_q_exact
+        ]
+        assert sum(recalls) / len(recalls) >= 0.3  # PQ-ADC is approximate
+
+    def test_codes_shape_and_range(self, spark, sf_dir):
+        from kinesis_log_streamer_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = pq_codebooks(emb, m=4, n_codes=16)
+        assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 16
+        codes = pq_encode(emb, books)
+        n_vec = emb.count()
+        assert codes.count() == n_vec * 4  # one code per (vector, subspace)
+        stats = codes.agg(
+            F.min("code").alias("lo"), F.max("code").alias("hi")
+        ).first()
+        assert 0 <= stats["lo"] and stats["hi"] <= 15
