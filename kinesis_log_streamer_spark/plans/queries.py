@@ -2145,6 +2145,55 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Canonical replay schema for the st* fixtures: every events micro-
+# batch directory is (re)written by Spark itself, so ``ts`` is always
+# a native micros TIMESTAMP regardless of how the source parquet was
+# encoded (the loaders normalize first).
+_EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_single_parquet(df: DataFrame, dest: str) -> None:
+    """Write ``df`` as ONE parquet file at ``dest`` (a file path, not a
+    directory) — the st* replay fixtures order micro-batches by file
+    mtime, so each batch must be exactly one file."""
+    import os
+    import shutil
+
+    stage = dest + ".stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    df.coalesce(1).write.parquet(stage)
+    part = next(
+        f for f in os.listdir(stage)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    shutil.move(os.path.join(stage, part), dest)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _write_sentinel_parquet(path: str, event_id: int, ts_us: int) -> None:
+    """One watermark-advancing sentinel row (user_id = -1) with ``ts``
+    at epoch-micros ``ts_us``, as a native micros-timestamp parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([event_id], pa.int64()),
+                "ts": pa.array([ts_us], pa.timestamp("us")),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["flush"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        path,
+    )
+
+
 def _events_stream_with_flush(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Events file stream plus a far-future sentinel file.
 
@@ -2162,52 +2211,32 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str, name: str) -> Da
     import shutil
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Pin the timezone like sources/tables.py:load_table — timestamps
     # must be oracle-comparable from a bare driver session too.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    src = os.path.join(sf_dir, "events.parquet")
     tmp = os.path.join(tempfile.gettempdir(), f"klss_{name}_src")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    shutil.copy(src, os.path.join(tmp, "events.parquet"))
+    # Normalize through the catalog loader: it handles whichever
+    # timestamp encoding the generated parquet carries (NANOS-as-long
+    # or native micros) and always yields an LTZ ``ts``.
+    ev = _t(spark, sf_dir, "events")
+    _write_single_parquet(ev, os.path.join(tmp, "events.parquet"))
 
-    max_ts_ns = (
-        spark.read.schema(schema).parquet(src).agg(F.max("ts")).first()[0]
-    )
-    day_ns = 86_400_000_000_000
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    day_us = 86_400_000_000
     now = os.path.getmtime(os.path.join(tmp, "events.parquet"))
     for i in (1,):
         path = os.path.join(tmp, f"zz_flush_{i}.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "event_id": pa.array([-i], pa.int64()),
-                    "ts": pa.array([max_ts_ns + i * day_ns], pa.int64()),
-                    "user_id": pa.array([-1], pa.int64()),
-                    "event_type": pa.array(["flush"], pa.string()),
-                    "value": pa.array([0.0], pa.float64()),
-                    "props": pa.array(["{}"], pa.string()),
-                }
-            ),
-            path,
-        )
+        _write_sentinel_parquet(path, -i, max_us + i * day_us)
         os.utime(path, (now + 10 * i, now + 10 * i))
 
-    raw = (
-        spark.readStream.schema(schema)
+    return (
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
         .load(f"{tmp}/*.parquet")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def st05_event_time_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2266,51 +2295,40 @@ def st06_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    src = os.path.join(sf_dir, "events.parquet")
     tmp = os.path.join(tempfile.gettempdir(), "klss_st06_src")
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
-    ev = spark.read.schema(schema).parquet(src)
-    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
-        os.path.join(tmp, "b1")
+    ev = _t(spark, sf_dir, "events")
+    _write_single_parquet(
+        ev.filter(F.col("event_id") % 2 == 0), os.path.join(tmp, "b1")
     )
-    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
-        os.path.join(tmp, "b3")
+    _write_single_parquet(
+        ev.filter(F.col("event_id") % 2 == 1), os.path.join(tmp, "b3")
     )
-    max_even_ns = (
-        ev.filter(F.col("event_id") % 2 == 0).agg(F.max("ts")).first()[0]
+    max_even_us = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .agg(F.max(F.unix_micros("ts")))
+        .first()[0]
     )
-
-    def _sentinel(dirname: str, ts_ns: int) -> None:
-        spark.createDataFrame(
-            [(-1, ts_ns, -1, "flush", 0.0, "{}")], schema
-        ).coalesce(1).write.parquet(os.path.join(tmp, dirname))
 
     # b2: spacer batch (sentinel user at max even ts — does not move
     # the watermark, bridges the one-batch late-filter lag);
     # b4: far-future flush batch.
-    _sentinel("b2", max_even_ns)
-    _sentinel("b4", max_even_ns + 86_400_000_000_000)
+    _write_sentinel_parquet(os.path.join(tmp, "b2"), -1, max_even_us)
+    _write_sentinel_parquet(
+        os.path.join(tmp, "b4"), -2, max_even_us + 86_400_000_000
+    )
     now = os.path.getmtime(os.path.join(tmp, "b1"))
     for i, d in enumerate(("b1", "b2", "b3", "b4"), start=1):
-        full = os.path.join(tmp, d)
-        for f in os.listdir(full):
-            os.utime(os.path.join(full, f), (now + 10 * i, now + 10 * i))
-        os.utime(full, (now + 10 * i, now + 10 * i))
+        os.utime(os.path.join(tmp, d), (now + 10 * i, now + 10 * i))
 
-    raw = (
-        spark.readStream.schema(schema)
+    stream = (
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(f"{tmp}/b*/*.parquet")
+        .load(f"{tmp}/b*")
     )
-    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     # NO pre-aggregation sentinel filter: Catalyst pushes deterministic
     # filters below the EventTimeWatermark node into the parquet scan,
     # where row-group stats prune the sentinel FILES outright — the
@@ -2388,29 +2406,20 @@ def st08_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    src = os.path.join(sf_dir, "events.parquet")
     tmp = os.path.join(tempfile.gettempdir(), "klss_st08_src")
     tgt = os.path.join(tempfile.gettempdir(), "klss_st08_tbl")
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(tgt, ignore_errors=True)
     os.makedirs(tmp)
-    ev = spark.read.schema(schema).parquet(src)
+    ev = _t(spark, sf_dir, "events")
     for b in range(4):
-        ev.filter(F.col("event_id") % 4 == b).coalesce(1).write.parquet(
-            os.path.join(tmp, f"b{b}")
+        _write_single_parquet(
+            ev.filter(F.col("event_id") % 4 == b), os.path.join(tmp, f"b{b}")
         )
     now = os.path.getmtime(os.path.join(tmp, "b0"))
     for i in range(4):
-        full = os.path.join(tmp, f"b{i}")
-        for name in os.listdir(full):
-            os.utime(os.path.join(full, name), (now + 10 * i, now + 10 * i))
-        os.utime(full, (now + 10 * i, now + 10 * i))
+        os.utime(os.path.join(tmp, f"b{i}"), (now + 10 * i, now + 10 * i))
 
     def latest_per_user(df: DataFrame) -> DataFrame:
         w = W.partitionBy("user_id").orderBy(
@@ -2444,10 +2453,10 @@ def st08_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(old, ignore_errors=True)
 
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
         .format("parquet")
         .option("maxFilesPerTrigger", "1")
-        .load(f"{tmp}/b*/*.parquet")
+        .load(f"{tmp}/b*")
     )
     q = (
         raw.writeStream.foreachBatch(merge_batch)

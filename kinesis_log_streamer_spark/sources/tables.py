@@ -44,6 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin the session timezone so timestamp results are oracle-comparable
     # even when the caller's session (e.g. the driver's) didn't set it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Un-annotated parquet TIMESTAMP(MICROS) must load as LTZ (UTC
+    # instant), not TIMESTAMP_NTZ: NTZ forbids epoch casts and Spark
+    # 4.1 infers it by default for tz-less parquet columns.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -54,8 +58,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
-        return df
-    return spark.read.parquet(path)
+        return _ntz_to_ltz(df)
+    return _ntz_to_ltz(spark.read.parquet(path))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Belt-and-braces: coerce any TIMESTAMP_NTZ column to LTZ.
+
+    With the session timezone pinned UTC above, the cast is value-
+    preserving; it only changes the type family so downstream epoch
+    arithmetic stays legal even if the caller's session inferred NTZ
+    before our conf landed.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

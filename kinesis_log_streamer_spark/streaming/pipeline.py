@@ -126,23 +126,53 @@ def sessionized_event_counts(
     )
 
 
+def events_ts_stored_as_nanos(src_path: str) -> bool:
+    """Probe the parquet footer: does ``ts`` carry TIMESTAMP(NANOS)?
+
+    Spark's vectorized reader rejects nano timestamps (they must be
+    read as long via ``legacy.parquet.nanosAsLong``), while micro/milli
+    timestamps read natively.  The driver's generated data has shipped
+    both encodings across rounds, so every events reader probes instead
+    of assuming."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(src_path).field("ts").type
+    return pa.types.is_timestamp(t) and t.unit == "ns"
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming twin of the events table (for tests: a
     bounded directory drained with AvailableNow)."""
+    import os
+
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Pin the timezone like sources/tables.py:load_table — timestamps
     # must be oracle-comparable from a bare driver session too.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if events_ts_stored_as_nanos(os.path.join(sf_dir, "events.parquet")):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("basePath", sf_dir)
+            .load(f"{sf_dir}/events*.parquet")
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
-    raw = (
+    return (
         spark.readStream.schema(schema)
         .format("parquet")
         .option("basePath", sf_dir)
         .load(f"{sf_dir}/events*.parquet")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
