@@ -1395,3 +1395,154 @@ SELECT count(*) AS n_rows,
        round(sum(s_acctbal), 2) AS total_bal
 FROM supplier
 """
+
+ORACLES["q48_fuzzy_join"] = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+FROM customer a
+JOIN customer b
+  ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+ AND length(a.c_name) = length(b.c_name)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+ORACLES["q49_null_safe_join"] = """
+WITH allc AS (
+    SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio,
+           count(*) AS n_all
+    FROM orders GROUP BY 1
+), early AS (
+    SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio2,
+           count(*) AS n_early
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+)
+SELECT prio, n_all, n_early
+FROM allc JOIN early ON prio IS NOT DISTINCT FROM prio2
+ORDER BY prio NULLS FIRST
+"""
+
+ORACLES["q50_median_quantiles"] = """
+SELECT l_returnflag,
+       round(median(l_quantity), 2)                    AS med_qty,
+       round(quantile_cont(l_extendedprice, 0.25), 2)  AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.75), 2)  AS p75_price,
+       round(quantile_disc(l_extendedprice, 0.5), 2)   AS p50_price_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["q51_gap_fill"] = """
+WITH daily AS (
+    SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+           round(sum(o_totalprice), 2) AS rev
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+    GROUP BY 1, 2
+), days AS (
+    SELECT CAST(generate_series AS DATE) AS day
+    FROM generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)
+), spine AS (
+    SELECT p.o_orderpriority, d.day
+    FROM (SELECT DISTINCT o_orderpriority FROM daily) p CROSS JOIN days d
+), g AS (
+    SELECT s.o_orderpriority, s.day, daily.rev,
+           last_value(daily.rev IGNORE NULLS) OVER past  AS rev_ffill,
+           first_value(daily.rev IGNORE NULLS) OVER fut  AS rev_bfill,
+           last_value(CASE WHEN daily.rev IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER past AS pday,
+           first_value(CASE WHEN daily.rev IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER fut  AS nday
+    FROM spine s LEFT JOIN daily
+      ON s.o_orderpriority = daily.o_orderpriority AND s.day = daily.day
+    WINDOW past AS (PARTITION BY s.o_orderpriority ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           fut  AS (PARTITION BY s.o_orderpriority ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT o_orderpriority, day, rev, rev_ffill, rev_bfill,
+       CASE WHEN rev IS NOT NULL THEN rev
+            WHEN rev_ffill IS NULL THEN rev_bfill
+            WHEN rev_bfill IS NULL THEN rev_ffill
+            ELSE ((2 * (CAST(round(rev_ffill * 100) AS BIGINT) * (d2 - d1)
+                        + CAST(round(rev_bfill * 100) AS BIGINT) * d1)
+                   + d2) // (2 * d2)) / 100.0
+       END AS rev_interp
+FROM (
+    SELECT g.*,
+           CAST(date_diff('day', pday, day)  AS BIGINT) AS d1,
+           CAST(date_diff('day', pday, nday) AS BIGINT) AS d2
+    FROM g
+) gd
+ORDER BY o_orderpriority, day
+"""
+
+ORACLES["q52_join_hints"] = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["q53_decimal_exact"] = """
+SELECT l_returnflag,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4))) AS net,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["l09_rolling_anomaly"] = """
+WITH scored AS (
+    SELECT event_id, event_type, value,
+           avg(value)         OVER hist AS mu,
+           stddev_samp(value) OVER hist AS sd,
+           count(value)       OVER hist AS n_hist
+    FROM events
+    WINDOW hist AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type,
+       round(value, 2) AS value,
+       round((value - mu) / sd, 3) AS z
+FROM scored
+WHERE n_hist = 100 AND abs((value - mu) / sd) > 3
+ORDER BY event_id
+"""
+
+ORACLES["f07_compaction"] = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       round(sum(l_extendedprice), 2) AS price_sum
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["u04_grouped_map_zscore"] = """
+SELECT event_id, event_type,
+       round((value - avg(value) OVER grp)
+             / stddev_samp(value) OVER grp, 4) AS z
+FROM events
+WINDOW grp AS (PARTITION BY event_type)
+ORDER BY event_id
+"""
+
+ORACLES["u05_map_in_arrow"] = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""

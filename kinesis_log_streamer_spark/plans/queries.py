@@ -2646,6 +2646,333 @@ def u03_udtf_kv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-2 additions: record linkage, null semantics, quantile surface,
+# time-series gap fill, join-strategy hints, exact decimals, rolling
+# anomalies, compaction
+# ---------------------------------------------------------------------------
+
+
+def q48_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage via blocked levenshtein self-join
+    (`operators/fuzzy.py:blocked_levenshtein_join`): customer names
+    within one edit of each other, candidates generated by a
+    (prefix-16, exact-length) blocking equi-join — never a cross
+    join.  The oracle applies the identical blocking rule, so the
+    recall trade is pinned, not hidden."""
+    from kinesis_log_streamer_spark.operators.fuzzy import (
+        blocked_levenshtein_join,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = blocked_levenshtein_join(
+        cust, name_col="c_name", id_col="c_custkey",
+        block_prefix=16, max_distance=1,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def q49_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): order
+    priorities with one value nulled out on BOTH sides — the NULL
+    group must survive the join (ordinary ``=`` silently drops it).
+    Left side counts all orders per nullable key, right side counts a
+    date-bounded subset; the null-safe inner join aligns them."""
+    orders = _t(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    allc = orders.groupBy(key.alias("prio")).agg(
+        F.count(F.lit(1)).alias("n_all")
+    )
+    early = (
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(key.alias("prio2"))
+        .agg(F.count(F.lit(1)).alias("n_early"))
+    )
+    joined = allc.join(early, allc["prio"].eqNullSafe(early["prio2"]))
+    return joined.select("prio", "n_all", "n_early").orderBy(
+        F.col("prio").asc_nulls_first()
+    )
+
+
+def q50_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile surface: ``median`` (interpolated),
+    ``percentile_cont`` (continuous) and ``percentile_disc``
+    (discrete — smallest value whose cume_dist ≥ p) per group.  All
+    exact aggregates over the full column; the approx-sketch twins
+    live in q28."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q50")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(median(l_quantity), 2) AS med_qty,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+                   AS p25_price,
+               round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+                   AS p75_price,
+               round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+                   AS p50_price_disc
+        FROM lineitem_q50
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+def q51_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + linear interpolation: daily revenue per
+    order priority over a fixed Q1-1995 spine (``sequence`` explode ×
+    broadcast dims — the spine is generated, never shuffled), missing
+    days filled three ways: forward fill (``last ignorenulls``),
+    backward fill (``first ignorenulls`` over the future frame), and
+    linear interpolation between the surrounding observations.
+
+    Scale: the spine is |dims| × |days| rows of three columns; the
+    fill windows partition by dim and never widen beyond it."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    pris = daily.select("o_orderpriority").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE'1995-01-01', DATE'1995-03-31', interval 1 day)"
+            )
+        ).alias("day")
+    )
+    spine = F.broadcast(pris).crossJoin(F.broadcast(days))
+    g = spine.join(daily, ["o_orderpriority", "day"], "left")
+    past = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    future = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("rev").isNotNull(), F.col("day"))
+    g = (
+        g.withColumn("rev_ffill", F.last("rev", ignorenulls=True).over(past))
+        .withColumn("rev_bfill", F.first("rev", ignorenulls=True).over(future))
+        .withColumn("pday", F.last(obs_day, ignorenulls=True).over(past))
+        .withColumn("nday", F.first(obs_day, ignorenulls=True).over(future))
+    )
+    # Interpolate in integer CENTS: pc + (nc-pc)*d1/d2 with half-up
+    # integer division — bit-identical on any engine, where the double
+    # form flips at .005 rounding boundaries between fp orders.
+    g = (
+        g.withColumn("pc", F.round(F.col("rev_ffill") * 100).cast("long"))
+        .withColumn("nc", F.round(F.col("rev_bfill") * 100).cast("long"))
+        .withColumn("d1", F.datediff("day", "pday").cast("long"))
+        .withColumn("d2", F.datediff("nday", "pday").cast("long"))
+    )
+    interp_cents = F.expr(
+        "(2 * (pc * (d2 - d1) + nc * d1) + d2) div (2 * d2)"
+    )
+    interp = (
+        F.when(F.col("rev").isNotNull(), F.col("rev"))
+        .when(F.col("rev_ffill").isNull(), F.col("rev_bfill"))
+        .when(F.col("rev_bfill").isNull(), F.col("rev_ffill"))
+        .otherwise(interp_cents / F.lit(100.0))
+    )
+    return g.select(
+        "o_orderpriority",
+        "day",
+        "rev",
+        "rev_ffill",
+        F.col("rev_bfill"),
+        interp.alias("rev_interp"),
+    ).orderBy("o_orderpriority", "day")
+
+
+def q52_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: the same revenue rollup forced
+    through a SHUFFLE_HASH join (build-side hash map, no sort) instead
+    of the planner's default.  Hints change the physical strategy,
+    never the result — the oracle is the plain join.  The static plan
+    shows ShuffledHashJoin (PLANS.md); AQE may still locally convert
+    at runtime, which is exactly the contract hints have on a real
+    cluster."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = li.join(orders.hint("shuffle_hash"), "l_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q53_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal money arithmetic: prices recast to DECIMAL(18,2)
+    and aggregated WITHOUT rounding — decimal sums are associative, so
+    Spark and DuckDB must agree to the last digit at any partition
+    count (the float aggregates everywhere else need round(); these
+    must not).  The product keeps the natural s1+s2 scale on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_d"),
+        (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)").alias("mult_d"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum("price_d").alias("gross"),
+            F.sum(F.col("price_d") * F.col("mult_d")).alias("net"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def l09_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    the mean/stddev of the 100 PRECEDING events of its type (the
+    trailing frame excludes the current row — no self-contamination);
+    rows with |z| > 3 and a full history window are flagged.  One
+    window shuffle on event_type; the frame is O(1) state per row at
+    any scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("n_hist"),
+    )
+    return (
+        scored.filter(F.col("n_hist") == 100)
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+        .filter(F.abs("z") > 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("z", 3).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def f07_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the table-maintenance op every streaming
+    ingest needs): lineitem fragmented into 64 shards, compacted back
+    to a handful of right-sized files; the compacted table must carry
+    exactly the original rows.  Returns per-flag checksums over the
+    COMPACTED files — hash-matched against the pristine table."""
+    import os
+    import shutil
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = os.path.join(tempfile.gettempdir(), "klss_f07")
+    frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
+    shutil.rmtree(base, ignore_errors=True)
+    li.repartition(64).write.parquet(frag)
+    fragmented = spark.read.parquet(frag)
+    n_small = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    # Compact to ~4 files (at scale: repartition to ceil(bytes/target)).
+    fragmented.repartition(4).write.parquet(compact)
+    n_big = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    if not (n_big < n_small and n_big <= 8):
+        raise RuntimeError(f"compaction produced {n_big} files from {n_small}")
+    return (
+        spark.read.parquet(compact)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def u04_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandas`` grouped-map (the third pandas-UDF shape after
+    u01's grouped-agg and u02's scalar): per-event-type z-score
+    normalization computed by a pandas function over each whole group,
+    Arrow-batched both ways.  Rounding happens JVM-side after the UDF
+    so both engines round identically.  The oracle is the window-SQL
+    identity."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z_raw": (pdf["value"] - mu) / sd,
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, z_raw double"
+    )
+    return (
+        out.select(
+            "event_id", "event_type", F.round("z_raw", 4).alias("z")
+        )
+        .orderBy("event_id")
+    )
+
+
+def u05_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy columnar UDF shape — each
+    partition streams through as pyarrow RecordBatches and the
+    transform runs vectorized Arrow compute kernels (no pandas
+    materialization at all).  Byte/char length audit of the documents
+    corpus; oracle via octet_length/length."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def measure(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_chars"],
+            )
+
+    return (
+        docs.mapInArrow(measure, schema="doc_id long, n_bytes long, n_chars long")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2654,6 +2981,16 @@ REGISTRY = {
     # tail unverified; the previously-unverified queries run FIRST so
     # a budget cut can never starve them again (VERDICT r01 item 1).
     # Newest (never-yet-verified) queries lead for the same reason.
+    "q48_fuzzy_join": q48_fuzzy_join,
+    "q49_null_safe_join": q49_null_safe_join,
+    "q50_median_quantiles": q50_median_quantiles,
+    "q51_gap_fill": q51_gap_fill,
+    "q52_join_hints": q52_join_hints,
+    "q53_decimal_exact": q53_decimal_exact,
+    "l09_rolling_anomaly": l09_rolling_anomaly,
+    "f07_compaction": f07_compaction,
+    "u04_grouped_map_zscore": u04_grouped_map_zscore,
+    "u05_map_in_arrow": u05_map_in_arrow,
     "d05_dedup_clusters": d05_dedup_clusters,
     "d06_dedup_keep": d06_dedup_keep,
     "t08_quality_budget": t08_quality_budget,

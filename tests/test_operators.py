@@ -152,3 +152,38 @@ class TestBinRangeJoin:
         assert got == [(0.0, 0), (10.0, 1), (25.0, 2)]
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan
+
+
+class TestFuzzyJoin:
+    def test_blocked_pairs_match_naive_within_blocks(self, spark):
+        from kinesis_log_streamer_spark.operators.fuzzy import (
+            blocked_levenshtein_join,
+        )
+
+        names = [
+            (1, "widget-00a"),
+            (2, "widget-00b"),   # lev 1 from widget-00a
+            (3, "widget-99z"),   # same block, lev 2 -> excluded
+            (4, "gadget-00a"),   # different block prefix
+            (5, "widget-00ax"),  # different length -> different block
+        ]
+        df = spark.createDataFrame(names, "pid long, pname string")
+        out = blocked_levenshtein_join(
+            df, name_col="pname", id_col="pid",
+            block_prefix=7, max_distance=1,
+        )
+        got = sorted((r.id_a, r.id_b, r.lev) for r in out.collect())
+        assert got == [(1, 2, 1)]
+
+    def test_no_cartesian_in_plan(self, spark):
+        from kinesis_log_streamer_spark.operators.fuzzy import (
+            blocked_levenshtein_join,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("pid"),
+            F.concat(F.lit("name-"), F.col("id")).alias("pname"),
+        )
+        out = blocked_levenshtein_join(df, "pname", "pid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
