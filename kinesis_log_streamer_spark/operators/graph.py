@@ -42,6 +42,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label each node of the undirected graph ``edges`` with the
     minimum node id in its connected component.
@@ -53,6 +54,18 @@ def connected_components(
     max_iter : safety bound; raises if the fixpoint is not reached
         (diameter > max_iter signals a pathological graph, not a
         bigger budget).
+    driver_threshold : edge count at or below which the component
+        labeling is computed driver-side by union-find instead of the
+        distributed loop — the same adaptivity Catalyst applies when
+        it broadcasts a small join side.  A deduplicated edge list of
+        ≤1M (long, long) rows is ≤ ~16 MB on the driver (well under a
+        broadcast-side budget) and union-find labels it in
+        O(E·α(E)) μs-per-edge, where every loop round costs whole
+        Spark jobs of fixed overhead.  Near-dup graphs are tiny
+        relative to their corpus (edges exist only for actual
+        duplicates), so at 100 TB corpus scale the edge list usually
+        STILL takes this path; the iterative loop engages only past
+        the threshold, where driver memory would be at risk.
 
     Returns (node, component) — one row per node that appears in any
     edge, component = min reachable node id.
@@ -62,6 +75,9 @@ def connected_components(
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     arcs = fwd.union(rev).distinct().localCheckpoint(eager=True)
+
+    if arcs.count() <= driver_threshold:
+        return _driver_union_find(spark, arcs)
 
     labels = (
         arcs.select(F.col("u").alias("node"))
@@ -104,6 +120,39 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def _driver_union_find(spark, arcs: DataFrame) -> DataFrame:
+    """Label a SMALL (≤ driver_threshold) edge list by union-find.
+
+    The collect here is the deliberate, bounded, small-side fast path
+    gated by ``connected_components``'s threshold — the distributed
+    min-label loop remains the path for edge lists too big to hold.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in arcs.toLocalIterator():
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # Union by MIN id so the final label IS min(component)
+            # without a second pass.
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+
+    labels = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(labels, "node long, component long")
 
 
 def dedup_clusters(

@@ -28,16 +28,36 @@ class TestConnectedComponents:
     def test_long_chain_converges(self, spark):
         # A 12-node path: worst case for min-label propagation
         # (diameter 11) — exercises the multi-round loop + checkpoint.
+        # driver_threshold=0 forces the distributed path (the default
+        # would take the union-find fast path on a graph this small).
         chain = spark.createDataFrame(
             [(i, i + 1) for i in range(11)], "src long, dst long"
         )
-        comp = {r.node: r.component for r in G.connected_components(chain).collect()}
+        comp = {
+            r.node: r.component
+            for r in G.connected_components(
+                chain, driver_threshold=0
+            ).collect()
+        }
         assert set(comp) == set(range(12))
         assert set(comp.values()) == {0}
 
+    def test_distributed_path_matches_union_find(self, spark, edges):
+        fast = {
+            r.node: r.component
+            for r in G.connected_components(edges).collect()
+        }
+        dist = {
+            r.node: r.component
+            for r in G.connected_components(
+                edges, driver_threshold=0
+            ).collect()
+        }
+        assert fast == dist
+
     def test_non_convergence_raises(self, spark, edges):
         with pytest.raises(RuntimeError, match="converge"):
-            G.connected_components(edges, max_iter=1)
+            G.connected_components(edges, max_iter=1, driver_threshold=0)
 
 
 class TestDedupClusters:
