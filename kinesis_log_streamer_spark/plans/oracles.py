@@ -1546,3 +1546,63 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+ORACLES["q54_scd2_join"] = """
+WITH vers AS (
+    SELECT s_suppkey,
+           (DATE '1995-01-01' + INTERVAL (s_suppkey % 700) DAY)::DATE AS b1
+    FROM supplier
+), vers2 AS (
+    SELECT s_suppkey, b1,
+           (b1 + INTERVAL (400 + s_suppkey % 300) DAY)::DATE AS b2
+    FROM vers
+), dim AS (
+    SELECT s_suppkey, 'A' AS version, DATE '1900-01-01' AS valid_from, b1 AS valid_to FROM vers2
+    UNION ALL
+    SELECT s_suppkey, 'B', b1, b2 FROM vers2
+    UNION ALL
+    SELECT s_suppkey, 'C', b2, DATE '9999-12-31' FROM vers2
+)
+SELECT version,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN dim ON l_suppkey = s_suppkey
+        AND CAST(l_shipdate AS DATE) >= valid_from
+        AND CAST(l_shipdate AS DATE) <  valid_to
+GROUP BY version
+ORDER BY version
+"""
+
+ORACLES["p02_dq_checks"] = """
+SELECT * FROM (
+    SELECT 'lineitem_rows' AS metric, count(*) AS violations FROM lineitem
+    UNION ALL
+    SELECT 'null_orderkey', count(*) FROM lineitem WHERE l_orderkey IS NULL
+    UNION ALL
+    SELECT 'dup_line_key', count(*) FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY 1, 2 HAVING count(*) > 1
+    )
+    UNION ALL
+    SELECT 'orphan_lineitems', count(*) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'discount_out_of_range', count(*) FROM lineitem
+    WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'nonpositive_quantity', count(*) FROM lineitem
+    WHERE l_quantity <= 0
+)
+ORDER BY metric
+"""
+
+ORACLES["q55_dynamic_partition_pruning"] = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE year(o_orderdate) IN (1996, 1997)
+GROUP BY 1
+ORDER BY o_year
+"""
