@@ -58,6 +58,14 @@ HEADLINE = [
     "l06_client_sessions",
     "t06_tfidf_topterms",
     "t07_bigram_topk",
+    # round-2 batch 2: linkage, gap fill, decimals, grouped-map UDF,
+    # rolling anomaly, SCD2
+    "q48_fuzzy_join",
+    "q51_gap_fill",
+    "q53_decimal_exact",
+    "u04_grouped_map_zscore",
+    "l09_rolling_anomaly",
+    "q54_scd2_join",
     "st01_stream_window_counts",
     "st03_stream_stream_join",
     "st05_event_time_sessions",

@@ -180,3 +180,126 @@ def dedup_clusters(
             F.coalesce("component", F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    The second iterative-graph shape after ``connected_components``:
+    score flows along out-edges each round,
+    ``rank = (1-d)/N + d * Σ rank(in)/outdeg(in)``, with dangling-node
+    mass redistributed uniformly (the standard stochastic fix).
+
+    Deterministic by construction — a FIXED iteration count, not a
+    convergence epsilon, so an external engine can replay the exact
+    same computation (the q56 oracle runs these identical updates as a
+    recursive CTE).
+
+    Scale design mirrors ``connected_components``:
+    * per-round state is (node, rank) — one double per node;
+    * each round is one shuffle-join (ranks ⋈ edges on src) + one
+      hash-agg on dst, both partitioned by node id;
+    * out-degrees are computed ONCE and joined narrow;
+    * ``localCheckpoint`` truncates lineage every round;
+    * the dangling-mass term is a 1-row aggregate broadcast into the
+      update expression, not a driver collect of state;
+    * below ``driver_threshold`` deduped edges the whole computation
+      runs vectorized on the driver (same small-side adaptivity as
+      ``connected_components`` — a loop round costs whole Spark jobs
+      of fixed overhead that dwarf a numpy pass over a small graph).
+    """
+    spark = edges.sparkSession
+    arcs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if arcs.count() <= driver_threshold:
+        return _driver_pagerank(spark, arcs, n_iter, damping)
+    nodes = (
+        arcs.select(F.col("u").alias("node"))
+        .union(arcs.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    outdeg = arcs.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # (node, rank, deg); deg NULL marks a dangling node (no out-edges).
+    state = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.lit(1.0 / n_total).alias("rank"), "deg")
+        .localCheckpoint(eager=True)
+    )
+    base = (1.0 - damping) / n_total
+    for _ in range(n_iter):
+        dangling = (
+            state.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            arcs.join(state, arcs["u"] == state["node"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        state = (
+            state.select("node", "deg")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") / n_total
+                    )
+                ).alias("rank"),
+                "deg",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("node", "rank")
+
+
+def _driver_pagerank(
+    spark, arcs: DataFrame, n_iter: int, damping: float
+) -> DataFrame:
+    """Vectorized small-graph PageRank (≤ driver_threshold edges).
+
+    Same bounded-collect contract as ``_driver_union_find``: the
+    distributed loop above remains the path for edge lists too large
+    to hold driver-side."""
+    import numpy as np
+
+    rows = arcs.toPandas()
+    u_raw, v_raw = rows["u"].to_numpy(), rows["v"].to_numpy()
+    nodes = np.unique(np.concatenate([u_raw, v_raw]))
+    idx = {n: i for i, n in enumerate(nodes.tolist())}
+    u = np.fromiter((idx[x] for x in u_raw.tolist()), dtype=np.int64)
+    v = np.fromiter((idx[x] for x in v_raw.tolist()), dtype=np.int64)
+    n = len(nodes)
+    deg = np.bincount(u, minlength=n).astype(np.float64)
+    dangling = deg == 0
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        dm = rank[dangling].sum()
+        contrib = rank[u] / deg[u]
+        inflow = np.bincount(v, weights=contrib, minlength=n)
+        rank = base + damping * (inflow + dm / n)
+    out = [(int(nodes[i]), float(rank[i])) for i in range(n)]
+    return spark.createDataFrame(out, "node long, rank double")

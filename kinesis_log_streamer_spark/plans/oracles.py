@@ -1606,3 +1606,45 @@ WHERE year(o_orderdate) IN (1996, 1997)
 GROUP BY 1
 ORDER BY o_year
 """
+
+# q56: PageRank with a FIXED 10 iterations — unrolled as chained CTEs
+# because SQL forbids aggregates in a recursive CTE's recursive term.
+# Graph: events (user_id%100 → props.k%100) plus the bijective ring
+# n → 31n+7 (mod 100), so all 100 nodes have out-degree ≥ 1 (no
+# dangling mass) and in-degree ≥ 1 (every node appears in each step).
+def _pagerank_sql(n_iter: int = 10, damping: float = 0.85, n: int = 100) -> str:
+    base = (1.0 - damping) / n
+    parts = [
+        "WITH arcs AS (",
+        "    SELECT DISTINCT u, v FROM (",
+        "        SELECT user_id % 100 AS u,",
+        "               CAST(props->>'k' AS BIGINT) % 100 AS v",
+        "        FROM events",
+        "        UNION ALL",
+        "        SELECT range AS u, (range * 31 + 7) % 100 AS v",
+        f"        FROM range({n})",
+        "    )",
+        "), outdeg AS (",
+        "    SELECT u AS node, count(*) AS deg FROM arcs GROUP BY u",
+        "), pr0 AS (",
+        f"    SELECT range AS node, 1.0/{n} AS rank FROM range({n})",
+        ")",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f", pr{i + 1} AS (\n"
+            f"    SELECT a.v AS node,\n"
+            f"           {base!r} + {damping!r} * sum(p.rank / od.deg) AS rank\n"
+            f"    FROM pr{i} p\n"
+            f"    JOIN outdeg od ON od.node = p.node\n"
+            f"    JOIN arcs a   ON a.u     = p.node\n"
+            f"    GROUP BY a.v\n"
+            f")"
+        )
+    parts.append(
+        f"SELECT node, round(rank, 6) AS rank FROM pr{n_iter} ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
+ORACLES["q56_pagerank"] = _pagerank_sql()

@@ -3121,6 +3121,29 @@ def q55_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
+def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (`operators/graph.py:pagerank`) over a
+    deterministic 100-node interaction graph derived from events
+    (user cohort → props key), closed by a bijective ring
+    (n → 31n+7 mod 100) so every node has out-degree ≥ 1 — no
+    dangling mass, which lets an external engine replay the exact
+    update.  Oracle: the identical 10 unrolled update steps as chained
+    CTEs in DuckDB (aggregates are not allowed in a recursive CTE's
+    recursive term, so it is unrolled); ranks rounded to 6."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("u"),
+        (F.get_json_object("props", "$.k").cast("long") % 100).alias("v"),
+    )
+    ring = spark.range(100).select(
+        F.col("id").alias("u"), ((F.col("id") * 31 + 7) % 100).alias("v")
+    )
+    edges = ev.unionByName(ring)
+    pr = G.pagerank(edges, src="u", dst="v", n_iter=10)
+    return pr.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3131,6 +3154,7 @@ REGISTRY = {
     # a budget cut can never starve them again (VERDICT r01 item 1).
     # Newest (never-yet-verified) queries lead for the same reason.
     "q54_scd2_join": q54_scd2_join,
+    "q56_pagerank": q56_pagerank,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
     "q48_fuzzy_join": q48_fuzzy_join,

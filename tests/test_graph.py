@@ -97,3 +97,43 @@ class TestPortableMinhash:
         }
         assert (0, 1) in pairs
         assert all(2 not in p and 3 not in p for p in pairs)
+
+
+class TestPageRank:
+    def _ranks(self, df):
+        return {r.node: r.rank for r in df.collect()}
+
+    def test_uniform_ring_is_uniform(self, spark):
+        # A pure cycle: symmetry forces rank == 1/N for every node.
+        ring = spark.createDataFrame(
+            [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+        )
+        ranks = self._ranks(G.pagerank(ring))
+        assert all(abs(r - 0.2) < 1e-12 for r in ranks.values())
+
+    def test_star_center_dominates_and_mass_conserved(self, spark):
+        # 4 leaves -> center; center -> leaf 1. No dangling nodes.
+        # The center<->leaf-1 two-cycle makes convergence oscillatory
+        # (amplitude ~ d^k), so run enough iterations to damp it.
+        edges = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        ranks = self._ranks(G.pagerank(df, n_iter=60))
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+        assert ranks[0] == max(ranks.values())
+
+    def test_distributed_path_matches_driver_path(self, spark):
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)], "src long, dst long"
+        )
+        fast = self._ranks(G.pagerank(edges))
+        dist = self._ranks(G.pagerank(edges, driver_threshold=0))
+        assert set(fast) == set(dist)
+        assert all(abs(fast[k] - dist[k]) < 1e-9 for k in fast)
+
+    def test_dangling_mass_redistributed(self, spark):
+        # 0 -> 1, 1 has no out-edges: its mass must recirculate, and
+        # total mass stays 1.
+        df = spark.createDataFrame([(0, 1)], "src long, dst long")
+        ranks = self._ranks(G.pagerank(df))
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+        assert ranks[1] > ranks[0]
