@@ -1648,3 +1648,27 @@ def _pagerank_sql(n_iter: int = 10, damping: float = 0.85, n: int = 100) -> str:
 
 
 ORACLES["q56_pagerank"] = _pagerank_sql()
+
+ORACLES["m04_binary_file_scan"] = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+WHERE doc_id < 64
+ORDER BY doc_id
+"""
+
+ORACLES["q57_predicate_collect"] = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus IN ('F', 'P') THEN 1 END)      AS n_closed_ish,
+       count(CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1 END)  AS n_urgent_like,
+       count(CASE WHEN regexp_matches(o_orderpriority, '^[12]-') THEN 1 END)
+           AS n_high_rx,
+       count(CASE WHEN o_totalprice BETWEEN 1000 AND 100000 THEN 1 END)
+           AS n_mid_price,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END)              AS n_open_case,
+       list_sort(list(DISTINCT o_orderstatus))                      AS statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -3144,6 +3144,68 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def m04_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``spark.read.format("binaryFile")`` — the raw-asset ingestion
+    path SURVEY §2.2's multimodal row names: a directory of opaque
+    payload files scanned as (path, length, content) rows, keyed back
+    to the catalog by filename.  Integrity is proven end-to-end: the
+    md5 of each file's bytes must equal the md5 DuckDB computes from
+    the source text.  At 100 TB this scan is how image/audio shards
+    enter the lakehouse (pointer-and-payload, one row per object)."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    base = os.path.join(tempfile.gettempdir(), "klss_m04")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    for r in docs.select("doc_id", "text").collect():
+        with open(os.path.join(base, f"{r.doc_id:06d}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+
+    binf = spark.read.format("binaryFile").load(base)
+    return binf.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"^(\d+)", 1
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5("content").alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
+def q57_predicate_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining expression-language surface in one query:
+    LIKE / RLIKE / IN-list / BETWEEN / CASE predicates as conditional
+    counts, plus ``collect_set`` (sorted for determinism) — per order
+    priority."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus").isin("F", "P"), 1)).alias(
+                "n_closed_ish"
+            ),
+            F.count(
+                F.when(F.col("o_orderpriority").like("%URGENT%"), 1)
+            ).alias("n_urgent_like"),
+            F.count(
+                F.when(F.col("o_orderpriority").rlike("^[12]-"), 1)
+            ).alias("n_high_rx"),
+            F.count(
+                F.when(F.col("o_totalprice").between(1000, 100000), 1)
+            ).alias("n_mid_price"),
+            F.count(
+                F.when(F.col("o_orderstatus") == "O", 1).otherwise(None)
+            ).alias("n_open_case"),
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3155,6 +3217,8 @@ REGISTRY = {
     # Newest (never-yet-verified) queries lead for the same reason.
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
+    "q57_predicate_collect": q57_predicate_collect,
+    "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
     "q48_fuzzy_join": q48_fuzzy_join,
