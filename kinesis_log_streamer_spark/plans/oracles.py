@@ -1672,3 +1672,18 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+ORACLES["q58_not_in_null_semantics"] = """
+WITH keys AS (
+    SELECT CASE WHEN n_nationkey = 13 THEN NULL
+                ELSE n_nationkey END AS k
+    FROM nation
+    WHERE n_nationkey < 15
+)
+SELECT
+    (SELECT count(*) FROM customer
+     WHERE c_nationkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+    (SELECT count(*) FROM customer c
+     WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_nationkey))
+        AS n_not_exists
+"""

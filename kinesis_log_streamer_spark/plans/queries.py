@@ -3144,6 +3144,35 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def q58_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI tri-valued logic where engines classically diverge:
+    ``NOT IN`` against a subquery WITH a NULL yields UNKNOWN for every
+    row (null-aware anti join — zero rows), while ``NOT EXISTS`` over
+    the same predicate ignores the NULL and keeps the non-matches.
+    Both shapes are computed side by side and must agree with DuckDB
+    row-for-row.  Spark plans the NOT IN as a null-aware
+    BroadcastNestedLoopJoin by necessity — the correctness price of
+    the operator, which is why production plans prefer NOT EXISTS."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_q58")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_q58")
+    return spark.sql(
+        """
+        WITH keys AS (
+            SELECT CASE WHEN n_nationkey = 13 THEN NULL
+                        ELSE n_nationkey END AS k
+            FROM nation_q58
+            WHERE n_nationkey < 15
+        )
+        SELECT
+            (SELECT count(*) FROM customer_q58
+             WHERE c_nationkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+            (SELECT count(*) FROM customer_q58 c
+             WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_nationkey))
+                AS n_not_exists
+        """
+    )
+
+
 def m04_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``spark.read.format("binaryFile")`` — the raw-asset ingestion
     path SURVEY §2.2's multimodal row names: a directory of opaque
@@ -3218,6 +3247,7 @@ REGISTRY = {
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
     "q57_predicate_collect": q57_predicate_collect,
+    "q58_not_in_null_semantics": q58_not_in_null_semantics,
     "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
