@@ -1687,3 +1687,11 @@ SELECT
      WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = c.c_nationkey))
         AS n_not_exists
 """
+
+ORACLES["st09_checkpoint_resume"] = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""

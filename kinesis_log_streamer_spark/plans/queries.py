@@ -3144,6 +3144,77 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def st09_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once RESUME from a checkpoint — the durability contract
+    that makes streaming trustworthy: phase 1 drains the first half of
+    the events files through a checkpointed ``foreachBatch`` (each
+    micro-batch appends its partial per-(day, type) counts to a
+    parquet log) and STOPS; the second half of the files then lands;
+    phase 2 restarts the SAME query from the SAME checkpoint and must
+    process ONLY the new files — zero re-emission of phase-1 batches.
+    The final rollup sums the partial-count log; any reprocessing
+    would double-count and break the hash against the batch oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tmp = os.path.join(tempfile.gettempdir(), "klss_st09_src")
+    hold = os.path.join(tempfile.gettempdir(), "klss_st09_hold")
+    ckpt = os.path.join(tempfile.gettempdir(), "klss_st09_ckpt")
+    outp = os.path.join(tempfile.gettempdir(), "klss_st09_out")
+    for d in (tmp, hold, ckpt, outp):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(tmp)
+    os.makedirs(hold)
+    os.makedirs(outp)
+    ev = _t(spark, sf_dir, "events")
+    for b in range(4):
+        _write_single_parquet(
+            ev.filter(F.col("event_id") % 4 == b), os.path.join(tmp, f"b{b}")
+        )
+    # Hold the second half OUTSIDE the watched directory (a same-dir
+    # rename would still match the source glob).
+    later = [os.path.join(tmp, f"b{b}") for b in (2, 3)]
+    staged = [os.path.join(hold, f"b{b}") for b in (2, 3)]
+    for p, s in zip(later, staged):
+        os.rename(p, s)
+
+    def append_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.to_date("ts").alias("day"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n_partial"))
+            .write.mode("append")
+            .parquet(outp)
+        )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(_EVENTS_TS_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(f"{tmp}/b*")
+            .writeStream.foreachBatch(append_partial)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    drain()  # phase 1: sees b0, b1 only
+    for p, s in zip(later, staged):
+        os.rename(s, p)
+    drain()  # phase 2: SAME checkpoint -> must pick up ONLY b2, b3
+    return (
+        spark.read.parquet(outp)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n_partial").cast("long").alias("n_events"))
+        .orderBy("day", "event_type")
+    )
+
+
 def q58_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI tri-valued logic where engines classically diverge:
     ``NOT IN`` against a subquery WITH a NULL yields UNKNOWN for every
@@ -3248,6 +3319,7 @@ REGISTRY = {
     "q56_pagerank": q56_pagerank,
     "q57_predicate_collect": q57_predicate_collect,
     "q58_not_in_null_semantics": q58_not_in_null_semantics,
+    "st09_checkpoint_resume": st09_checkpoint_resume,
     "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
