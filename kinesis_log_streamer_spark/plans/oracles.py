@@ -1695,3 +1695,47 @@ FROM events
 GROUP BY 1, 2
 ORDER BY day, event_type
 """
+
+ORACLES["t13_contamination"] = """
+WITH g AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS gs
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+    WHERE len(t) >= 3
+), bench AS (
+    SELECT doc_id AS bench_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0
+), corp AS (
+    SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0
+)
+SELECT corp.doc_id, bench.bench_id, count(*) AS n_shared
+FROM corp JOIN bench ON corp.gram = bench.gram
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY doc_id, bench_id
+"""
+
+ORACLES["t14_pii_scrub"] = """
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact user' || doc_id
+                     || '@example.com from 10.1.' || (doc_id % 250) || '.7'
+                ELSE text END AS t
+    FROM documents
+    WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS BIGINT)
+           AS n_ips,
+       md5(regexp_replace(
+               regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+               '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '<IP>', 'g'))
+           AS scrubbed_md5
+FROM t
+ORDER BY doc_id
+"""

@@ -3144,6 +3144,63 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def t13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DEcontamination — the pre-training hygiene pass: find
+    corpus documents sharing ≥ 2 distinct word 3-grams with any
+    held-out benchmark document (deterministic cohort, doc_id % 97).
+    Inverted-index shape: distinct grams exploded per side, equi-join
+    on the gram, count per (doc, bench) pair — never doc × benchmark.
+    The benchmark side is tiny by nature and broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    grams5 = F.array_distinct(TX.ngrams_col(F.col("text"), 3))
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.explode(grams5).alias("g")
+    )
+    corp = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(grams5).alias("g")
+    )
+    return (
+        corp.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+def t14_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — redact emails and IPv4s before training.  The
+    synthetic corpus carries no PII, so a deterministic contact line
+    is appended per doc_id cohort FIRST (both engines build the same
+    input), then counted and redacted; the md5 of the scrubbed text
+    pins the exact replacement behavior, not just the counts.  All
+    scan-local regex in codegen — the 100 TB shape is one pass."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    email_re = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+    ip_re = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+    tainted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.1."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", tainted.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("t", email_re, "<EMAIL>"), ip_re, "<IP>"
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(ip_re)).cast("long").alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
 def st09_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once RESUME from a checkpoint — the durability contract
     that makes streaming trustworthy: phase 1 drains the first half of
@@ -3320,6 +3377,8 @@ REGISTRY = {
     "q57_predicate_collect": q57_predicate_collect,
     "q58_not_in_null_semantics": q58_not_in_null_semantics,
     "st09_checkpoint_resume": st09_checkpoint_resume,
+    "t13_contamination": t13_contamination,
+    "t14_pii_scrub": t14_pii_scrub,
     "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
