@@ -1739,3 +1739,13 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+ORACLES["f08_malformed_csv"] = """
+SELECT count(*) AS n_valid,
+       CAST(3 AS BIGINT) AS n_corrupt,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(l_linenumber) AS BIGINT) AS ln_sum,
+       round(sum(l_quantity), 2) AS qty_sum
+FROM lineitem
+WHERE l_orderkey < 300
+"""

@@ -3144,6 +3144,64 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def f08_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input contract for file scans: a CSV assembled from
+    lineitem rows plus deterministic garbage lines (non-numeric
+    fields, arity overflow), read in PERMISSIVE mode with a
+    corrupt-record column — bad rows are quarantined, never dropped
+    silently and never aborting the scan (the dead-letter pattern;
+    the reference's JSON path ABORTS by contract instead,
+    jsonstreamer.go:44-45 → i05).  The oracle reads the same file
+    with DuckDB's ignore_errors and must agree on the surviving rows;
+    the corrupt count is pinned by the row arithmetic."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "klss_f08")
+    shutil.rmtree(base, ignore_errors=True)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 300)
+        .select(
+            F.concat_ws(
+                ",", "l_orderkey", "l_linenumber", "l_quantity"
+            ).alias("value")
+        )
+    )
+    garbage = spark.createDataFrame(
+        [("oops,not,numeric",), ("1,2,3,4,5",), ("#!corrupt line",)],
+        "value string",
+    )
+    li.unionByName(garbage).coalesce(1).write.text(base)
+
+    schema = "k long, ln int, qty double, _corrupt string"
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(base)
+    )
+    # The aggregate references EVERY data column: corrupt-record
+    # classification is only exact for the columns actually parsed
+    # (CSV column pruning would otherwise let an arity-overflow or
+    # short line slip through as "valid" nulls — observed, not
+    # hypothetical).
+    return raw.select(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("k")))
+        .cast("long")
+        .alias("key_sum"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("ln")))
+        .cast("long")
+        .alias("ln_sum"),
+        F.round(
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("qty"))), 2
+        ).alias("qty_sum"),
+    )
+
+
 def t13_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark DEcontamination — the pre-training hygiene pass: find
     corpus documents sharing ≥ 2 distinct word 3-grams with any
@@ -3379,6 +3437,7 @@ REGISTRY = {
     "st09_checkpoint_resume": st09_checkpoint_resume,
     "t13_contamination": t13_contamination,
     "t14_pii_scrub": t14_pii_scrub,
+    "f08_malformed_csv": f08_malformed_csv,
     "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
