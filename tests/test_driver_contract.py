@@ -1,0 +1,80 @@
+"""Driver-contract guard: the external driver runs `__spark_entry__`
+on a BARE SparkSession (none of `session.py:get_spark`'s confs), so
+every query must self-carry its session requirements (UTC timezone,
+parquet timestamp handling, Arrow for pandas UDFs).
+
+Round-2 regression this guards: the generated events.parquet switched
+timestamp encodings between rounds (TIMESTAMP(NANOS) → native micros,
+which Spark 4.1 infers as TIMESTAMP_NTZ on a default session) and
+five streaming queries silently collapsed before the loaders learned
+to probe and coerce.  The bare session runs in a SUBPROCESS so the
+tuned test session's JVM confs can't leak into it.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_BARE_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+spark = SparkSession.builder.master("local[8]").getOrCreate()
+
+import __spark_entry__ as entry
+from kinesis_log_streamer_spark.plans import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+assert len(entry.entry(spark).collect()) > 0, "entry() empty on bare session"
+
+# Events timestamps must load as LTZ (epoch-comparable) even on a
+# default session — the exact failure mode of the encoding drift.
+ev = Q._t(spark, SF, "events")
+assert isinstance(ev.schema["ts"].dataType, T.TimestampType), ev.schema["ts"]
+
+for name in (
+    "q24_tumbling_window",        # timestamp window over events
+    "q25_sessionize",             # epoch cast over event time
+    "st01_stream_window_counts",  # streaming replay fixture
+    "u04_grouped_map_zscore",     # Arrow / pandas path
+):
+    n = Q.REGISTRY[name](spark, SF).count()
+    assert n > 0, f"{{name}} returned 0 rows on bare session"
+    print(name, n, flush=True)
+print("BARE_OK")
+"""
+
+
+class TestBareSessionContract:
+    def test_driver_slice_on_bare_session(self):
+        proc = subprocess.run(
+            [sys.executable, "-c", _BARE_SCRIPT.format(repo=REPO)],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "BARE_OK" in proc.stdout
+
+    def test_registry_and_oracles_align(self):
+        sys.path.insert(0, REPO)
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        os_ = entry.oracle_sql()
+        assert set(os_) <= set(qs)
+        # every oracle-less query is a documented rows-only contract
+        rows_only = sorted(set(qs) - set(os_))
+        assert all(
+            k.split("_")[0]
+            in {"q28", "d02", "d03", "t03", "s03", "s04", "s05", "s08"}
+            for k in rows_only
+        ), rows_only
