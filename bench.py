@@ -66,6 +66,9 @@ HEADLINE = [
     "u04_grouped_map_zscore",
     "l09_rolling_anomaly",
     "q54_scd2_join",
+    "q56_pagerank",
+    "t13_contamination",
+    "t14_pii_scrub",
     "st01_stream_window_counts",
     "st03_stream_stream_join",
     "st05_event_time_sessions",
