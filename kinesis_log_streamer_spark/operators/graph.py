@@ -139,7 +139,11 @@ def _driver_union_find(spark, arcs: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for u, v in arcs.toLocalIterator():
+    # One Arrow-batched fetch; toLocalIterator would pay a driver
+    # round trip per partition and serialize row by row.
+    pdf = arcs.toPandas()
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        u, v = int(u), int(v)
         if u not in parent:
             parent[u] = u
         if v not in parent:
