@@ -1749,3 +1749,26 @@ SELECT count(*) AS n_valid,
 FROM lineitem
 WHERE l_orderkey < 300
 """
+
+ORACLES["t15_repetition_rules"] = """
+WITH feats AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           round(list_sum(list_transform(t, x -> length(x)))::DOUBLE
+                 / len(t), 4) AS mean_word_len,
+           CASE WHEN len(t) >= 3 THEN
+               round(1.0 - len(list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]))::DOUBLE
+                     / (len(t) - 2), 4)
+           ELSE 0.0 END AS rep_ratio
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+)
+SELECT doc_id, n_words, mean_word_len, rep_ratio,
+       (n_words >= 10 AND mean_word_len BETWEEN 2.5 AND 12.0
+        AND rep_ratio <= 0.2) AS keep
+FROM feats
+ORDER BY doc_id
+"""

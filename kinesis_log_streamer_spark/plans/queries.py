@@ -3144,6 +3144,51 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def t15_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document rule filter: intra-document repetition
+    (1 − distinct/total word 3-grams), word count bounds, mean word
+    length bounds — each signal and the final keep/drop verdict per
+    document.  Everything is scan-local array math in codegen
+    (``array_distinct``/``aggregate`` on the token array — no explode,
+    no shuffle): the 100 TB shape is a single pass that drops rows
+    before anything downstream pays for them."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens_col(F.col("text"))
+    grams = TX.ngrams_col(F.col("text"), 3)
+    n_words = F.size(toks)
+    mean_wlen = F.round(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words,
+        4,
+    )
+    rep_ratio = F.round(
+        F.when(
+            F.size(grams) > 0,
+            1.0
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams),
+        ).otherwise(0.0),
+        4,
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        rep_ratio.alias("rep_ratio"),
+    )
+    keep = (
+        (F.col("n_words") >= 10)
+        & (F.col("mean_word_len") >= 2.5)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("rep_ratio") <= 0.2)
+    )
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
 def f08_malformed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-input contract for file scans: a CSV assembled from
     lineitem rows plus deterministic garbage lines (non-numeric
@@ -3438,6 +3483,7 @@ REGISTRY = {
     "t13_contamination": t13_contamination,
     "t14_pii_scrub": t14_pii_scrub,
     "f08_malformed_csv": f08_malformed_csv,
+    "t15_repetition_rules": t15_repetition_rules,
     "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
