@@ -1772,3 +1772,14 @@ SELECT doc_id, n_words, mean_word_len, rep_ratio,
 FROM feats
 ORDER BY doc_id
 """
+
+ORACLES["k01_kinesis_roundtrip"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT event_id) AS n_distinct,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id % 3 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""

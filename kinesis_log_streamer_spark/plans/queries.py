@@ -3144,6 +3144,72 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def k01_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NORTH-STAR transport inside the correctness
+    gate: every event JSON-wrapped and shipped through the
+    PutRecords-contract sink (`streaming/kinesis_sink.py:KinesisSink`,
+    500-record/5 MiB sub-batching, hash-routed shards via
+    `DirKinesisClient`), then read BACK through the `kinesis_py`
+    streaming source (`sources/kinesis_source.py`, Python Data Source
+    API, per-shard offsets), JSON-parsed, and rolled up — the rollup
+    must hash-match the same aggregate computed directly on the events
+    table, proving the transport neither lost, duplicated, nor altered
+    a single record."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.sources.kinesis_source import (
+        DirKinesisClient,
+        KinesisDataSource,
+    )
+    from kinesis_log_streamer_spark.streaming.kinesis_sink import KinesisSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ep = os.path.join(tempfile.gettempdir(), "klss_k01_stream")
+    shutil.rmtree(ep, ignore_errors=True)
+
+    # A third of the table proves the transport at a third of the
+    # drain cost — the contract (no loss, no dup, no alteration) is
+    # row-for-row regardless of volume.
+    payload = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 3 == 0
+    ).select(
+        F.to_json(
+            F.struct("event_id", "event_type", "value")
+        ).alias("data"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 8).cast("string")).alias(
+            "partitionKey"
+        ),
+    )
+    sink = KinesisSink("k01", client_factory=lambda: DirKinesisClient(ep))
+    # Few fat PutRecords chunks beat 32 thin ones for a bounded gate
+    # run (each partition opens its own client + shard files).
+    sink.write_batch(payload.coalesce(2), epoch_id=0)
+
+    spark.dataSource.register(KinesisDataSource)
+    raw = (
+        spark.readStream.format("kinesis_py")
+        .option("endpoint", f"dir:{ep}")
+        .load()
+    )
+    _drain_stream_to_table(raw, "k01_out", mode="append")
+    parsed = spark.table("k01_out").select(
+        F.from_json(
+            "data", "event_id long, event_type string, value double"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("r.event_id").alias("n_distinct"),
+            F.round(F.sum("r.value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def t15_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style document rule filter: intra-document repetition
     (1 − distinct/total word 3-grams), word count bounds, mean word
@@ -3484,6 +3550,7 @@ REGISTRY = {
     "t14_pii_scrub": t14_pii_scrub,
     "f08_malformed_csv": f08_malformed_csv,
     "t15_repetition_rules": t15_repetition_rules,
+    "k01_kinesis_roundtrip": k01_kinesis_roundtrip,
     "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
