@@ -1783,3 +1783,25 @@ WHERE event_id % 3 = 0
 GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLES["f09_jsonlines_nested_roundtrip"] = """
+SELECT c.c_nationkey,
+       n.n_name,
+       count(*) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS bal_sum,
+       list_sort(list(DISTINCT c.c_mktsegment)) AS segments
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY c.c_nationkey, n.n_name
+ORDER BY c_nationkey
+"""
+
+ORACLES["q59_null_ordering"] = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+            ELSE o_totalprice END AS nullable_price
+FROM orders
+WHERE o_orderkey <= 400
+ORDER BY nullable_price ASC NULLS FIRST, o_orderkey ASC
+LIMIT 50
+"""

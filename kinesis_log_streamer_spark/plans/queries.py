@@ -3144,6 +3144,78 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def f09_jsonlines_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/scan round trip with NESTED types: per-nation
+    rows carrying a struct and a sorted array are written as
+    newline-delimited JSON, read back with an explicit schema (never
+    inference — an extra full scan at 100 TB), and re-flattened; the
+    result must hash-match the same aggregate computed straight from
+    the tables, proving complex-type serialization is lossless."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "klss_f09")
+    shutil.rmtree(base, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    nested = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .select(
+            "c_nationkey",
+            F.struct("n_name", "n_customers", "bal_sum").alias("stats"),
+            "segments",
+        )
+    )
+    nested.coalesce(1).write.json(base)
+
+    schema = (
+        "c_nationkey int, "
+        "stats struct<n_name string, n_customers bigint, bal_sum double>, "
+        "segments array<string>"
+    )
+    back = spark.read.schema(schema).json(base)
+    return back.select(
+        "c_nationkey",
+        F.col("stats.n_name").alias("n_name"),
+        F.col("stats.n_customers").alias("n_customers"),
+        F.col("stats.bal_sum").alias("bal_sum"),
+        "segments",
+    ).orderBy("c_nationkey")
+
+
+def q59_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort null-placement semantics: a nullable ranking expression
+    ordered ASC NULLS FIRST and DESC NULLS LAST must agree across
+    engines (engine defaults differ — Spark ASC puts nulls first,
+    DESC puts them last; the query pins BOTH explicitly so the
+    contract is in the plan, not the default)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("nullable_price"),
+    )
+    return keyed.orderBy(
+        F.col("nullable_price").asc_nulls_first(),
+        F.col("o_orderkey").asc(),
+    ).limit(50)
+
+
 def k01_kinesis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's NORTH-STAR transport inside the correctness
     gate: every event JSON-wrapped and shipped through the
@@ -3551,6 +3623,8 @@ REGISTRY = {
     "f08_malformed_csv": f08_malformed_csv,
     "t15_repetition_rules": t15_repetition_rules,
     "k01_kinesis_roundtrip": k01_kinesis_roundtrip,
+    "f09_jsonlines_nested_roundtrip": f09_jsonlines_nested_roundtrip,
+    "q59_null_ordering": q59_null_ordering,
     "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
