@@ -1805,3 +1805,25 @@ WHERE o_orderkey <= 400
 ORDER BY nullable_price ASC NULLS FIRST, o_orderkey ASC
 LIMIT 50
 """
+
+ORACLES["ts01_series_similarity"] = """
+WITH sums AS (
+    SELECT user_id, hour(ts) AS slot, round(sum(value), 2) AS v
+    FROM events WHERE user_id < 200 GROUP BY 1, 2
+), users AS (SELECT DISTINCT user_id FROM sums),
+spine AS (SELECT user_id, range AS slot FROM users CROSS JOIN range(24)),
+dense AS (
+    SELECT s.user_id, s.slot, coalesce(v, 0.0) AS val
+    FROM spine s LEFT JOIN sums
+      ON sums.user_id = s.user_id AND sums.slot = s.slot
+), q AS (
+    SELECT slot, val AS qval FROM dense WHERE user_id = 0
+)
+SELECT d.user_id,
+       round(sqrt(sum((d.val - q.qval) * (d.val - q.qval))), 4) AS dist
+FROM dense d JOIN q USING (slot)
+WHERE d.user_id <> 0
+GROUP BY d.user_id
+ORDER BY dist, user_id
+LIMIT 10
+"""

@@ -3144,6 +3144,65 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def ts01_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (EDBT'19 family, PAPERS.md):
+    each user's activity becomes a fixed-length 24-slot hourly value
+    series (dense — missing hours are zero-filled via a generated
+    spine, so distances are well-defined), and the 10 users closest
+    to user 0's series by Euclidean distance are returned.
+
+    Scale shape: series construction is one groupBy(user, slot) +
+    one collect per user (both partial-aggregated); the query series
+    is a broadcast scalar row, so scoring is scan-local ``zip_with``/
+    ``aggregate`` arithmetic — no pairwise user×user stage.  For
+    all-pairs workloads the LSH/IVF machinery (s03/s05) applies to
+    the series vectors unchanged."""
+    ev = _t(spark, sf_dir, "events")
+    slot = (F.hour("ts")).alias("slot")
+    sums = (
+        ev.filter(F.col("user_id") < 200)
+        .groupBy("user_id", slot)
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    per_user = sums.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("slot", "v")))
+        ).alias("m")
+    )
+    dense = per_user.select(
+        "user_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda i: F.coalesce(
+                F.element_at("m", i.cast("int")), F.lit(0.0)
+            ),
+        ).alias("series"),
+    )
+    qrow = dense.filter(F.col("user_id") == 0).select(
+        F.col("series").alias("q_series")
+    )
+    scored = dense.filter(F.col("user_id") != 0).crossJoin(
+        F.broadcast(qrow)
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "series", "q_series", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        4,
+    )
+    return (
+        scored.select("user_id", dist.alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
 def f09_jsonlines_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink/scan round trip with NESTED types: per-nation
     rows carrying a struct and a sorted array are written as
@@ -3625,6 +3684,7 @@ REGISTRY = {
     "k01_kinesis_roundtrip": k01_kinesis_roundtrip,
     "f09_jsonlines_nested_roundtrip": f09_jsonlines_nested_roundtrip,
     "q59_null_ordering": q59_null_ordering,
+    "ts01_series_similarity": ts01_series_similarity,
     "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
