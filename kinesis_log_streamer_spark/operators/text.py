@@ -83,22 +83,35 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         ws_token_count(t).cast("long").alias("n_ws_tokens"),
         bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
         punct_count(t).cast("long").alias("n_punct"),
-        stopword_ratio(t, "en").alias("sw_ratio"),
+        F.regexp_count(
+            F.lower(F.trim(t)), F.lit(_stopword_pattern("en"))
+        )
+        .cast("long")
+        .alias("n_stop"),
     )
-    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
-    score = (
-        F.least(F.col("n_ws_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
-        + (1.0 - punct_ratio) * 0.3
-        + F.col("sw_ratio") * 0.3
-    )
-    return counts.select(
+    # Every ratio/score here is a RATIONAL of integer counts, and the
+    # corpus systematically lands them on exact .00005 boundaries —
+    # where engines' double round() implementations disagree.  So the
+    # 4-decimal rounding happens in INTEGER arithmetic (half-up:
+    # round(x/y) = (2x+y) div (2y)), bit-identical on any engine, and
+    # only the final /10000.0 returns to double.
+    #   score = 0.4·min(t,100)/100 + 0.3·(c−p)/c + 0.3·s/t
+    #   score·10⁴ = (40·m·c·t + 3000·(c−p)·t + 3000·s·c) / (c·t)
+    return counts.selectExpr(
         "doc_id",
         "n_chars",
         "n_ws_tokens",
         "n_bpe_tokens",
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round("sw_ratio", 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        "((2*10000*n_punct + n_chars) div (2*nullif(n_chars, 0)))"
+        " / 10000.0D AS punct_ratio",
+        "((2*10000*n_stop + n_ws_tokens) div (2*nullif(n_ws_tokens, 0)))"
+        " / 10000.0D AS stopword_ratio",
+        "((2*(40*least(n_ws_tokens, 100)*n_chars*n_ws_tokens"
+        "     + 3000*(n_chars - n_punct)*n_ws_tokens"
+        "     + 3000*n_stop*n_chars)"
+        "  + n_chars*n_ws_tokens)"
+        " div (2*nullif(n_chars*n_ws_tokens, 0))) / 10000.0D"
+        " AS quality_score",
     )
 
 
@@ -109,14 +122,22 @@ def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     one ``regexp_count`` over the staged string."""
     staged = df.withColumn(
         "_lc", F.lower(F.trim(F.col(text_col)))
-    ).withColumn("_ntok", ws_token_count(F.col(text_col)))
+    ).withColumn("_ntok", ws_token_count(F.col(text_col)).cast("long"))
     out = staged
     for lang in sorted(STOPWORDS):
-        hits = F.regexp_count("_lc", F.lit(_stopword_pattern(lang)))
-        out = out.withColumn(
-            f"score_{lang}",
-            F.round(hits.cast("double") / F.col("_ntok"), 4),
+        # Integer-exact 4-decimal rounding (see quality_features): the
+        # hits/ntok rational hits .00005 boundaries where double
+        # round() differs across engines.
+        hits = F.regexp_count("_lc", F.lit(_stopword_pattern(lang))).cast(
+            "long"
         )
+        out = out.withColumn(f"_hits_{lang}", hits).withColumn(
+            f"score_{lang}",
+            F.expr(
+                f"((2*10000*_hits_{lang} + _ntok)"
+                " div (2*nullif(_ntok, 0))) / 10000.0D"
+            ),
+        ).drop(f"_hits_{lang}")
     return out.drop("_lc", "_ntok")
 
 

@@ -451,24 +451,31 @@ ORDER BY id_a, id_b
 """
 
 ORACLES["t01_text_quality"] = """
+WITH f AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS c,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS t,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS bpe,
+           len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS p,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::BIGINT AS s
+    FROM documents
+)
+-- 4-decimal rounding in INTEGER space (half-up: (2x+y)//(2y)) —
+-- these rationals land on exact .00005 boundaries where double
+-- round() differs between engines; mirrors operators/text.py.
 SELECT doc_id,
-       length(text)::BIGINT AS n_chars,
-       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
-       len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_bpe_tokens,
-       round(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
-             / length(text), 4) AS punct_ratio,
-       round(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                 x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
-             / len(string_split_regex(lower(trim(text)), '\\s+')), 4) AS stopword_ratio,
-       round(least(len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 100.0, 1.0) * 0.4
-             + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / length(text)) * 0.3
-             + len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                   x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
-               / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.3,
-             4) AS quality_score
-FROM documents
+       c AS n_chars,
+       t AS n_ws_tokens,
+       bpe AS n_bpe_tokens,
+       ((2*10000*p + c) // (2*nullif(c, 0))) / 10000.0 AS punct_ratio,
+       ((2*10000*s + t) // (2*nullif(t, 0))) / 10000.0 AS stopword_ratio,
+       ((2*(40*least(t, 100)*c*t + 3000*(c - p)*t + 3000*s*c) + c*t)
+        // (2*nullif(c*t, 0))) / 10000.0 AS quality_score
+FROM f
 ORDER BY doc_id
 """
+
 
 _SW = {
     "en": "('the','and','of','to','a','in','is','it','that','for')",
@@ -479,9 +486,11 @@ _SW = {
 }
 
 _score = (
-    "round(avg(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
-    " x -> x IN {lst}))::DOUBLE"
-    " / len(string_split_regex(lower(trim(text)), '\\s+'))), 4) AS avg_{lang}"
+    "((2*sum((2*10000*len(list_filter(string_split_regex(lower(trim(text)),"
+    " '\\s+'), x -> x IN {lst}))::BIGINT"
+    " + len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT)"
+    " // (2*nullif(len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT, 0)))"
+    " + count(*)) // (2*count(*))) / 10000.0 AS avg_{lang}"
 )
 
 ORACLES["t02_lang_scores"] = (
@@ -1062,13 +1071,15 @@ ORDER BY cluster_id
 ORACLES["t08_quality_budget"] = """
 WITH scored AS (
     SELECT doc_id, lang,
-           round(least(len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 100.0, 1.0) * 0.4
-                 + (1.0 - len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / length(text)) * 0.3
-                 + len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                       x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::DOUBLE
-                   / len(string_split_regex(lower(trim(text)), '\\s+')) * 0.3,
-                 4) AS quality_score
-    FROM documents
+           ((2*(40*least(t, 100)*c*t + 3000*(c - p)*t + 3000*sw*c) + c*t)
+            // (2*nullif(c*t, 0))) / 10000.0 AS quality_score
+    FROM (SELECT doc_id, lang,
+                 length(text)::BIGINT AS c,
+                 len(string_split_regex(trim(text), '\\s+'))::BIGINT AS t,
+                 len(regexp_extract_all(text, '[.,!?;:]'))::BIGINT AS p,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::BIGINT AS sw
+          FROM documents)
 )
 SELECT doc_id, lang, quality_score, lang_rank
 FROM (SELECT *,
@@ -1089,7 +1100,7 @@ ORDER BY doc_id
 """
 
 ORACLES["s07_label_centroids"] = """
-SELECT label, dim, round(avg(x), 4) AS mean_x, count(*) AS n_vecs
+SELECT label, dim, round(avg(x), 4) + 0.0 AS mean_x, count(*) AS n_vecs
 FROM (SELECT label,
              unnest(embedding) AS x,
              unnest(range(len(embedding))) AS dim
@@ -1372,7 +1383,10 @@ ORACLES["q47_market_share"] = """
 WITH agg AS (
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
            n_name AS supp_nation,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- exact decimal sum (double association order flips the
+           -- .005 rounding boundary; mirrors the Spark plan)
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(8,4))) AS rev_exact
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
@@ -1380,8 +1394,11 @@ WITH agg AS (
     JOIN nation   ON s_nationkey = n_nationkey
     GROUP BY 1, 2
 )
-SELECT o_year, supp_nation, revenue,
-       round(revenue / sum(revenue) OVER (PARTITION BY o_year), 4) AS share
+SELECT o_year, supp_nation,
+       round(CAST(rev_exact AS DOUBLE), 2) AS revenue,
+       round(CAST(rev_exact AS DOUBLE)
+             / CAST(sum(rev_exact) OVER (PARTITION BY o_year) AS DOUBLE),
+             4) AS share
 FROM agg
 ORDER BY o_year, supp_nation
 """

@@ -889,17 +889,27 @@ def t02_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checkable core of language ID."""
     docs = _t(spark, sf_dir, "documents")
     scored = TX.lang_scores(docs)
-    return (
-        scored.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            *[
-                F.round(F.avg(f"score_{lang}"), 4).alias(f"avg_{lang}")
-                for lang in sorted(TX.STOPWORDS)
-            ],
+    # Per-doc scores are exact multiples of 1/10⁴ (lang_scores rounds
+    # in integer space); the MEAN is rounded the same way — summing
+    # the integer numerators and half-up dividing — so no double
+    # summation order can flip a 4th decimal between engines.
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for lang in sorted(TX.STOPWORDS):
+        aggs.append(
+            F.sum(
+                F.round(F.col(f"score_{lang}") * 10000).cast("long")
+            ).alias(f"_s4_{lang}")
         )
-        .orderBy("lang")
-    )
+    grouped = scored.groupBy("lang").agg(*aggs)
+    return grouped.selectExpr(
+        "lang",
+        "n_docs",
+        *[
+            f"((2*_s4_{lang} + n_docs) div (2*n_docs)) / 10000.0D"
+            f" AS avg_{lang}"
+            for lang in sorted(TX.STOPWORDS)
+        ],
+    ).orderBy("lang")
 
 
 def t03_langid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1180,7 +1190,9 @@ def s07_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dims.groupBy("label", "dim")
         .agg(
-            F.round(F.avg("x"), 4).alias("mean_x"),
+            # +0.0 normalizes IEEE negative zero (an avg of cancelling
+            # floats can yield -0.0 on one engine and 0.0 on another).
+            (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("mean_x"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
         .orderBy("label", "dim")
@@ -1596,7 +1608,13 @@ def q47_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact-decimal revenue: double sums of money straddle .005
+    # rounding boundaries differently per association order (observed
+    # at sf0.1); decimal sums are associative-exact, so both engines
+    # round the same value.
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
     joined = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -1606,12 +1624,17 @@ def q47_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy(
         F.year("o_orderdate").cast("long").alias("o_year"),
         F.col("n_name").alias("supp_nation"),
-    ).agg(F.round(F.sum(rev), 2).alias("revenue"))
+    ).agg(F.sum(rev).alias("rev_exact"))
     share = F.round(
-        F.col("revenue") / F.sum("revenue").over(W.partitionBy("o_year")), 4
+        F.col("rev_exact").cast("double")
+        / F.sum("rev_exact").over(W.partitionBy("o_year")).cast("double"),
+        4,
     )
     return agg.select(
-        "o_year", "supp_nation", "revenue", share.alias("share")
+        "o_year",
+        "supp_nation",
+        F.round(F.col("rev_exact").cast("double"), 2).alias("revenue"),
+        share.alias("share"),
     ).orderBy("o_year", "supp_nation")
 
 
