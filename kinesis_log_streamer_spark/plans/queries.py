@@ -15,7 +15,13 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 * double aggregates are ``round()``-ed (inputs carry 2-decimal money
   semantics, so rounded sums are stable against fp association order);
 * every window/top-k ordering carries a unique tiebreaker column;
-* integer aggregates are kept at bigint on both engines.
+* integer aggregates are kept at bigint on both engines;
+* ratios/scores that are RATIONALS of integer counts round in INTEGER
+  arithmetic (half-up: ``(2x+y) div (2y)``) on both engines — such
+  rationals systematically land on exact .00005 boundaries where
+  engines' double ``round()`` disagree (surfaced by the sf0.1 sweep);
+* money sums whose rounding decides the output use exact DECIMAL
+  accumulation (associative), never double.
 """
 
 from __future__ import annotations
