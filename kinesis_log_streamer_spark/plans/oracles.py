@@ -1844,3 +1844,12 @@ GROUP BY d.user_id
 ORDER BY dist, user_id
 LIMIT 10
 """
+
+ORACLES["p03_observed_metrics"] = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS qty_sum
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -3173,6 +3173,39 @@ def q56_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def p03_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Observation`` metrics — Spark's in-flight monitoring hook: a
+    named observation attached to the scan collects row/sum metrics as
+    a side effect of the SAME pass that computes the query (no second
+    scan, unlike p01's profile), the pattern production pipelines use
+    to alert on volume drops without paying for extra jobs.  The
+    observed totals are cross-checked in-code against the returned
+    per-group aggregate; the oracle verifies the aggregate."""
+    from pyspark.sql import Observation
+
+    obs = Observation("p03")
+    li = _t(spark, sf_dir, "lineitem").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_seen"),
+    )
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+    )
+    # One action materializes both the rows and the observation.
+    rows = per_flag.collect()
+    got = obs.get
+    want_rows = sum(r.n_rows for r in rows)
+    want_qty = round(sum(r.qty_sum for r in rows), 2)
+    if got["rows_seen"] != want_rows or abs(got["qty_seen"] - want_qty) > 0.05:
+        raise RuntimeError(f"observed metrics diverge: {got}")
+    return (
+        spark.createDataFrame(rows, per_flag.schema)
+        .orderBy("l_returnflag")
+    )
+
+
 def ts01_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search (EDBT'19 family, PAPERS.md):
     each user's activity becomes a fixed-length 24-slot hourly value
@@ -3714,6 +3747,7 @@ REGISTRY = {
     "f09_jsonlines_nested_roundtrip": f09_jsonlines_nested_roundtrip,
     "q59_null_ordering": q59_null_ordering,
     "ts01_series_similarity": ts01_series_similarity,
+    "p03_observed_metrics": p03_observed_metrics,
     "m04_binary_file_scan": m04_binary_file_scan,
     "q55_dynamic_partition_pruning": q55_dynamic_partition_pruning,
     "p02_dq_checks": p02_dq_checks,
