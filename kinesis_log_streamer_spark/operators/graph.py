@@ -72,9 +72,14 @@ def connected_components(
     """
     spark = edges.sparkSession
     # Symmetrize once: propagation along (src→dst) needs both arcs.
+    # NULL endpoints are dropped up front: an edge with a missing node
+    # id has no graph meaning, and the two execution paths would
+    # otherwise diverge (toPandas turns nullable longs into NaN and
+    # the union-find would crash, while the distributed loop would
+    # silently carry a NULL node).
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    arcs = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    arcs = fwd.union(rev).na.drop().distinct().localCheckpoint(eager=True)
 
     if arcs.count() <= driver_threshold:
         return _driver_union_find(spark, arcs)
@@ -220,8 +225,11 @@ def pagerank(
       of fixed overhead that dwarf a numpy pass over a small graph).
     """
     spark = edges.sparkSession
+    # NULL endpoints dropped for the same reason as connected_components:
+    # identical semantics on both sides of driver_threshold.
     arcs = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .na.drop()
         .distinct()
         .localCheckpoint(eager=True)
     )

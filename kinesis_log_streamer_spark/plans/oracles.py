@@ -551,6 +551,23 @@ GROUP BY label
 ORDER BY label
 """
 
+# s03/s05/s08 (ANN): the neighbor lists are engine-specific, but the
+# queries emit an ASSERTION TABLE (qid, n_results, quality_ok) via
+# _ann_quality_gate — the oracle states the expected assertions, so a
+# hash match proves candidate generation filled k slots AND the
+# approx top-k reached ≥60% of the exact top-k's avg cosine.
+_ANN_GATE_EXPECTED = """
+SELECT vec_id AS qid,
+       CAST(10 AS BIGINT) AS n_results,
+       CAST(1 AS INT)     AS quality_ok
+FROM embeddings
+WHERE vec_id < 5
+ORDER BY qid
+"""
+ORACLES["s03_lsh_topk"] = _ANN_GATE_EXPECTED
+ORACLES["s05_ivf_topk"] = _ANN_GATE_EXPECTED
+ORACLES["s08_pq_topk"] = _ANN_GATE_EXPECTED
+
 ORACLES["m01_multimodal_meta"] = """
 SELECT doc_id, 'text' AS kind, octet_length(encode(text))::BIGINT AS n_bytes
 FROM documents
@@ -1191,10 +1208,11 @@ WITH marked AS (
     WHERE o_custkey % 10 = 0
 )
 SELECT o_custkey, o_orderkey,
-       sum(is_first) OVER (PARTITION BY o_custkey
-                           ORDER BY o_orderdate, o_orderkey
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS n_distinct_priorities
+       CAST(sum(is_first) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+            AS BIGINT) AS n_distinct_priorities
 FROM marked
 ORDER BY o_custkey, o_orderkey
 """
@@ -1510,9 +1528,11 @@ ORDER BY o_orderpriority
 
 ORACLES["q53_decimal_exact"] = """
 SELECT l_returnflag,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))
-           * CAST(1 - l_discount AS DECIMAL(8,4))) AS net,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS DECIMAL(38,2)) AS gross,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(8,4)))
+            AS DECIMAL(38,6)) AS net,
        count(*) AS n_items
 FROM lineitem
 GROUP BY l_returnflag
@@ -1684,7 +1704,7 @@ SELECT o_orderpriority,
        count(CASE WHEN o_totalprice BETWEEN 1000 AND 100000 THEN 1 END)
            AS n_mid_price,
        count(CASE WHEN o_orderstatus = 'O' THEN 1 END)              AS n_open_case,
-       list_sort(list(DISTINCT o_orderstatus))                      AS statuses
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -1806,7 +1826,7 @@ SELECT c.c_nationkey,
        n.n_name,
        count(*) AS n_customers,
        round(sum(c.c_acctbal), 2) AS bal_sum,
-       list_sort(list(DISTINCT c.c_mktsegment)) AS segments
+       array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), '|') AS segments
 FROM customer c
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY c.c_nationkey, n.n_name
