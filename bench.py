@@ -88,6 +88,15 @@ HEADLINE = [
     "l08_cohort_retention",
     "q47_market_share",
     "s08_pq_topk",
+    # round-3 additions: lateral subquery, sketch-accuracy gate,
+    # containment dedup, iterative k-means, corrupt-JSON scan,
+    # entropy scoring.
+    "q60_lateral_topk",
+    "q61_approx_quantile_gate",
+    "d07_containment_pairs",
+    "s09_kmeans",
+    "f10_corrupt_json_permissive",
+    "t16_unigram_entropy",
 ]
 
 

@@ -1873,3 +1873,87 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+# ---------------------------------------------------------------------------
+# round-3 additions
+# ---------------------------------------------------------------------------
+
+ORACLES["q60_lateral_topk"] = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 2
+) o
+WHERE c.c_custkey % 7 = 0
+ORDER BY c_custkey, o_orderkey
+"""
+
+# q61: the sketch estimates are engine-specific; the CONTRACT (rank
+# error of p50/p90/p99 within tolerance) is the oracle-stated table.
+ORACLES["q61_approx_quantile_gate"] = """
+SELECT CAST(p_pct AS INT) AS p_pct, CAST(1 AS INT) AS rank_ok
+FROM (VALUES (50), (90), (99)) t(p_pct)
+ORDER BY p_pct
+"""
+
+ORACLES["d07_containment_pairs"] = """
+WITH t AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               string_split_regex(lower(trim(text)), '\\s+'))) AS w
+    FROM documents
+    WHERE doc_id % 10 = 0
+), sizes AS (
+    SELECT doc_id, count(*) AS n_a FROM t GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    FROM t a JOIN t b USING (w)
+    WHERE a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST((2000 * inter + n_a) // (2 * n_a) AS BIGINT) AS contain_pm
+FROM inter JOIN sizes ON sizes.doc_id = id_a
+WHERE 1000 * inter >= 900 * n_a
+ORDER BY id_a, id_b
+"""
+
+# s09: iterative fp arithmetic is engine-specific; the oracle pins the
+# Lloyd invariants (total assignment each round, monotone objective).
+ORACLES["s09_kmeans"] = """
+SELECT CAST(i AS INT) AS iter,
+       (SELECT count(*) FROM embeddings) AS n_points,
+       CAST(1 AS INT) AS inertia_ok
+FROM range(3) t(i)
+ORDER BY iter
+"""
+
+ORACLES["f10_corrupt_json_permissive"] = """
+SELECT count(CASE WHEN c_custkey % 10 <> 3 THEN 1 END) AS n_valid,
+       count(CASE WHEN c_custkey % 10 = 3 THEN 1 END)  AS n_corrupt,
+       round(sum(CASE WHEN c_custkey % 10 <> 3
+                      THEN c_acctbal END), 2)           AS bal_sum
+FROM customer
+"""
+
+ORACLES["t16_unigram_entropy"] = """
+WITH counts AS (
+    SELECT doc_id, w, count(*) AS c
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents
+    )
+    GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 3) AS entropy
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -3806,6 +3806,233 @@ def q57_predicate_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 3.4+): per customer, the
+    top-2 orders by price pulled by a dependent subquery with ORDER
+    BY + LIMIT — the SQL-surface twin of the window top-k (q03/q11),
+    exercising Catalyst's DecorrelateInnerQuery path instead of a
+    window.
+
+    Scale: Catalyst rewrites the lateral into a join + per-key
+    ranking, so the physical plan is the same shuffle-on-custkey
+    shape as the window form — declaring it laterally costs nothing.
+    Customers are filtered BEFORE the lateral, so the correlated side
+    only runs for the kept keys."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q60_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q60_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM q60_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM q60_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 2
+        ) o
+        WHERE c.c_custkey % 7 = 0
+        ORDER BY c_custkey, o_orderkey
+        """
+    )
+
+
+def q61_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` accuracy gate: the sketch's p50/p90/p99
+    estimates are themselves engine-specific (q28 stays rows-only for
+    that reason), but the sketch CONTRACT — rank error ≤ 1/accuracy —
+    is oracle-checkable.  The query computes the exact rank share of
+    each estimate with one extra scan and emits the assertion table
+    (p_pct, rank_ok); the DuckDB oracle states the expectation, so a
+    hash match pins sketch quality without replaying the sketch
+    (same pattern as the s03/s05/s08 ANN effectiveness gate).
+
+    Scale: one pass builds the sketch (partial-mergeable), one pass
+    counts values ≤ each of the 3 estimates (broadcast of 3 rows);
+    both are plain scans — no sort, no quadratic step.  Tolerance is
+    10× the sketch's 1/10000 rank-error bound for regeneration
+    margin."""
+    ev = _t(spark, sf_dir, "events").select("value")
+    est = ev.agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.posexplode("vs").alias("idx", "v"),
+        "n",
+    ).withColumn(
+        "p_pct",
+        F.element_at(
+            F.array(F.lit(50), F.lit(90), F.lit(99)), F.col("idx") + 1
+        ),
+    )
+    ranked = (
+        ev.crossJoin(F.broadcast(est))
+        .groupBy("p_pct", "n")
+        .agg(
+            F.count(F.when(F.col("value") <= F.col("v"), 1)).alias("rank")
+        )
+    )
+    return ranked.select(
+        "p_pct",
+        (
+            F.abs(F.col("rank") / F.col("n") - F.col("p_pct") / 100.0)
+            <= 0.001
+        )
+        .cast("int")
+        .alias("rank_ok"),
+    ).orderBy("p_pct")
+
+
+def d07_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: share of doc A's distinct tokens
+    that also appear in doc B — the directional near-dup signal that
+    catches quote/subset duplicates symmetric Jaccard (d02/d04)
+    misses.  Pairs with containment ≥ 0.9 on a 1/10 id subset.
+
+    Scale: inverted-index shape — explode DISTINCT tokens (narrow),
+    self-equi-join on the token, hash-agg the pair counts; never a
+    doc × doc cross join.  The containment ratio is reported in
+    integer per-mille ((2000·inter + n_a) div (2·n_a) — the repo's
+    integer-exact rounding rule), so both engines hash identically.
+
+    The ≥ threshold test is the integer comparison 1000·inter ≥
+    900·n_a — no fp boundary at all."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            )
+        ).alias("w"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    a = toks.select(F.col("doc_id").alias("id_a"), "w")
+    b = toks.select(F.col("doc_id").alias("id_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "id_a")), "id_a"
+        )
+        .filter(F.col("inter") * 1000 >= F.col("n_a") * 900)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(2000 * inter + n_a) div (2 * n_a)").alias(
+                "contain_pm"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def s09_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means, 3 Lloyd rounds over the
+    embedding corpus (`operators/clustering.py`) — the iterative-ML
+    workload class.  Emits the per-round assertion trace
+    (iter, n_points, inertia_ok): the oracle pins total assignment
+    and the Lloyd monotone-non-increase invariant, the only parts of
+    an iterative fp computation two engines can agree on."""
+    from kinesis_log_streamer_spark.operators.clustering import (
+        spherical_kmeans_trace,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return spherical_kmeans_trace(emb, n_clusters=8, n_iter=3)
+
+
+def f10_corrupt_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON scan with ``_corrupt_record``: customer rows
+    serialized to JSON lines, every id ≡ 3 (mod 10) line truncated
+    mid-object, read back with an explicit schema + corrupt-record
+    column.  The malformed-input contract for JSON mirrors f08's CSV
+    twin: bad lines are COUNTED, good lines aggregate exactly — at
+    100 TB you quarantine and continue, never abort.
+
+    The corrupt rows are constructed, not found — so the DuckDB
+    oracle knows exactly which ids fail parsing and checks both
+    populations."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "klss_f10")
+    shutil.rmtree(base, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+    line = F.to_json(F.struct("c_custkey", "c_acctbal", "c_mktsegment"))
+    lines = cust.select(
+        F.when(
+            F.col("c_custkey") % 10 == 3,
+            F.substring(line, 1, 20),  # truncated mid-object: invalid
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(base)
+
+    schema = (
+        "c_custkey long, c_acctbal double, c_mktsegment string, "
+        "_bad string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(base)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_valid"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+        F.round(
+            F.sum(F.when(F.col("_bad").isNull(), F.col("c_acctbal"))), 2
+        ).alias("bal_sum"),
+    )
+
+
+def t16_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy — the token-diversity
+    quality score modern curation pipelines threshold on (low entropy
+    ⇒ repetitive/boilerplate text, complementing t15's explicit
+    repetition rules).  H = log2(n) − (Σ c·log2 c)/n over token
+    counts.
+
+    Scale: one explode + two hash-aggs, all codegen.  ACCEPTED-FP-
+    RISK on round(H, 3): double log sums, same monitored class as
+    l09/u04 (a boundary hit needs fp coincidence, not a systematic
+    rational; sf sweep is the tripwire)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clog"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log2("n_tokens") - F.col("_clog") / F.col("n_tokens"), 3
+            ).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3868,6 +4095,12 @@ REGISTRY = {
     "q53_decimal_exact": q53_decimal_exact,
     "f01_csv_roundtrip": f01_csv_roundtrip,
     # -- block 3: new queries added in r03 ---------------------------
+    "q60_lateral_topk": q60_lateral_topk,
+    "q61_approx_quantile_gate": q61_approx_quantile_gate,
+    "d07_containment_pairs": d07_containment_pairs,
+    "s09_kmeans": s09_kmeans,
+    "f10_corrupt_json_permissive": f10_corrupt_json_permissive,
+    "t16_unigram_entropy": t16_unigram_entropy,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

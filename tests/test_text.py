@@ -106,3 +106,61 @@ class TestTfidf:
         )
         r = {(r.doc_id, r.term): r for r in TX.tfidf(df).collect()}
         assert r[(0, "x")].df == 2  # 2 docs, not 4 occurrences
+
+
+class TestUnigramEntropy:
+    def test_known_values(self, spark):
+        from kinesis_log_streamer_spark.plans.queries import (
+            t16_unigram_entropy,
+        )
+
+        # uniform over 4 tokens -> H = 2; constant -> H = 0
+        import os
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="klss_t16_")
+        df = spark.createDataFrame(
+            [
+                (0, "a b c d", "en", "s", 7),
+                (1, "a a a a", "en", "s", 7),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        rows = {r.doc_id: r for r in t16_unigram_entropy(spark, base).collect()}
+        assert rows[0].entropy == pytest.approx(2.0)
+        assert rows[1].entropy == pytest.approx(0.0)
+        assert rows[0].n_tokens == 4
+
+
+class TestContainmentPairs:
+    def test_subset_doc_fully_contained(self, spark):
+        from kinesis_log_streamer_spark.plans.queries import (
+            d07_containment_pairs,
+        )
+
+        import os
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="klss_d07_")
+        # doc 10's tokens are a strict subset of doc 20's; doc 30 disjoint.
+        df = spark.createDataFrame(
+            [
+                (10, "alpha beta", "en", "s", 10),
+                (20, "alpha beta gamma delta", "en", "s", 22),
+                (30, "omega psi chi", "en", "s", 13),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.mode("overwrite").parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        got = {
+            (r.id_a, r.id_b): r.contain_pm
+            for r in d07_containment_pairs(spark, base).collect()
+        }
+        assert got[(10, 20)] == 1000  # fully contained
+        assert (20, 10) not in got  # only 2/4 of doc 20 in doc 10
+        assert all(a != 30 and b != 30 for a, b in got)
