@@ -97,6 +97,8 @@ HEADLINE = [
     "s09_kmeans",
     "f10_corrupt_json_permissive",
     "t16_unigram_entropy",
+    "q63_asof_tolerance",
+    "l10_burst_clients",
 ]
 
 

@@ -28,12 +28,22 @@ def asof_join(
     key: str,
     left_ts: str,
     right_ts: str,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Union + last(ignorenulls) as-of join (tolerance: unbounded past).
+    """Union + last(ignorenulls) as-of join.
 
     Right columns (except key/ts) are appended to every left row as of
     ``right_ts <= left_ts``; left rows with no prior right row keep
     nulls. Output columns: all left columns + right value columns.
+
+    ``tolerance_seconds`` bounds the lookback (pandas
+    ``merge_asof(tolerance=...)`` semantics): a match older than the
+    tolerance is nulled out, not replaced by an older in-range row —
+    the most recent right row either qualifies or nothing does.  The
+    bound is applied AFTER the forward fill, so it costs one
+    projection, no extra shuffle: the matched right timestamp rides
+    inside the fill struct and is compared against the left timestamp
+    in the final select.
     """
     from pyspark.sql.types import StructField, StructType
 
@@ -45,9 +55,21 @@ def asof_join(
     # last(col, ignorenulls=True) would stitch together values from
     # DIFFERENT right rows whenever a right row holds nulls in some
     # value columns — not "the most recent right row" semantics.
-    r_struct_type = StructType(
-        [StructField(c, right.schema[c].dataType, True) for c in rcols]
-    )
+    # With a tolerance, the matched right timestamp must survive the
+    # fill to be compared against the left row's timestamp — it rides
+    # as a trailing struct field (trailing so the deterministic
+    # tie-break order over the value fields is unchanged).
+    struct_fields = [
+        StructField(c, right.schema[c].dataType, True) for c in rcols
+    ]
+    if tolerance_seconds is not None:
+        struct_fields.append(
+            StructField("__rts", right.schema[right_ts].dataType, True)
+        )
+    r_struct_type = StructType(struct_fields)
+    r_struct_cols = [F.col(c) for c in rcols]
+    if tolerance_seconds is not None:
+        r_struct_cols.append(F.col(right_ts).alias("__rts"))
     l_tagged = (
         left.withColumn("__ts", F.col(left_ts))
         .withColumn("__side", F.lit(1))
@@ -56,7 +78,7 @@ def asof_join(
     r_tagged = (
         right.withColumn("__ts", F.col(right_ts))
         .withColumn("__side", F.lit(0))
-        .withColumn("__r", F.struct(*[F.col(c) for c in rcols]))
+        .withColumn("__r", F.struct(*r_struct_cols))
     )
     for c in lcols:
         if c != key:
@@ -78,6 +100,14 @@ def asof_join(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     filled = unioned.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        in_range = (
+            F.col("__ts").cast("timestamp").cast("double")
+            - F.col("__r.__rts").cast("timestamp").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        filled = filled.withColumn(
+            "__r", F.when(in_range, F.col("__r"))
+        )
     return filled.filter(F.col("__side") == 1).select(
         *lcols, *[F.col(f"__r.{c}").alias(c) for c in rcols]
     )

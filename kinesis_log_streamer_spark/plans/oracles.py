@@ -1957,3 +1957,71 @@ FROM counts
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+ORACLES["q62_correlated_scalar_subquery"] = """
+SELECT c.c_custkey,
+       (SELECT max(o_totalprice)
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_price
+FROM customer c
+WHERE c.c_custkey % 11 = 0
+ORDER BY c_custkey
+"""
+
+ORACLES["q63_asof_tolerance"] = """
+WITH views AS (
+    SELECT user_id, ts AS vts, max(event_id) AS view_event_id
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       (SELECT v.view_event_id
+        FROM views v
+        WHERE v.user_id = c.user_id
+          AND v.vts <= c.ts
+          AND epoch(c.ts) - epoch(v.vts) <= 86400
+        ORDER BY v.vts DESC, v.view_event_id DESC
+        LIMIT 1) AS view_event_id
+FROM events c
+WHERE c.event_type = 'click'
+ORDER BY event_id
+"""
+
+ORACLES["l10_burst_clients"] = """
+WITH per_bucket AS (
+    -- floor(), not ::BIGINT: DuckDB's double->BIGINT cast ROUNDS
+    -- fractional seconds while Spark's unix_timestamp() floors.
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(ts)) AS BIGINT) % 600 AS bucket,
+           count(*) AS c
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(c) AS BIGINT) AS peak_10m,
+       count(CASE WHEN c >= 2 THEN 1 END) AS n_burst_buckets
+FROM per_bucket
+GROUP BY user_id
+HAVING max(c) >= 2
+ORDER BY user_id
+"""
+
+ORACLES["f11_csv_quoted_multiline"] = """
+WITH t AS (
+    SELECT c_custkey,
+           c_mktsegment || ',"q"' || chr(10) || CAST(c_custkey AS VARCHAR)
+               AS tricky,
+           c_acctbal
+    FROM customer
+    WHERE c_custkey < 500
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+       CAST(sum(length(tricky)) AS BIGINT) AS tricky_len_sum,
+       count(CASE WHEN contains(tricky, chr(10)) THEN 1 END)
+           AS n_multiline,
+       round(sum(c_acctbal), 2) AS bal_sum
+FROM t
+"""

@@ -4033,6 +4033,141 @@ def t16_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_correlated_scalar_subquery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated scalar subquery in the SELECT list — the per-row
+    dependent aggregate q22's uncorrelated form doesn't cover.
+    Catalyst decorrelates it into a left outer aggregate join, so the
+    physical plan is one shuffle on the correlation key, not a
+    per-row probe.  max() selects an existing double (no fp
+    accumulation), so the value needs no rounding."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("q62_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q62_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               (SELECT max(o_totalprice)
+                FROM q62_orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM q62_customer c
+        WHERE c.c_custkey % 11 = 0
+        ORDER BY c_custkey
+        """
+    )
+
+
+def q63_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a lookback bound (pandas ``merge_asof``
+    tolerance semantics): each click event annotated with the user's
+    most recent view event, but only if it happened within 24 h —
+    staler matches become NULL, they are NOT replaced by older
+    in-range rows.  Exercises `operators/asof.py`'s tolerance path:
+    the bound is applied after the forward fill (one projection, no
+    extra shuffle).  ~35 % of clicks match at sf0.01 — both branches
+    of the tolerance are exercised."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # One row per (user, ts): equal-timestamp view ties collapse so
+    # the right side is deterministic (same rule as q23).
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    return asof_join(
+        clicks,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="vts",
+        tolerance_seconds=86400,
+    ).select("event_id", "user_id", "view_event_id").orderBy("event_id")
+
+
+def l10_burst_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst / bot detection over the event log: users whose request
+    rate peaks at ≥ 2 events in any 10-minute bucket — the
+    rate-limiting signal every log pipeline computes (reference's
+    access-log model, README.md:12-24, applied to abuse detection).
+
+    Scale: one hash-agg per (user, bucket) — partial map-side combine
+    collapses the raw events — then one per-user max; both shuffle on
+    user_id only.  Bucketing is epoch-aligned arithmetic, identical
+    on both engines (no session-tz dependence: the bucket is never
+    rendered as a local time)."""
+    ev = _t(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "user_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 600).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_bucket.groupBy("user_id")
+        .agg(
+            F.max("c").alias("peak_10m"),
+            F.count(F.when(F.col("c") >= 2, 1)).alias("n_burst_buckets"),
+        )
+        .filter(F.col("peak_10m") >= 2)
+        .orderBy("user_id")
+    )
+
+
+def f11_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip with HOSTILE values: embedded delimiters,
+    quotes, and real newlines (multi-line records).  Written with
+    quoteAll, read back with ``multiLine=true`` + an explicit schema;
+    the aggregate proves byte-exact value fidelity.  Complements
+    f08 (malformed rows) with the escaping dimension of CSV
+    robustness.
+
+    Scale note: multiLine CSV is NOT splittable (a file is one
+    record stream) — the documented trade-off is files sized by the
+    writer, parallelism across files, which is why this engine
+    treats multiline CSV as an ingest format to normalize into
+    parquet, never a query-time format."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "klss_f11")
+    shutil.rmtree(base, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    tricky = F.concat(
+        F.col("c_mktsegment"),
+        F.lit(',"q"\n'),
+        F.col("c_custkey").cast("string"),
+    )
+    cust.select(
+        "c_custkey", tricky.alias("tricky"), "c_acctbal"
+    ).coalesce(1).write.option("quoteAll", True).option(
+        "header", True
+    ).csv(base)
+
+    back = (
+        spark.read.schema("c_custkey long, tricky string, c_acctbal double")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(base)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.sum(F.length("tricky")).alias("tricky_len_sum"),
+        F.count(F.when(F.col("tricky").contains("\n"), 1)).alias(
+            "n_multiline"
+        ),
+        F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4101,6 +4236,10 @@ REGISTRY = {
     "s09_kmeans": s09_kmeans,
     "f10_corrupt_json_permissive": f10_corrupt_json_permissive,
     "t16_unigram_entropy": t16_unigram_entropy,
+    "q62_correlated_scalar_subquery": q62_correlated_scalar_subquery,
+    "q63_asof_tolerance": q63_asof_tolerance,
+    "l10_burst_clients": l10_burst_clients,
+    "f11_csv_quoted_multiline": f11_csv_quoted_multiline,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

@@ -187,3 +187,55 @@ class TestFuzzyJoin:
         out = blocked_levenshtein_join(df, "pname", "pid")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+class TestAsofTolerance:
+    def _frames(self, spark):
+        from tests.test_operators import _ts
+        left = spark.createDataFrame(
+            [
+                (1, 10, _ts("2024-01-01T10:00:00")),  # 30 min after right
+                (2, 10, _ts("2024-01-01T13:00:00")),  # 2 h after latest right
+                (3, 20, _ts("2024-01-01T09:00:00")),  # simultaneous
+            ],
+            "event_id long, key long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, _ts("2024-01-01T09:30:00"), 100),
+                (10, _ts("2024-01-01T11:00:00"), 200),
+                (20, _ts("2024-01-01T09:00:00"), 300),
+            ],
+            "key long, rts timestamp, val long",
+        )
+        return left, right
+
+    def test_stale_match_nulled_not_replaced(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r.event_id: r.val
+            for r in asof_join(
+                left, right, "key", "ts", "rts", tolerance_seconds=3600
+            ).collect()
+        }
+        # event 2: most recent right row (11:00, val 200) is 2 h stale ->
+        # NULL; the 9:30 row must NOT be substituted.
+        assert out == {1: 100, 2: None, 3: 300}
+
+    def test_zero_tolerance_keeps_simultaneous(self, spark):
+        left, right = self._frames(spark)
+        out = {
+            r.event_id: r.val
+            for r in asof_join(
+                left, right, "key", "ts", "rts", tolerance_seconds=0
+            ).collect()
+        }
+        assert out == {1: None, 2: None, 3: 300}
+
+    def test_none_tolerance_unchanged(self, spark):
+        left, right = self._frames(spark)
+        a = sorted(map(tuple, asof_join(left, right, "key", "ts", "rts").collect()))
+        b = sorted(map(tuple, asof_join(
+            left, right, "key", "ts", "rts", tolerance_seconds=None
+        ).collect()))
+        assert a == b
