@@ -68,37 +68,28 @@ def spherical_kmeans_trace(
     trace: list[tuple[int, int, int]] = []
     prev_j: float | None = None
     for it in range(n_iter):
+        # Checkpoint the (id, cell, score) assignment: it feeds BOTH
+        # the objective agg and the centroid update below — without
+        # the checkpoint the posexplode-matmul assignment pipeline
+        # would execute twice per round.  The materialized state is
+        # 2 ints + 1 double per point.  The objective comes straight
+        # from the assignment score (score = dot − ||c||²/2, and the
+        # half-norms are driver-known), so no second matmul pass.
         assigned = ivf_assign(
-            cn, cents, nprobe=1, id_col="id", vec_col="nvec"
+            cn, cents, nprobe=1, id_col="id", vec_col="nvec",
+            with_score=True,
+        ).localCheckpoint(eager=True)
+        half_sq = F.array(
+            *[
+                F.lit(sum(x * x for x in c) / 2.0)
+                for c in cents
+            ]
         )
-        # Objective + counts in ONE aggregate over the assignment join:
-        # dot(nvec, centroid) recomputed JVM-side via the broadcast
-        # centroid table (cell, pos, c) — no vectors cross the wire.
-        spark = df.sparkSession
-        cent_rows = [
-            (c, pos, float(cents[c][pos]))
-            for c in range(len(cents))
-            for pos in range(len(cents[c]))
-        ]
-        cent_df = spark.createDataFrame(
-            cent_rows, "cell int, pos int, c double"
-        )
-        stats = (
-            assigned.join(cn, "id")
-            .select(
-                "id",
-                "cell",
-                F.posexplode("nvec").alias("pos", "x"),
-            )
-            .join(F.broadcast(cent_df), ["cell", "pos"])
-            .groupBy("id", "cell")
-            .agg(F.sum(F.col("x") * F.col("c")).alias("cos"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.lit(1.0) - F.col("cos")).alias("j"),
-            )
-            .collect()[0]
-        )
+        cos = F.col("score") + F.element_at(half_sq, F.col("cell") + 1)
+        stats = assigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.lit(1.0) - cos).alias("j"),
+        ).collect()[0]
         j = float(stats.j)
         ok = 1 if prev_j is None or j <= prev_j * (1.0 + 1e-9) else 0
         trace.append((it, int(stats.n), ok))

@@ -257,6 +257,7 @@ def ivf_assign(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_score: bool = False,
 ) -> DataFrame:
     """(id, cell): assign each vector to its ``nprobe`` nearest
     coarse-quantizer cells (IVF-Flat).
@@ -296,9 +297,17 @@ def ivf_assign(
         ]
     )
     top_cells = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
-    return dots.select(
-        "id", F.explode(top_cells).alias("sc")
-    ).select("id", F.col("sc.cell").alias("cell"))
+    out = dots.select("id", F.explode(top_cells).alias("sc"))
+    if with_score:
+        # score = dot(v, c) − ||c||²/2; the caller can recover the raw
+        # dot with the (driver-known) half-norms — lets k-means derive
+        # its objective from the assignment pass, no second matmul.
+        return out.select(
+            "id",
+            F.col("sc.cell").alias("cell"),
+            F.col("sc.score").alias("score"),
+        )
+    return out.select("id", F.col("sc.cell").alias("cell"))
 
 
 def sample_centroids(

@@ -2025,3 +2025,19 @@ SELECT count(*) AS n_rows,
        round(sum(c_acctbal), 2) AS bal_sum
 FROM t
 """
+
+# t17: the signature arithmetic is engine-specific; the oracle pins
+# the pair count (exactly computable: all pairs of >=3-token subset
+# docs) and the estimator-accuracy assertions.
+ORACLES["t17_minhash_estimate_gate"] = """
+WITH d AS (
+    SELECT doc_id
+    FROM documents
+    WHERE doc_id % 50 = 0
+      AND len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+)
+SELECT CAST((SELECT (count(*) * (count(*) - 1)) // 2 FROM d) AS BIGINT)
+           AS n_pairs,
+       CAST(1 AS INT) AS mae_ok,
+       CAST(1 AS INT) AS maxerr_ok
+"""

@@ -4168,6 +4168,56 @@ def f11_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t17_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR accuracy gate — the q61/s03-style assertion
+    for the dedup sketch family: over d04's bounded exact-pair subset
+    (doc_id % 50, all pairs), the 32-hash signature's Jaccard estimate
+    (matching-component fraction) must track exact shingle Jaccard
+    within MAE ≤ 0.02 and max error ≤ 0.15 (measured: 0.001 / 0.071
+    at sf0.1 over 4 950 pairs; theoretical stderr √(J(1−J)/32)).
+    With d05 hash-verifying the LSH banding and d04 the exact twin,
+    this closes the last unevidenced link in the MinHash pipeline:
+    the estimator itself.
+
+    Scale: the crossJoin is the same documented bounded verifier as
+    d04 (1/50 id subset); everything else is the production signature
+    pipeline."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    prof = D.minhash_signatures(docs)  # drops <3-token docs like d04
+    a = prof.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = prof.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    exact = inter.cast("double") / union
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(32.0)
+    )
+    errs = pairs.select(F.abs(exact - est).alias("err"))
+    return errs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.avg("err") <= 0.02, F.lit(True))
+        .cast("int")
+        .alias("mae_ok"),
+        F.coalesce(F.max("err") <= 0.15, F.lit(True))
+        .cast("int")
+        .alias("maxerr_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4240,6 +4290,7 @@ REGISTRY = {
     "q63_asof_tolerance": q63_asof_tolerance,
     "l10_burst_clients": l10_burst_clients,
     "f11_csv_quoted_multiline": f11_csv_quoted_multiline,
+    "t17_minhash_estimate_gate": t17_minhash_estimate_gate,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
