@@ -95,3 +95,27 @@ def parse_kv_entries_udtf():
     from pyspark.sql.functions import udtf
 
     return udtf(_ParseKvEntries, returnType="entry_key string, entry_value string")
+
+
+@lru_cache(maxsize=1)
+def _digit_sum_arrow_udf():
+    """Arrow-optimized scalar Python UDF (``useArrow=True``).
+
+    Plain row-signature Python, but Spark ships the column through
+    Arrow record batches instead of pickled rows — the modern default
+    for Python UDFs that cannot be expressed vectorized.  The kernel
+    (decimal digit sum) is integer-exact, so an external engine can
+    replay it and hash-match (u06)."""
+    from pyspark.sql.functions import udf
+
+    def digit_sum(n) -> int | None:
+        if n is None:
+            return None
+        return sum(int(c) for c in str(abs(int(n))))
+
+    return udf(digit_sum, "int", useArrow=True)
+
+
+def digit_sum_arrow(col):
+    """Apply the Arrow-optimized digit-sum UDF to ``col``."""
+    return _digit_sum_arrow_udf()(col)

@@ -2041,3 +2041,57 @@ SELECT CAST((SELECT (count(*) * (count(*) - 1)) // 2 FROM d) AS BIGINT)
        CAST(1 AS INT) AS mae_ok,
        CAST(1 AS INT) AS maxerr_ok
 """
+
+ORACLES["q64_hll_partial_union"] = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_buyers,
+       CAST(1 AS INT) AS est_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["f12_xml_roundtrip"] = """
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(len(s_name)) AS BIGINT) AS name_chars,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+ORACLES["f13_variant_shred"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS INTEGER) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["q65_bloom_filter_join"] = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 44
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+ORACLES["u06_arrow_scalar_udf"] = """
+SELECT CAST(list_sum(list_transform(
+           string_split(CAST(o_orderkey AS VARCHAR), ''),
+           x -> CAST(x AS INTEGER))) AS INTEGER) AS dsum,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""

@@ -4218,6 +4218,186 @@ def t17_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregation — THE pattern for distinct counts
+    at 100 TB: each shard builds a partial Datasketches HLL
+    (``hll_sketch_agg``), and only the fixed-size sketch BYTES are
+    shuffled and merged (``hll_union_agg``), never the raw keys.
+    Re-aggregating pre-computed per-partition sketches is what makes
+    rollup cubes and incremental pipelines possible without
+    re-scanning the fact table.  The sketch estimate is
+    engine-specific, so the oracle-gated columns are the EXACT
+    distinct count plus an accuracy assertion the oracle asserts as
+    a constant — the q61/s03 effectiveness-gate pattern.  lgK is
+    pinned to 14 (RSE 1.04/√2¹⁴ ≈ 0.81 %) and the gate sits at the
+    3σ bound 2.5 %: the lgK=12 default FAILED the sf0.1 sweep
+    (2.13 % error at ~13 k distinct), which is exactly the
+    sketch-size-vs-cardinality sizing call a 100 TB deployment must
+    make (measured max error at lgK=14: 0.41 %, 6× headroom)."""
+    orders = _t(spark, sf_dir, "orders")
+    partials = (
+        orders.withColumn("shard", F.col("o_orderkey") % 8)
+        .groupBy("o_orderpriority", "shard")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    )
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_buyers")
+    )
+    return (
+        exact.join(merged, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_buyers",
+            (
+                F.abs(F.col("est") - F.col("exact_buyers"))
+                <= 0.025 * F.col("exact_buyers")
+            )
+            .cast("int")
+            .alias("est_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def f12_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source coverage (Spark 4 native ``xml`` format — no
+    external package): supplier → row-tagged XML → schema'd read-back
+    → aggregate.  XML is the interchange surface log shippers still
+    emit; entity escaping (&, <, quotes in names) must survive the
+    round trip for the hash to match the parquet-side oracle."""
+    import os
+    import tempfile
+
+    sup = _t(spark, sf_dir, "supplier")
+    path = os.path.join(tempfile.gettempdir(), "klss_xml_roundtrip")
+    (
+        sup.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "supplier")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+        .load(path)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.length("s_name")).alias("name_chars"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def f13_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4 semi-structured type): events.props
+    parsed ONCE into a binary variant (``parse_json``), then shredded
+    with typed path extraction (``variant_get``) — the
+    schema-on-read pattern for heterogeneous JSON at scale, cheaper
+    than per-path ``get_json_object`` re-parsing because the parse
+    cost is paid once per row, not once per extracted field.
+    Oracle: DuckDB ``json_extract_string`` + cast over the same
+    strings; sum pinned to BIGINT on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    shredded = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return (
+        shredded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q65_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the row-level sibling of
+    q55's dynamic partition pruning: a selective dim predicate is
+    turned into a bloom filter built on the dim's join keys and
+    injected as a ``might_contain`` pre-filter on the FACT scan, so
+    non-matching fact rows die at the scan instead of crossing the
+    join shuffle.  At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~1/7 that can
+    match.  The code asserts the injection (local thresholds lowered
+    — the 10 GB application-side default is sized for real
+    clusters); values hash-match the plain-join oracle."""
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = _t(spark, sf_dir, "lineitem")
+        part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 44)
+        out = (
+            li.join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+            .orderBy("p_brand")
+        )
+        # Force physical planning NOW, under the tuned confs; the
+        # QueryExecution is cached on the DataFrame, so the driver's
+        # later collect() reuses this exact bloom-filtered plan.
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan:
+            raise RuntimeError(
+                "expected a runtime bloom-filter (might_contain) on the "
+                "fact scan"
+            )
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def u06_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``) — the sixth and
+    final Python extension shape (after u01 UDAF / u02 pandas-scalar
+    / u03 UDTF / u04 grouped-map / u05 mapInArrow): a row-signature
+    lambda that Spark transports over Arrow batches instead of
+    pickled rows, removing the per-row serialization tax while
+    keeping plain-Python ergonomics.  The digit-sum kernel is
+    integer-exact, so DuckDB reproduces it with list arithmetic and
+    the hash must match — proving the Arrow transport is lossless,
+    not just fast."""
+    from kinesis_log_streamer_spark.functions.udfs import digit_sum_arrow
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(digit_sum_arrow(F.col("o_orderkey")).alias("dsum"))
+        .groupBy("dsum")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("dsum")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4291,6 +4471,13 @@ REGISTRY = {
     "l10_burst_clients": l10_burst_clients,
     "f11_csv_quoted_multiline": f11_csv_quoted_multiline,
     "t17_minhash_estimate_gate": t17_minhash_estimate_gate,
+    # past the driver's ~50-slot window this round; front of block 1
+    # next round:
+    "q64_hll_partial_union": q64_hll_partial_union,
+    "f12_xml_roundtrip": f12_xml_roundtrip,
+    "f13_variant_shred": f13_variant_shred,
+    "q65_bloom_filter_join": q65_bloom_filter_join,
+    "u06_arrow_scalar_udf": u06_arrow_scalar_udf,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
