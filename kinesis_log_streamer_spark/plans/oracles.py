@@ -2095,3 +2095,114 @@ FROM orders
 GROUP BY 1
 ORDER BY 1
 """
+
+ORACLES["g01_grid_neighbor_join"] = """
+WITH pts AS (
+    SELECT c_custkey AS id,
+           ((c_custkey * c_custkey % 1000003) * 48271
+            + c_custkey * 12345) % 1000000 AS x,
+           ((c_custkey * c_custkey % 999983) * 69621
+            + c_custkey * 54321) % 1000000 AS y
+    FROM customer
+)
+SELECT a.id AS id_a,
+       b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+FROM pts a
+JOIN pts b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= 100000000
+ORDER BY id_a, id_b
+"""
+
+ORACLES["l11_ip_range_enrich"] = """
+WITH bounds AS (
+    SELECT CASE WHEN i = 0 THEN 0
+           ELSE (i * 2654435761 + 40503) % 4294967296 END AS start
+    FROM range(64) t(i)
+), ranges AS (
+    SELECT start,
+           coalesce(lead(start) OVER (ORDER BY start), 4294967296) - 1
+               AS range_end,
+           printf('blk_%02d',
+                  CAST(row_number() OVER (ORDER BY start) - 1 AS INT))
+               AS block
+    FROM bounds
+), ips AS (
+    SELECT event_id, user_id,
+           (user_id * 2654435761 + event_id * 97) % 4294967296 AS ip
+    FROM events
+)
+SELECT block,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(ip) AS BIGINT) AS min_ip,
+       CAST(max(ip) AS BIGINT) AS max_ip
+FROM ips
+JOIN ranges ON ip >= start AND ip <= range_end
+GROUP BY block
+ORDER BY block
+"""
+
+ORACLES["t18_stratified_sample"] = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INT) AS rk,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT doc_id, lang, rk
+FROM ranked
+WHERE rk <= ceil(n / 10.0)
+ORDER BY lang, rk
+"""
+
+ORACLES["q66_snapshot_diff"] = """
+WITH a AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), b AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM a WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'NEW', o_totalprice
+    FROM a WHERE o_orderkey % 17 = 0
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(tp), 2) AS total_price
+FROM (
+    SELECT CASE
+               WHEN b.o_orderkey IS NULL THEN 'deleted'
+               WHEN a.o_orderkey IS NULL THEN 'inserted'
+               WHEN a.o_orderstatus <> b.o_orderstatus
+                    OR a.o_totalprice <> b.o_totalprice THEN 'updated'
+               ELSE 'unchanged'
+           END AS change_type,
+           coalesce(b.o_totalprice, a.o_totalprice) AS tp
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+ORACLES["s10_int8_quant_gate"] = """
+WITH v AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, e -> abs(e))) AS mx
+    FROM embeddings
+)
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding,
+            e -> floor(CAST(e AS DOUBLE) * 127 / CAST(mx AS DOUBLE))))
+            AS BIGINT) AS code_sum,
+       CAST(1 AS INT) AS recon_ok
+FROM v
+WHERE mx > 0
+ORDER BY vec_id
+"""

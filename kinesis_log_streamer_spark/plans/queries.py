@@ -4398,6 +4398,227 @@ def u06_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g01_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join (`operators/spatial.py`): customers
+    placed on a deterministic integer 10⁶×10⁶ grid (LCG-style mixes
+    of the key — replayable by any engine, no fp), all pairs within
+    radius 10 000 via 3×3 neighbor-cell blocking.  The oracle is the
+    naive O(n²) predicate join over the same coordinates, so the
+    blocking must be exactly lossless — the same candidate-complete
+    guarantee d04 gives the MinHash family.
+
+    Scale: one cell-key equi-join with constant 9× replication on one
+    side; the oracle's n² form is DuckDB-only."""
+    from kinesis_log_streamer_spark.operators.spatial import (
+        grid_neighbor_join,
+    )
+
+    # Quadratic key mix, NOT a linear one: with x = k·a mod m the
+    # coordinate delta depends only on the key difference, so every
+    # pair lands on a sparse lattice and the radius join finds ~0
+    # pairs.  The k² term makes deltas pair-specific (419 pairs at
+    # sf0.01, 34 985 at sf0.1).
+    k = F.col("c_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        k.alias("id"),
+        (((k * k % 1000003) * 48271 + k * 12345) % 1000000).alias("x"),
+        (((k * k % 999983) * 69621 + k * 54321) % 1000000).alias("y"),
+    )
+    return grid_neighbor_join(cust, radius=10_000).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def l11_ip_range_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-IP-style range-table enrichment — the classic log-pipeline
+    lookup: synthetic IPv4 ints (deterministic mix of user/event id)
+    matched into 64 non-uniform [start, end] blocks built from a
+    sorted boundary table (``lead`` closes each range).  The range
+    table is BROADCAST, so the non-equi match is a bounded ≤64-probe
+    nested loop per row with NO shuffle of the fact side — for large
+    range tables the q36 bin-prefilter composes on top.  Oracle
+    rebuilds the identical boundary table in SQL and range-joins."""
+    ev = _t(spark, sf_dir, "events")
+    ips = ev.select(
+        "event_id",
+        "user_id",
+        (
+            (F.col("user_id") * 2654435761 + F.col("event_id") * 97)
+            % 4294967296
+        ).alias("ip"),
+    )
+    bounds = spark.range(64).select(
+        F.when(F.col("id") == 0, F.lit(0))
+        .otherwise((F.col("id") * 2654435761 + 40503) % 4294967296)
+        .alias("start")
+    )
+    w = W.orderBy("start")
+    ranges = bounds.select(
+        "start",
+        (
+            F.coalesce(F.lead("start").over(w), F.lit(4294967296)) - 1
+        ).alias("end"),
+        F.format_string("blk_%02d", F.row_number().over(w) - 1).alias(
+            "block"
+        ),
+    )
+    joined = ips.join(
+        F.broadcast(ranges),
+        (F.col("ip") >= F.col("start")) & (F.col("ip") <= F.col("end")),
+    )
+    return (
+        joined.groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ip").alias("min_ip"),
+            F.max("ip").alias("max_ip"),
+        )
+        .orderBy("block")
+    )
+
+
+def t18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing step
+    after t08's quality budget: EXACTLY ⌈10 %⌉ of each language,
+    chosen by md5 rank (reproducible across engines, retries and
+    corpus growth *within* the kept set, unlike ``TABLESAMPLE``).
+    t09 samples by a global hash threshold (binomial per-stratum
+    counts); this pins the per-stratum count exactly — the contract
+    data-mixing recipes ("20 % code, 5 % low-resource") actually
+    need.  One window per stratum, no collect."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    n = F.count(F.lit(1)).over(W.partitionBy("lang"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rk"),
+            F.ceil(n / 10.0).alias("quota"),
+        )
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def q66_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff — the audit step behind every
+    incremental pipeline: snapshot B is derived from orders by a
+    deterministic rule (keys %13 deleted, %7 repriced +10, %17
+    spawning an insert under key+10⁷), and the diff classifies every
+    key via ONE full-outer join on the key comparing value columns.
+    At 100 TB both sides shuffle once on the key — or zero times if
+    laid out bucketed (f04).  Counts and money totals per change
+    class are oracle-gated."""
+    a = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    surviving = a.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    inserted = a.filter(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("NEW").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    b = surviving.unionByName(inserted)
+    al = a.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st_a"),
+        F.col("o_totalprice").alias("tp_a"),
+    )
+    bl = b.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st_b"),
+        F.col("o_totalprice").alias("tp_b"),
+    )
+    diff = al.join(bl, "k", "full_outer").select(
+        "k",
+        F.when(F.col("st_b").isNull(), "deleted")
+        .when(F.col("st_a").isNull(), "inserted")
+        .when(
+            (F.col("st_a") != F.col("st_b"))
+            | (F.col("tp_a") != F.col("tp_b")),
+            "updated",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("tp_b", "tp_a").alias("tp"),
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("tp"), 2).alias("total_price"),
+        )
+        .orderBy("change_type")
+    )
+
+
+def s10_int8_quant_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization — the storage/serving compression
+    step every 100 TB vector pipeline runs (4× smaller than float32,
+    SIMD-dot-able): per-vector max-abs scaling, codes
+    ``floor(e·127/mx)``, all in JVM higher-order functions.  The
+    per-vector CODE SUM is integer-exact and hash-matched against
+    DuckDB list arithmetic (the identical double expression tree on
+    both engines — same parquet floats widened the same way — makes
+    even the floor() boundaries bit-reproducible); the reconstruction
+    gate asserts mean squared relative error ≤ (1/127)²·dims·margin,
+    which the oracle pins as a constant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda e: F.abs(e)))
+    q = F.transform(
+        "embedding", lambda e: F.floor(e * 127.0 / F.col("_mx"))
+    )
+    recon_err2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "_q",
+            lambda e, c: (e - c * F.col("_mx") / 127.0)
+            * (e - c * F.col("_mx") / 127.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm2 = F.aggregate(
+        F.transform("embedding", lambda e: e * e),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rows = (
+        emb.withColumn("_mx", mx)
+        .filter(F.col("_mx") > 0)
+        .withColumn("_q", q)
+        .select(
+            "vec_id",
+            F.aggregate(
+                "_q", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("code_sum"),
+            (recon_err2 / norm2).alias("_rel2"),
+        )
+    )
+    # Worst case per dim the floor error is one step (mx/127); the
+    # relative gate below carries ~4x margin over the measured value.
+    return rows.select(
+        "vec_id",
+        "code_sum",
+        (F.col("_rel2") <= 64.0 * (1.0 / 127.0) ** 2)
+        .cast("int")
+        .alias("recon_ok"),
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4478,6 +4699,11 @@ REGISTRY = {
     "f13_variant_shred": f13_variant_shred,
     "q65_bloom_filter_join": q65_bloom_filter_join,
     "u06_arrow_scalar_udf": u06_arrow_scalar_udf,
+    "g01_grid_neighbor_join": g01_grid_neighbor_join,
+    "l11_ip_range_enrich": l11_ip_range_enrich,
+    "t18_stratified_sample": t18_stratified_sample,
+    "q66_snapshot_diff": q66_snapshot_diff,
+    "s10_int8_quant_gate": s10_int8_quant_gate,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

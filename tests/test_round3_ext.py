@@ -100,3 +100,99 @@ class TestArrowUdf:
         )
         out = df.select(digit_sum_arrow(F.col("n")).alias("d")).collect()
         assert [r["d"] for r in out] == [0, 9, 2, None]
+
+
+class TestGridNeighborJoin:
+    def test_blocking_complete_vs_naive(self, spark):
+        """Candidate completeness: blocked result == naive O(n^2)
+        result on a point set crafted to straddle cell borders."""
+        from kinesis_log_streamer_spark.operators.spatial import (
+            grid_neighbor_join,
+        )
+
+        pts = [
+            (1, 0, 0),
+            (2, 99, 0),        # same cell as 1
+            (3, 100, 0),       # adjacent cell, dist 1 from 3
+            (4, 199, 0),       # adjacent cell, within R of 3
+            (5, 350, 0),       # far from all (R=100)
+            (6, 100, 100),     # diagonal-cell corner case
+            (7, 0, 199),
+        ]
+        df = spark.createDataFrame(pts, "id bigint, x bigint, y bigint")
+        got = {
+            (r["id_a"], r["id_b"], r["dist2"])
+            for r in grid_neighbor_join(df, radius=100).collect()
+        }
+        import itertools
+
+        exp = set()
+        for (ia, xa, ya), (ib, xb, yb) in itertools.combinations(pts, 2):
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= 100 * 100:
+                exp.add((min(ia, ib), max(ia, ib), d2))
+        assert got == exp and len(exp) >= 4
+
+    def test_no_cartesian_in_plan(self, spark):
+        from kinesis_log_streamer_spark.operators.spatial import (
+            grid_neighbor_join,
+        )
+
+        df = spark.range(100).select(
+            F.col("id"),
+            (F.col("id") * 7 % 1000).alias("x"),
+            (F.col("id") * 13 % 1000).alias("y"),
+        )
+        plan = (
+            grid_neighbor_join(df, radius=50)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSnapshotDiff:
+    def test_classes_are_exhaustive_and_disjoint(self, spark):
+        out = {
+            r["change_type"]: r["n_keys"]
+            for r in Q.q66_snapshot_diff(spark, SF).collect()
+        }
+        orders = Q._t(spark, SF, "orders")
+        n = orders.count()
+        n_del = orders.filter(F.col("o_orderkey") % 13 == 0).count()
+        n_ins = orders.filter(F.col("o_orderkey") % 17 == 0).count()
+        assert out["deleted"] == n_del
+        assert out["inserted"] == n_ins
+        # every original key classified exactly once + the inserts
+        assert sum(out.values()) == n + n_ins
+
+
+class TestStratifiedSample:
+    def test_exact_ceil_quota_per_stratum(self, spark):
+        out = Q.t18_stratified_sample(spark, SF)
+        got = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        totals = {
+            r["lang"]: r["n"]
+            for r in Q._t(spark, SF, "documents")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        import math
+
+        assert got == {k: math.ceil(v / 10) for k, v in totals.items()}
+
+
+class TestInt8Quant:
+    def test_codes_bounded_and_gate_holds(self, spark):
+        rows = Q.s10_int8_quant_gate(spark, SF).collect()
+        assert rows and all(r["recon_ok"] == 1 for r in rows)
+        # 64 dims, each code in [-127, 127] (floor can reach -127)
+        assert all(abs(r["code_sum"]) <= 64 * 127 for r in rows)
