@@ -2206,3 +2206,61 @@ FROM v
 WHERE mx > 0
 ORDER BY vec_id
 """
+
+ORACLES["st10_stream_left_outer_join"] = """
+WITH ev AS (
+    SELECT user_id, ts, event_type FROM events
+), j AS (
+    SELECT l.event_type AS l_type,
+           coalesce(r.event_type, '(none)') AS r_type,
+           l.user_id AS l_user
+    FROM ev l
+    LEFT JOIN ev r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 5 MINUTE
+)
+SELECT l_type, r_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT l_user) AS BIGINT) AS n_users
+FROM j
+GROUP BY l_type, r_type
+ORDER BY l_type, r_type
+"""
+
+ORACLES["p04_stream_progress_metrics"] = """
+SELECT CAST(count(*) AS BIGINT) AS rows_observed,
+       CAST(count(*) AS BIGINT) AS rows_in_sink,
+       CAST(1 AS INT) AS totals_match,
+       CAST(1 AS INT) AS batching_ok
+FROM events
+"""
+
+ORACLES["d08_token_sort_dedup"] = """
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           array_to_string(
+               list_reverse(
+                   string_split_regex(lower(trim(text)), '\\s+')), ' ')
+    FROM documents WHERE doc_id % 37 = 0
+), signed AS (
+    SELECT doc_id,
+           md5(array_to_string(
+               list_sort(string_split_regex(lower(trim(text)), '\\s+')),
+               ' ')) AS sig
+    FROM docs
+), groups AS (
+    SELECT sig,
+           CAST(count(*) AS BIGINT) AS group_n,
+           CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM signed
+    GROUP BY sig
+    HAVING count(*) > 1
+)
+SELECT s.doc_id, g.keeper, g.group_n
+FROM signed s
+JOIN groups g USING (sig)
+ORDER BY s.doc_id
+"""

@@ -4619,6 +4619,156 @@ def s10_int8_quant_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def st10_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join
+    (`streaming/stateful.py:stream_stream_left_join`) drained
+    bounded: events with no same-user follower within 5 minutes
+    emit null-matched rows once the watermark passes their horizon —
+    the far-future sentinel (st05/st06 machinery) forces that for
+    the stream's tail, so the drained result must equal the batch
+    left join.  This is the semantics gap st03's inner join leaves:
+    'did NOT convert within the window' is the outer null side."""
+    from kinesis_log_streamer_spark.streaming.stateful import (
+        stream_stream_left_join,
+    )
+
+    ev = _events_stream_with_flush(spark, sf_dir, "st10")
+    joined = stream_stream_left_join(
+        ev, ev, watermark="10 minutes", max_delay="5 minutes"
+    )
+    _drain_stream_to_table(joined, "st10_out", mode="append")
+    return (
+        spark.table("st10_out")
+        .filter(F.col("l_user") != -1)  # drop the sentinel's own row
+        .select(
+            "l_type",
+            F.coalesce("r_type", F.lit("(none)")).alias("r_type"),
+            "l_user",
+        )
+        .groupBy("l_type", "r_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("l_user").alias("n_users"),
+        )
+        .orderBy("l_type", "r_type")
+    )
+
+
+def p04_stream_progress_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming observability gate: the micro-batch engine's own
+    progress telemetry (``StreamingQuery.recentProgress`` —
+    numInputRows per batch) must account for EXACTLY the rows the
+    source holds, proving no batch was dropped or double-counted
+    during the drain.  This is p03's Observation pattern applied to
+    the streaming engine: metrics collected as a side effect of the
+    run, cross-checked in-code, then oracle-gated as exact counts."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    tmp = os.path.join(tempfile.gettempdir(), "klss_p04_src")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    # 4 single-file micro-batches so the progress log has real
+    # per-batch structure, not one monolithic entry.
+    for i in range(4):
+        _write_single_parquet(
+            ev.filter(F.col("event_id") % 4 == i),
+            os.path.join(tmp, f"part_{i}.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/*.parquet")
+    )
+    counted = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spark.catalog.dropTempView("p04_out")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("p04_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    # recentProgress is synchronous with batch completion: after
+    # awaitTermination every batch's numInputRows is present.
+    total_in = sum(
+        int(p["numInputRows"]) for p in q.recentProgress
+    )
+    n_batches = sum(
+        1 for p in q.recentProgress if int(p["numInputRows"]) > 0
+    )
+    sink_total = spark.table("p04_out").agg(F.sum("n")).first()[0]
+    return spark.createDataFrame(
+        [
+            (
+                total_in,
+                int(sink_total),
+                1 if total_in == sink_total else 0,
+                1 if n_batches == 4 else 0,
+            )
+        ],
+        "rows_observed bigint, rows_in_sink bigint, totals_match int, "
+        "batching_ok int",
+    )
+
+
+def d08_token_sort_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-order-insensitive exact dedup — the cheap middle ground
+    between d01's byte-exact hash and d02's probabilistic MinHash:
+    documents are duplicates iff their token MULTISETS match
+    (shuffled sentences, re-ordered lists).  Signature =
+    md5(sorted-token join), one scan-local map + one hash-agg +
+    one self-equi-join on the 16-byte signature; text never
+    shuffles.  Fully hash-matched (DuckDB reproduces md5 and the
+    sort), unlike the heuristic near-dup family.
+
+    The synthetic corpus has no token-shuffled duplicates, so the
+    input is deterministically tainted first (t14's pattern): every
+    doc_id % 37 == 0 gains a twin under doc_id + 100 000 with the
+    token order REVERSED — byte-different (d01-invisible), multiset-
+    identical (d08 must pair it with its source)."""
+    base = _t(spark, sf_dir, "documents")
+    shuffled = base.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.reverse(F.split(F.lower(F.trim("text")), r"\s+")),
+        ).alias("text"),
+    )
+    docs = base.select("doc_id", "text").unionByName(shuffled)
+    sig = F.md5(
+        F.concat_ws(
+            " ",
+            F.sort_array(F.split(F.lower(F.trim("text")), r"\s+")),
+        )
+    )
+    signed = docs.select("doc_id", sig.alias("sig"))
+    groups = (
+        signed.groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("group_n") > 1)
+    )
+    return (
+        signed.join(groups, "sig")
+        .select("doc_id", "keeper", "group_n")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4704,6 +4854,9 @@ REGISTRY = {
     "t18_stratified_sample": t18_stratified_sample,
     "q66_snapshot_diff": q66_snapshot_diff,
     "s10_int8_quant_gate": s10_int8_quant_gate,
+    "st10_stream_left_outer_join": st10_stream_left_outer_join,
+    "p04_stream_progress_metrics": p04_stream_progress_metrics,
+    "d08_token_sort_dedup": d08_token_sort_dedup,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

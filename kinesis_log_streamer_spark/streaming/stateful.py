@@ -86,6 +86,52 @@ def stream_stream_join(
     )
 
 
+def stream_stream_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = "10 minutes",
+    max_delay: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantics
+    inner joins can't give: a left event with NO same-user follower
+    within ``max_delay`` still emits (null right side), but only
+    once the WATERMARK has passed its match horizon and Spark can
+    prove no future right row qualifies.  State on both sides is
+    purged at the same horizon, so this is bounded at 100 TB/day
+    like the inner form.  Draining bounded therefore needs a
+    watermark-advancing sentinel past the last real event
+    (`plans/queries.py:_events_stream_with_flush`) — without it,
+    every trailing unmatched row stays parked in the state store.
+
+    NOTE: ``transformWithStateInPandas`` (the Spark 4 arbitrary-state
+    API) is env-blocked in this container — its driver↔Python state
+    server requires ``protobuf``, which is absent; the
+    ``applyInPandasWithState`` sessionizer covers the custom-state
+    surface instead.
+    """
+    lhs = left.select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", watermark)
+    rhs = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    ).withWatermark("r_ts", watermark)
+    return lhs.join(
+        rhs,
+        F.expr(
+            f"""
+            l_user = r_user AND
+            r_ts > l_ts AND
+            r_ts <= l_ts + interval {max_delay}
+            """
+        ),
+        "leftOuter",
+    )
+
+
 def _sessionize_fn(
     key: tuple[Any, ...],
     pdf_iter: Iterator[pd.DataFrame],

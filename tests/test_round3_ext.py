@@ -196,3 +196,43 @@ class TestInt8Quant:
         assert rows and all(r["recon_ok"] == 1 for r in rows)
         # 64 dims, each code in [-127, 127] (floor can reach -127)
         assert all(abs(r["code_sum"]) <= 64 * 127 for r in rows)
+
+
+class TestStreamLeftOuterJoin:
+    def test_unmatched_rows_emit_nulls(self, spark):
+        """A user with a single event (no follower within 5 min) must
+        appear exactly once with a null right side after the drain."""
+        out = Q.st10_stream_left_outer_join(spark, SF)
+        rows = out.collect()
+        assert any(r["r_type"] == "(none)" for r in rows)
+        # inner pairs subset: every (l,r) with a real r_type must also
+        # appear in the batch inner join
+        inner = {
+            (r["l_type"], r["r_type"])
+            for r in Q.st03_stream_stream_join(spark, SF).collect()
+        }
+        outer_real = {
+            (r["l_type"], r["r_type"])
+            for r in rows
+            if r["r_type"] != "(none)"
+        }
+        assert outer_real <= inner
+
+
+class TestStreamProgressMetrics:
+    def test_gates_hold(self, spark):
+        row = Q.p04_stream_progress_metrics(spark, SF).collect()[0]
+        assert row["totals_match"] == 1
+        assert row["batching_ok"] == 1
+        assert row["rows_observed"] == row["rows_in_sink"]
+
+
+class TestTokenSortDedup:
+    def test_reversed_twin_pairs_with_source(self, spark):
+        out = {r["doc_id"]: r["keeper"] for r in
+               Q.d08_token_sort_dedup(spark, SF).collect()}
+        # every planted twin resolves to its source as keeper
+        planted = [k for k in out if k >= 100_000]
+        assert planted
+        for k in planted:
+            assert out[k] == k - 100_000
