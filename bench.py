@@ -99,6 +99,18 @@ HEADLINE = [
     "t16_unigram_entropy",
     "q63_asof_tolerance",
     "l10_burst_clients",
+    # round-3 batch 2: mergeable sketches, bloom-pruned join, spatial
+    # blocking, quantization, CDC diff, streaming outer join, dedup.
+    "q64_hll_partial_union",
+    "q65_bloom_filter_join",
+    "g01_grid_neighbor_join",
+    "l11_ip_range_enrich",
+    "t18_stratified_sample",
+    "q66_snapshot_diff",
+    "s10_int8_quant_gate",
+    "st10_stream_left_outer_join",
+    "d08_token_sort_dedup",
+    "u06_arrow_scalar_udf",
 ]
 
 

@@ -2264,3 +2264,68 @@ FROM signed s
 JOIN groups g USING (sig)
 ORDER BY s.doc_id
 """
+
+ORACLES["q67_max_concurrency"] = """
+WITH bounds AS (
+    SELECT ts AS t, 1 AS delta FROM events
+    UNION ALL
+    SELECT ts + INTERVAL 5 MINUTE, -1 FROM events
+), runs AS (
+    SELECT date_trunc('hour', t) AS bucket_ts,
+           sum(delta) OVER (
+               ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run
+    FROM bounds
+)
+SELECT bucket_ts, CAST(max(run) AS BIGINT) AS peak
+FROM runs
+GROUP BY bucket_ts
+ORDER BY bucket_ts
+"""
+
+ORACLES["g02_triangle_count"] = """
+WITH ev AS (
+    SELECT user_id % 100 AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS v
+    FROM events
+), edges AS (
+    SELECT DISTINCT least(u, v) AS lo, greatest(u, v) AS hi
+    FROM ev
+    WHERE u IS NOT NULL AND v IS NOT NULL AND u <> v
+)
+SELECT (SELECT CAST(count(*) AS BIGINT)
+        FROM edges e1
+        JOIN edges e2 ON e1.hi = e2.lo
+        JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+           AS n_triangles,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges
+"""
+
+ORACLES["f14_gzip_jsonl_scan"] = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+ORACLES["t19_bpe_pair_stats"] = """
+WITH toks AS (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+), pairs AS (
+    SELECT unnest(list_transform(
+        range(1, length(tok)),
+        i -> substring(tok, CAST(i AS INT), 2))) AS pair
+    FROM toks
+    WHERE length(tok) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 20
+"""

@@ -4769,6 +4769,126 @@ def d08_token_sort_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency ("max sessions open at once") via the
+    TWO-PHASE sweep line (`operators/sweepline.py`): within-bucket
+    running sums in parallel + a broadcast per-bucket carry prefix —
+    exactly equal to the textbook single-sort cumsum (the oracle's
+    form) at any partition count, without its single-partition
+    window.  Events are treated as half-open 5-minute activity
+    intervals; ends sort before starts at equal timestamps so
+    back-to-back intervals never double-count."""
+    from kinesis_log_streamer_spark.operators.sweepline import (
+        interval_concurrency,
+    )
+
+    iv = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("interval 5 minutes")).alias("end"),
+    )
+    return interval_concurrency(iv, bucket="hour").orderBy("bucket_ts")
+
+
+def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the q56 interaction graph —
+    the standard graph-analytics benchmark op: undirected edges
+    canonicalized lo<hi (each triangle counted ONCE as a<b<c), then
+    two equi-joins — e(a,b)⋈e(b,c) on b, ⋈e(a,c) on (a,c).  At scale
+    the candidate blow-up is bounded by orienting edges low→high
+    (equivalent to the degree-ordering trick for power-law graphs:
+    every wedge is rooted at its smallest vertex).  Exact, and the
+    oracle replays the identical 3-way join."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("u"),
+        (F.get_json_object("props", "$.k").cast("long") % 100).alias(
+            "v"
+        ),
+    )
+    edges = (
+        ev.na.drop()
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+        )
+        .distinct()
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def f14_gzip_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text codec coverage: orders → gzip JSON-lines →
+    schema'd read-back → aggregate.  Gzip text is splittable-hostile
+    (one stream per file), so the write pre-partitions into 8 files —
+    the layout knob that keeps compressed-text ingest parallel at
+    100 TB.  The oracle aggregates the original parquet, so codec,
+    JSON serialization, and timestamp formatting must all round-trip
+    losslessly."""
+    import os
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), "klss_gzip_jsonl")
+    (
+        orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(path)
+    )
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderpriority string"
+        )
+        .json(path)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def t19_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE vocabulary induction: adjacent CHARACTER
+    pair frequencies within tokens (the statistic each BPE merge
+    round maximizes), as one scan-local explode chain — tokens →
+    ``transform(sequence(...))`` char bigrams — plus a single
+    hash-agg.  Top-20 with a total-order tiebreak (cnt desc, pair).
+    t07 counts word bigrams; this is the character level tokenizer
+    training actually needs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4857,6 +4977,10 @@ REGISTRY = {
     "st10_stream_left_outer_join": st10_stream_left_outer_join,
     "p04_stream_progress_metrics": p04_stream_progress_metrics,
     "d08_token_sort_dedup": d08_token_sort_dedup,
+    "q67_max_concurrency": q67_max_concurrency,
+    "g02_triangle_count": g02_triangle_count,
+    "f14_gzip_jsonl_scan": f14_gzip_jsonl_scan,
+    "t19_bpe_pair_stats": t19_bpe_pair_stats,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
