@@ -23,6 +23,7 @@ creates one.
 from __future__ import annotations
 
 from functools import lru_cache
+from typing import Iterator
 
 import pandas as pd
 
@@ -119,3 +120,27 @@ def _digit_sum_arrow_udf():
 def digit_sum_arrow(col):
     """Apply the Arrow-optimized digit-sum UDF to ``col``."""
     return _digit_sum_arrow_udf()(col)
+
+
+@lru_cache(maxsize=1)
+def _char_count_iter_udf():
+    """Iterator-of-Series pandas UDF (``SCALAR_ITER``).
+
+    The iterator signature lets a worker pay one-time setup (model
+    load, dictionary mmap) once per PARTITION instead of once per
+    Arrow batch — the shape production scoring UDFs take.  The kernel
+    is an integer-exact codepoint count so u07 can hash-match it."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def char_count(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-partition setup would go here
+        for s in it:
+            yield s.str.len().astype("int64")
+
+    return char_count
+
+
+def char_count_iter(col):
+    """Apply the SCALAR_ITER codepoint-count UDF to ``col``."""
+    return _char_count_iter_udf()(col)

@@ -2329,3 +2329,44 @@ GROUP BY pair
 ORDER BY cnt DESC, pair
 LIMIT 20
 """
+
+ORACLES["s11_ivf_probe_sweep"] = """
+SELECT CAST(nprobe AS INT) AS nprobe,
+       CAST(50 AS BIGINT) AS n_results,
+       CAST(1 AS INT) AS monotone_ok,
+       CAST(1 AS INT) AS floor_ok
+FROM (VALUES (1), (2), (4), (8)) t(nprobe)
+ORDER BY nprobe
+"""
+
+ORACLES["u07_scalar_iter_udf"] = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLES["t20_unigram_lm_score"] = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+), dc AS (
+    SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+), corpus AS (
+    SELECT w, sum(c) AS cw FROM dc GROUP BY w
+), n AS (
+    SELECT sum(cw) AS n FROM corpus
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(c * -log2(CAST(cw AS DOUBLE) / n)) / sum(c), 3)
+           AS mean_surprisal
+FROM dc
+JOIN corpus USING (w)
+CROSS JOIN n
+GROUP BY doc_id
+ORDER BY doc_id
+"""

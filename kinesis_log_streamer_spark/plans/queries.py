@@ -4889,6 +4889,121 @@ def t19_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s11_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe sweep — the recall-vs-cost curve every ANN
+    deployment tunes: the same coarse quantizer probed at nprobe ∈
+    {1, 2, 4, 8}.  Because probe sets are NESTED (top-1 cell ⊆ top-2
+    ⊆ …), the re-ranked top-k's average cosine is mathematically
+    non-decreasing in nprobe — so the oracle can pin a MONOTONICITY
+    gate (plus s03's 0.6 effectiveness floor at the deepest probe)
+    without knowing the engine-specific neighbor lists.  This turns
+    the ANN family's weakest-evidence criticism around: the sweep's
+    *shape*, not just one operating point, is hash-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = (
+        S.cosine_topk(emb, queries, k=10)
+        .groupBy("qid")
+        .agg(F.avg("cos4").alias("_e_avg"))
+    )
+    per_level = []
+    for nprobe in (1, 2, 4, 8):
+        approx = S.ivf_topk(
+            emb, queries, k=10, nprobe=nprobe, queries_in_corpus=True
+        )
+        per_level.append(
+            approx.groupBy("qid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("cos4").alias("_a_avg"),
+            )
+            .join(exact, "qid")
+            .agg(
+                F.lit(nprobe).alias("nprobe"),
+                F.sum("n").alias("n_results"),
+                F.avg(F.col("_a_avg") / F.col("_e_avg")).alias("_eff"),
+            )
+        )
+    sweep = per_level[0]
+    for lvl in per_level[1:]:
+        sweep = sweep.unionByName(lvl)
+    w = W.orderBy("nprobe")
+    return sweep.select(
+        "nprobe",
+        "n_results",
+        F.coalesce(
+            F.col("_eff") >= F.lag("_eff").over(w) - 1e-9, F.lit(True)
+        )
+        .cast("int")
+        .alias("monotone_ok"),
+        (F.col("_eff") >= F.when(F.col("nprobe") == 8, 0.6).otherwise(0.0))
+        .cast("int")
+        .alias("floor_ok"),
+    ).orderBy("nprobe")
+
+
+def u07_scalar_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF — the seventh Python extension
+    shape: same Arrow batching as u02's scalar form, but the iterator
+    signature lets the worker pay one-time setup (model load,
+    dictionary mmap) ONCE per partition instead of once per batch —
+    the shape embedding/scoring UDFs take in production.  The kernel
+    (codepoint count) is integer-exact, so the oracle hash-matches
+    it against DuckDB ``length()``."""
+    from kinesis_log_streamer_spark.functions.udfs import char_count_iter
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", char_count_iter("text").alias("chars"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def t20_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the CCNet-style quality filter:
+    a unigram model is fit on the corpus itself (p(w) = c(w)/N, one
+    hash-agg), and each document scores its mean token surprisal
+    −Σ c_doc(w)·log2 p(w) / n_doc.  Low = common boilerplate, high =
+    rare-token noise; curation keeps the middle band.  One explode +
+    two hash-aggs + one equi-join on the token (df-style join form,
+    same shape as t06's tf-idf).  ACCEPTED-FP-RISK on round(…, 3):
+    double log sums, the monitored l09/t16 class."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    doc_counts = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    corpus = doc_counts.groupBy("w").agg(F.sum("c").alias("cw"))
+    n_total = corpus.agg(F.sum("cw").alias("n"))
+    scored = (
+        doc_counts.join(corpus, "w")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                F.col("c")
+                * -F.log2(F.col("cw").cast("double") / F.col("n"))
+            ).alias("_surp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_surp") / F.col("n_tokens"), 3).alias(
+            "mean_surprisal"
+        ),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4981,6 +5096,9 @@ REGISTRY = {
     "g02_triangle_count": g02_triangle_count,
     "f14_gzip_jsonl_scan": f14_gzip_jsonl_scan,
     "t19_bpe_pair_stats": t19_bpe_pair_stats,
+    "s11_ivf_probe_sweep": s11_ivf_probe_sweep,
+    "u07_scalar_iter_udf": u07_scalar_iter_udf,
+    "t20_unigram_lm_score": t20_unigram_lm_score,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
