@@ -2370,3 +2370,22 @@ CROSS JOIN n
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+ORACLES["f15_dynamic_partition_overwrite"] = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-10'
+                      THEN value * 2 ELSE value END), 2) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY event_date
+"""
+
+ORACLES["st11_stream_source_union"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""

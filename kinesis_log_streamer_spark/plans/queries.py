@@ -5004,6 +5004,105 @@ def t20_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def f15_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the table-maintenance primitive
+    behind backfills and late-data restatement: rewrite ONLY the
+    partitions present in the incoming frame
+    (``partitionOverwriteMode=dynamic``), leaving every other
+    date directory byte-untouched.  Static mode would truncate the
+    whole table first — the difference between restating one day and
+    rewriting 100 TB.  One date's values are restated ×2, read back
+    partition-pruned; the oracle applies the same restatement rule
+    to the original table, so both the overwrite's surgical scope
+    AND the untouched remainder are hash-checked."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.sources.sinks import (
+        write_events_by_date,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    path = os.path.join(tempfile.gettempdir(), "klss_f15_events")
+    shutil.rmtree(path, ignore_errors=True)
+    write_events_by_date(ev, path)
+    target = "2024-01-10"
+    restated = (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") == target)
+        .withColumn("value", F.col("value") * 2)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy(
+            "event_date"
+        ).parquet(path)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+def st11_stream_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multi-source union — the fan-in shape of real
+    ingest (N shards/topics → one logical stream): the events table
+    split across two file-source directories by event-id parity,
+    two independent ``readStream``s unioned BEFORE a stateful
+    windowed aggregation.  Offsets are tracked per source; the
+    drained result must equal batch SQL over the undivided table —
+    proving the union neither drops nor double-reads either leg."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    base = os.path.join(tempfile.gettempdir(), "klss_st11_src")
+    shutil.rmtree(base, ignore_errors=True)
+    for leg in ("even", "odd"):
+        os.makedirs(os.path.join(base, leg))
+    _write_single_parquet(
+        ev.filter(F.col("event_id") % 2 == 0),
+        os.path.join(base, "even", "events.parquet"),
+    )
+    _write_single_parquet(
+        ev.filter(F.col("event_id") % 2 == 1),
+        os.path.join(base, "odd", "events.parquet"),
+    )
+    legs = [
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
+        .format("parquet")
+        .load(os.path.join(base, leg))
+        for leg in ("even", "odd")
+    ]
+    unioned = legs[0].unionByName(legs[1])
+    agg = (
+        unioned.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    _drain_stream_to_table(agg, "st11_out", mode="complete")
+    return spark.table("st11_out").orderBy("hour_start", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5099,6 +5198,8 @@ REGISTRY = {
     "s11_ivf_probe_sweep": s11_ivf_probe_sweep,
     "u07_scalar_iter_udf": u07_scalar_iter_udf,
     "t20_unigram_lm_score": t20_unigram_lm_score,
+    "f15_dynamic_partition_overwrite": f15_dynamic_partition_overwrite,
+    "st11_stream_source_union": st11_stream_source_union,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

@@ -397,3 +397,77 @@ class TestUnigramLmScore:
         )
         exp = round(math.log2(4), 3)
         assert all(abs(r["ms"] - exp) < 1e-9 for r in out)
+
+
+class TestDynamicPartitionOverwrite:
+    def test_only_target_partition_rewritten(self, spark, tmp_path):
+        """Files outside the restated date must be byte-identical
+        (same paths, same sizes) after the dynamic overwrite."""
+        import os
+
+        from kinesis_log_streamer_spark.sources.sinks import (
+            write_events_by_date,
+        )
+
+        ev = Q._t(spark, SF, "events")
+        path = str(tmp_path / "ev")
+        write_events_by_date(ev, path)
+
+        def snapshot():
+            out = {}
+            for root, _, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        out[os.path.relpath(p, path)] = os.path.getsize(p)
+            return out
+
+        before = snapshot()
+        target = sorted(
+            d for d in os.listdir(path) if d.startswith("event_date=")
+        )[0]
+        restated = (
+            spark.read.parquet(path)
+            .filter(
+                F.col("event_date")
+                == target.split("=", 1)[1]
+            )
+            .withColumn("value", F.col("value") * 2)
+        )
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            restated.write.mode("overwrite").partitionBy(
+                "event_date"
+            ).parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+        after = snapshot()
+        untouched_b = {k: v for k, v in before.items()
+                       if not k.startswith(target)}
+        untouched_a = {k: v for k, v in after.items()
+                       if not k.startswith(target)}
+        assert untouched_b == untouched_a
+        assert any(k.startswith(target) for k in after)
+
+
+class TestStreamSourceUnion:
+    def test_matches_batch_over_whole_table(self, spark):
+        got = Q.st11_stream_source_union(spark, SF)
+        exp = (
+            Q._t(spark, SF, "events")
+            .groupBy(
+                F.date_trunc("hour", "ts").alias("hour_start"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in exp.collect()
+        }
