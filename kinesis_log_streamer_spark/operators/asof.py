@@ -29,22 +29,33 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Union + last(ignorenulls) as-of join.
+    """Union + last/first(ignorenulls) as-of join.
 
-    Right columns (except key/ts) are appended to every left row as of
+    ``direction="backward"`` (default): right columns (except
+    key/ts) are appended to every left row as of
     ``right_ts <= left_ts``; left rows with no prior right row keep
-    nulls. Output columns: all left columns + right value columns.
+    nulls.  ``direction="forward"``: the NEXT right row at-or-after
+    the left timestamp instead (``right_ts >= left_ts``) — the
+    "first quote after the trade" / "next deploy after the alert"
+    shape — implemented as the exact mirror: ``first(ignorenulls)``
+    over the FOLLOWING frame, left rows sorting before right rows at
+    equal timestamps so a simultaneous right row is still visible.
+    Output columns: all left columns + right value columns.
 
-    ``tolerance_seconds`` bounds the lookback (pandas
-    ``merge_asof(tolerance=...)`` semantics): a match older than the
-    tolerance is nulled out, not replaced by an older in-range row —
-    the most recent right row either qualifies or nothing does.  The
-    bound is applied AFTER the forward fill, so it costs one
-    projection, no extra shuffle: the matched right timestamp rides
-    inside the fill struct and is compared against the left timestamp
-    in the final select.
+    ``tolerance_seconds`` bounds the lookback/lookahead (pandas
+    ``merge_asof(tolerance=...)`` semantics): a match farther than
+    the tolerance is nulled out, not replaced by another in-range
+    row — the nearest right row either qualifies or nothing does.
+    The bound is applied AFTER the fill, so it costs one projection,
+    no extra shuffle: the matched right timestamp rides inside the
+    fill struct and is compared against the left timestamp in the
+    final select.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
+    forward = direction == "forward"
     from pyspark.sql.types import StructField, StructType
 
     rcols = [c for c in right.columns if c not in (key, right_ts)]
@@ -70,14 +81,18 @@ def asof_join(
     r_struct_cols = [F.col(c) for c in rcols]
     if tolerance_seconds is not None:
         r_struct_cols.append(F.col(right_ts).alias("__rts"))
+    # Side ordering at equal ts: the right row must be VISIBLE to the
+    # left row's frame — backward (preceding frame): right first
+    # (0 < 1); forward (following frame): left first (0 < 1).
+    l_side, r_side = (0, 1) if forward else (1, 0)
     l_tagged = (
         left.withColumn("__ts", F.col(left_ts))
-        .withColumn("__side", F.lit(1))
+        .withColumn("__side", F.lit(l_side))
         .withColumn("__r", F.lit(None).cast(r_struct_type))
     )
     r_tagged = (
         right.withColumn("__ts", F.col(right_ts))
-        .withColumn("__side", F.lit(0))
+        .withColumn("__side", F.lit(r_side))
         .withColumn("__r", F.struct(*r_struct_cols))
     )
     for c in lcols:
@@ -94,21 +109,36 @@ def asof_join(
     # Maps are not orderable — fall back to the ts-only ordering then.
     orderable = "map" not in r_struct_type.simpleString()
     order = ["__ts", "__side"] + (["__r"] if orderable else [])
-    w = (
-        W.partitionBy(key)
-        .orderBy(*order)
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    filled = unioned.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    if forward:
+        w = (
+            W.partitionBy(key)
+            .orderBy(*order)
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        filled = unioned.withColumn(
+            "__r", F.first("__r", ignorenulls=True).over(w)
+        )
+    else:
+        w = (
+            W.partitionBy(key)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        filled = unioned.withColumn(
+            "__r", F.last("__r", ignorenulls=True).over(w)
+        )
     if tolerance_seconds is not None:
-        in_range = (
+        gap = (
             F.col("__ts").cast("timestamp").cast("double")
             - F.col("__r.__rts").cast("timestamp").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
+        )
+        in_range = (-gap if forward else gap) <= F.lit(
+            float(tolerance_seconds)
+        )
         filled = filled.withColumn(
             "__r", F.when(in_range, F.col("__r"))
         )
-    return filled.filter(F.col("__side") == 1).select(
+    return filled.filter(F.col("__side") == F.lit(l_side)).select(
         *lcols, *[F.col(f"__r.{c}").alias(c) for c in rcols]
     )
 

@@ -2389,3 +2389,75 @@ FROM events
 GROUP BY 1, 2
 ORDER BY hour_start, event_type
 """
+
+ORACLES["q68_asof_forward"] = """
+WITH nxt AS (
+    SELECT o_custkey AS user_id, o_orderdate AS odate,
+           max(o_orderkey) AS next_order_key
+    FROM orders GROUP BY 1, 2
+)
+SELECT event_id, user_id,
+       CASE WHEN odate IS NOT NULL
+                 AND epoch(odate) - epoch(ts) <= 7 * 86400
+            THEN next_order_key END AS next_order_key
+FROM (
+    SELECT e.event_id, e.user_id, e.ts, n.odate, n.next_order_key,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY n.odate ASC) AS rn
+    FROM events e
+    LEFT JOIN nxt n ON n.user_id = e.user_id AND n.odate >= e.ts
+)
+WHERE rn = 1
+ORDER BY event_id
+"""
+
+ORACLES["q69_cached_branch_reuse"] = """
+WITH inter AS (
+    SELECT l_returnflag, l_linestatus,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem WHERE l_quantity > 10
+)
+SELECT key, n_rows, total_net, branch FROM (
+    SELECT l_returnflag AS key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(net), 2) AS total_net,
+           'by_returnflag' AS branch
+    FROM inter GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT),
+           round(sum(net), 2),
+           'by_linestatus'
+    FROM inter GROUP BY l_linestatus
+)
+ORDER BY branch, key
+"""
+
+ORACLES["s12_dim_stats"] = """
+WITH dims AS (
+    SELECT generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS e
+    FROM embeddings
+)
+SELECT pos,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(e) AS DOUBLE) AS dim_min,
+       CAST(max(e) AS DOUBLE) AS dim_max,
+       round(sum(e) / count(*), 4) + 0 AS dim_mean,
+       round(sum(e * e) / count(*)
+             - (sum(e) / count(*)) * (sum(e) / count(*)), 4) + 0 AS dim_var
+FROM dims
+GROUP BY pos
+ORDER BY pos
+"""
+
+ORACLES["q70_bitwise_aggs"] = """
+SELECT o_orderpriority,
+       CAST(bit_and(o_orderkey % 4096) AS BIGINT) AS and_mask,
+       CAST(bit_or(o_orderkey % 4096) AS BIGINT) AS or_mask,
+       CAST(bit_xor(o_orderkey % 4096) AS BIGINT) AS xor_mask,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -29,7 +29,11 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
   (``concat_ws('|', sort_array(...))`` ⇌ ``array_to_string(
   list_sort(...), '|')``);
 * DECIMAL sum wire types are pinned by explicit cast on both engines
-  (Spark and DuckDB widen sum() precision differently).
+  (Spark and DuckDB widen sum() precision differently);
+* rounded doubles that can land at zero add ``+ 0.0`` on BOTH
+  engines — ``round(-1e-6, 4)`` is IEEE −0.0 on one engine and 0.0
+  on the other, and the canonicalizer string-compares them
+  (surfaced by s12's sf0.1 sweep).
 """
 
 from __future__ import annotations
@@ -5103,6 +5107,137 @@ def st11_stream_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("st11_out").orderBy("hour_start", "event_type")
 
 
+def q68_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (`operators/asof.py`, ``direction=
+    "forward"``): each event annotated with the user's NEXT order
+    at-or-after the event — the "first quote after the trade" mirror
+    of q23's backward form, same union-trick plan (one shuffle, O(1)
+    window state), ``first(ignorenulls)`` over the FOLLOWING frame.
+    A 7-day tolerance nulls matches farther out, exercising the
+    lookahead bound."""
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    nxt = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("odate"),
+    ).agg(F.max("o_orderkey").alias("next_order_key"))
+    return (
+        asof_join(
+            events,
+            nxt,
+            key="user_id",
+            left_ts="ts",
+            right_ts="odate",
+            tolerance_seconds=7 * 86400.0,
+            direction="forward",
+        )
+        .select("event_id", "user_id", "next_order_key")
+        .orderBy("event_id")
+    )
+
+
+def q69_cached_branch_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``.cache()`` branch reuse — the API every multi-output pipeline
+    leans on: one filtered/derived intermediate materialized once
+    (in-memory columnar), then TWO aggregation branches read the
+    cached copy instead of re-scanning parquet (asserted:
+    ``InMemoryTableScan`` in both branch plans).  At 100 TB the same
+    decision appears as checkpoint-to-parquet; the API and plan
+    shape are identical.  Branches are unioned under a branch tag so
+    one oracle-hashed table pins both."""
+    li = _t(spark, sf_dir, "lineitem")
+    inter = (
+        li.filter(F.col("l_quantity") > 10)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "net"
+            ),
+        )
+        .cache()
+    )
+    by_flag = inter.groupBy(
+        F.col("l_returnflag").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("net"), 2).alias("total_net"),
+    ).withColumn("branch", F.lit("by_returnflag"))
+    by_status = inter.groupBy(
+        F.col("l_linestatus").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("net"), 2).alias("total_net"),
+    ).withColumn("branch", F.lit("by_linestatus"))
+    out = by_flag.unionByName(by_status).orderBy("branch", "key")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "InMemoryTableScan" not in plan:
+        raise RuntimeError("expected cached-intermediate reuse in plan")
+    return out
+
+
+def s12_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION statistics over the embedding column — the
+    feature-diagnostics pass (dead dims, scale drift) vector
+    pipelines run before normalization/quantization: one
+    ``posexplode`` + one hash-agg, 64 output rows regardless of
+    corpus size.  min/max are exact float selections (hash-strong);
+    mean/variance use the EXPLICIT sum formula on both engines
+    (built-in var_samp implementations differ numerically) rounded
+    to 4 — the monitored accepted-fp-risk class."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("pos0", "e")
+    ).select((F.col("pos0") + 1).alias("pos"), F.col("e").cast("double"))
+    return (
+        dims.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("e").alias("dim_min"),
+            F.max("e").alias("dim_max"),
+            # + 0.0 folds IEEE negative zero (round(-1e-6, 4) is -0.0
+            # on one engine, 0.0 on the other) into +0.0 on both.
+            (F.round(F.sum("e") / F.count(F.lit(1)), 4) + 0.0).alias(
+                "dim_mean"
+            ),
+            (
+                F.round(
+                    F.sum(F.col("e") * F.col("e")) / F.count(F.lit(1))
+                    - (F.sum("e") / F.count(F.lit(1)))
+                    * (F.sum("e") / F.count(F.lit(1))),
+                    4,
+                )
+                + 0.0
+            ).alias("dim_var"),
+        )
+        .orderBy("pos")
+    )
+
+
+def q70_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (``bit_and``/``bit_or``/
+    ``bit_xor``) — the permission-mask / bloom-accumulator corner of
+    the function library, plus scalar shifts in the projection; all
+    integer-exact and hash-matched."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            (F.col("o_orderkey") % 4096).alias("mask"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("mask").alias("and_mask"),
+            F.bit_or("mask").alias("or_mask"),
+            F.bit_xor("mask").alias("xor_mask"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5200,6 +5335,10 @@ REGISTRY = {
     "t20_unigram_lm_score": t20_unigram_lm_score,
     "f15_dynamic_partition_overwrite": f15_dynamic_partition_overwrite,
     "st11_stream_source_union": st11_stream_source_union,
+    "q68_asof_forward": q68_asof_forward,
+    "q69_cached_branch_reuse": q69_cached_branch_reuse,
+    "s12_dim_stats": s12_dim_stats,
+    "q70_bitwise_aggs": q70_bitwise_aggs,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

@@ -471,3 +471,83 @@ class TestStreamSourceUnion:
         assert {tuple(r) for r in got.collect()} == {
             tuple(r) for r in exp.collect()
         }
+
+
+class TestAsofForward:
+    def _frames(self, spark):
+        import datetime as dt
+
+        left = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 10, 0), "e1"),
+                (1, dt.datetime(2024, 1, 1, 12, 0), "e2"),
+                (2, dt.datetime(2024, 1, 1, 9, 0), "e3"),
+            ],
+            "k bigint, lts timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 10, 0), "r_at_10"),
+                (1, dt.datetime(2024, 1, 1, 11, 0), "r_at_11"),
+                (2, dt.datetime(2024, 1, 2, 9, 0), "r_next_day"),
+            ],
+            "k bigint, rts timestamp, val string",
+        )
+        return left, right
+
+    def test_picks_next_at_or_after(self, spark):
+        from kinesis_log_streamer_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["tag"]: r["val"]
+            for r in asof_join(
+                left, right, key="k", left_ts="lts", right_ts="rts",
+                direction="forward",
+            ).collect()
+        }
+        # e1 at 10:00 sees the simultaneous right row; e2 at 12:00 has
+        # no following row; e3 matches next-day.
+        assert out == {"e1": "r_at_10", "e2": None, "e3": "r_next_day"}
+
+    def test_forward_tolerance_nulls_far_match(self, spark):
+        from kinesis_log_streamer_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["tag"]: r["val"]
+            for r in asof_join(
+                left, right, key="k", left_ts="lts", right_ts="rts",
+                tolerance_seconds=3600.0, direction="forward",
+            ).collect()
+        }
+        # e3's next-day match is beyond 1 h and must be NULLED, not
+        # replaced by anything else.
+        assert out == {"e1": "r_at_10", "e2": None, "e3": None}
+
+    def test_bad_direction_raises(self, spark):
+        from kinesis_log_streamer_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        try:
+            asof_join(left, right, key="k", left_ts="lts",
+                      right_ts="rts", direction="sideways")
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
+class TestCachedBranchReuse:
+    def test_plan_reuses_cache(self, spark):
+        out = Q.q69_cached_branch_reuse(spark, SF)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2
+
+
+class TestDimStats:
+    def test_shape_and_bounds(self, spark):
+        rows = Q.s12_dim_stats(spark, SF).collect()
+        assert len(rows) == 64
+        for r in rows:
+            assert r["dim_min"] <= r["dim_mean"] <= r["dim_max"]
+            assert r["dim_var"] >= 0.0
