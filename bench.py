@@ -111,6 +111,21 @@ HEADLINE = [
     "st10_stream_left_outer_join",
     "d08_token_sort_dedup",
     "u06_arrow_scalar_udf",
+    # round-3 batch 3: sweep line, triangles, codecs, BPE stats, LM
+    # scoring, iterator UDF, forward as-of, dim stats, bit aggs,
+    # partition overwrite, stream union.  (s11's 4-level IVF sweep is
+    # deliberately NOT a headline query: it is 4 full ANN runs.)
+    "q67_max_concurrency",
+    "g02_triangle_count",
+    "f14_gzip_jsonl_scan",
+    "t19_bpe_pair_stats",
+    "t20_unigram_lm_score",
+    "u07_scalar_iter_udf",
+    "q68_asof_forward",
+    "s12_dim_stats",
+    "q70_bitwise_aggs",
+    "f15_dynamic_partition_overwrite",
+    "st11_stream_source_union",
 ]
 
 
