@@ -450,3 +450,116 @@ def portable_minhash_pairs(
     return verified.filter(
         inter.cast("double") / union >= threshold
     ).select("id_a", "id_b")
+
+
+def portable_minhash_sweep(
+    df: DataFrame,
+    levels: tuple[int, ...] = (1, 2, 4),
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Band-count tuning sweep for :func:`portable_minhash_pairs` —
+    the dedup twin of the ANN nprobe sweep: per band count n ∈
+    ``levels``, how many candidate pairs LSH surfaces and how many
+    survive exact-Jaccard verification.  Band sets are NESTED (level
+    n uses bands 0..n−1 with the same seeds), so both counts are
+    monotone non-decreasing in n — and because the md5 hash family
+    is engine-portable, the COUNTS themselves (not just gates) are
+    reproducible by an external engine.
+
+    Cost: the banding/verification pipeline runs ONCE at max(levels);
+    each pair carries its FIRST matching band, and level counts are
+    filtered aggregates over that — not one pipeline per level.
+
+    Returns (n_bands, n_candidates, n_verified) ordered by n_bands.
+    """
+    from kinesis_log_streamer_spark.operators.parallelize import (
+        spread_for_compute,
+    )
+
+    max_bands = max(levels)
+    tok = tokens_col(F.col(text_col))
+    with_sh = (
+        spread_for_compute(df.select(id_col, text_col))
+        .filter(F.size(tok) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles_col(tok, shingle_n)).alias("sh"),
+        )
+    )
+
+    def _minhash(seed: int) -> Column:
+        return F.array_min(
+            F.transform(
+                "sh", lambda x: F.md5(F.concat_ws(":", F.lit(str(seed)), x))
+            )
+        )
+
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat(
+                *[
+                    _minhash(i * rows_per_band + r)
+                    for r in range(rows_per_band)
+                ]
+            ).alias("bkey"),
+        )
+        for i in range(max_bands)
+    ]
+    bands = with_sh.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.min("a.band").alias("first_band"))
+    )
+    sa = with_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = with_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    flagged = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "first_band",
+            (inter.cast("double") / union >= threshold)
+            .cast("int")
+            .alias("ok"),
+        )
+    )
+    spark = df.sparkSession
+    lv = spark.createDataFrame(
+        [(int(n),) for n in sorted(levels)], "n_bands int"
+    )
+    return (
+        flagged.crossJoin(F.broadcast(lv))
+        .groupBy("n_bands")
+        .agg(
+            F.count(F.when(F.col("first_band") < F.col("n_bands"), 1)).alias(
+                "n_candidates"
+            ),
+            F.count(
+                F.when(
+                    (F.col("first_band") < F.col("n_bands"))
+                    & (F.col("ok") == 1),
+                    1,
+                )
+            ).alias("n_verified"),
+        )
+        .orderBy("n_bands")
+    )

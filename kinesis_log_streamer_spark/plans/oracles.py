@@ -2461,3 +2461,56 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+ORACLES["d09_lsh_band_sweep"] = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+    WHERE len(t) >= 3
+),
+bands AS (
+    SELECT doc_id, b.i AS band,
+           list_min(list_transform(s, x -> md5((2*b.i)::VARCHAR || ':' || x)))
+           || list_min(list_transform(s, x -> md5((2*b.i+1)::VARCHAR || ':' || x)))
+           AS bkey
+    FROM sh, (SELECT unnest(generate_series(0, 3)) AS i) b
+),
+cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, min(a.band) AS first_band
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+flagged AS (
+    SELECT c.first_band,
+           CASE WHEN len(list_intersect(sa.s, sb.s))::DOUBLE
+                     / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+                THEN 1 ELSE 0 END AS ok
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT n_bands,
+       CAST(count(CASE WHEN first_band < n_bands THEN 1 END) AS BIGINT)
+           AS n_candidates,
+       CAST(count(CASE WHEN first_band < n_bands AND ok = 1 THEN 1 END)
+            AS BIGINT) AS n_verified
+FROM flagged, (VALUES (1), (2), (4)) lv(n_bands)
+GROUP BY n_bands
+ORDER BY n_bands
+"""
+
+ORACLES["f16_multiline_json_array"] = """
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       min(n_name) AS first_name,
+       CAST(max(n_nationkey) AS INTEGER) AS max_key
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""

@@ -5238,6 +5238,62 @@ def q70_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d09_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-count tuning sweep
+    (`operators/dedup.py:portable_minhash_sweep`) — the dedup twin of
+    s11's nprobe sweep: candidate and verified pair counts at 1/2/4
+    bands.  Nested band sets make both counts monotone, and the
+    md5 hash family is engine-portable, so the EXACT COUNTS (not
+    assertion gates) hash-match a DuckDB replication of the identical
+    banding — the strongest possible evidence that the recall knob
+    behaves as the S-curve theory says.  One banding pass at
+    max(levels); levels are filtered aggregates over each pair's
+    first matching band."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.portable_minhash_sweep(docs).orderBy("n_bands")
+
+
+def f16_multiline_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``multiLine`` JSON-ARRAY ingestion — the third JSON shape after
+    JSON-lines (f09) and concatenated values (i05): one top-level
+    ``[...]`` spanning many lines, the format REST APIs dump.  The
+    fixture is built JVM-side (``to_json(collect_list(struct))`` —
+    bounded, the 25-row nation dim) and read back with
+    ``multiLine=true``, which parses the whole file as one value and
+    explodes the array into rows.  Oracle aggregates the original
+    parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    nation = _t(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "klss_f16_json_array")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        nation.agg(
+            F.to_json(
+                F.collect_list(
+                    F.struct("n_nationkey", "n_name", "n_regionkey")
+                )
+            ).alias("value")
+        ).write.text(path)
+    )
+    back = (
+        spark.read.option("multiLine", True)
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(path)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_nationkey").alias("max_key"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5339,6 +5395,8 @@ REGISTRY = {
     "q69_cached_branch_reuse": q69_cached_branch_reuse,
     "s12_dim_stats": s12_dim_stats,
     "q70_bitwise_aggs": q70_bitwise_aggs,
+    "d09_lsh_band_sweep": d09_lsh_band_sweep,
+    "f16_multiline_json_array": f16_multiline_json_array,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

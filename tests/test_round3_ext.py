@@ -551,3 +551,21 @@ class TestDimStats:
         for r in rows:
             assert r["dim_min"] <= r["dim_mean"] <= r["dim_max"]
             assert r["dim_var"] >= 0.0
+
+
+class TestLshBandSweep:
+    def test_counts_monotone_and_nested(self, spark):
+        rows = Q.d09_lsh_band_sweep(spark, SF).collect()
+        assert [r["n_bands"] for r in rows] == [1, 2, 4]
+        cands = [r["n_candidates"] for r in rows]
+        vers = [r["n_verified"] for r in rows]
+        assert cands == sorted(cands)
+        assert vers == sorted(vers)
+        assert all(v <= c for v, c in zip(vers, cands))
+
+
+class TestMultilineJsonArray:
+    def test_round_trip_rows(self, spark):
+        out = Q.f16_multiline_json_array(spark, SF)
+        total = out.agg(F.sum("n_nations")).first()[0]
+        assert total == Q._t(spark, SF, "nation").count()
