@@ -2514,3 +2514,13 @@ FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
 """
+
+ORACLES["k02_kinesis_checkpoint_resume"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id % 3 IN (0, 1)
+GROUP BY event_type
+ORDER BY event_type
+"""

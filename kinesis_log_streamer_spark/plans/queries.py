@@ -5294,6 +5294,100 @@ def f16_multiline_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k02_kinesis_checkpoint_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """st09's exactly-once resume contract applied to the CUSTOM
+    Kinesis source (`sources/kinesis_source.py`): phase 1 ships a
+    third of the events through the PutRecords sink and drains it
+    through a checkpointed ``foreachBatch``; phase 2 ships a SECOND
+    third into the SAME dir-stream and restarts from the SAME
+    checkpoint — the source's per-shard sequence offsets must resume
+    past phase-1 records with zero re-emission (the partial-count
+    log would double-count otherwise and break the oracle hash).
+    This is the strongest evidence the Python Data Source's offset
+    API is implemented correctly, not just its happy-path read."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.sources.kinesis_source import (
+        DirKinesisClient,
+        KinesisDataSource,
+    )
+    from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ep = os.path.join(tempfile.gettempdir(), "klss_k02_stream")
+    ckpt = os.path.join(tempfile.gettempdir(), "klss_k02_ckpt")
+    outp = os.path.join(tempfile.gettempdir(), "klss_k02_out")
+    for d in (ep, ckpt, outp):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(outp)
+
+    ev = _t(spark, sf_dir, "events")
+
+    def payload(mod3: int) -> DataFrame:
+        return ev.filter(F.col("event_id") % 3 == mod3).select(
+            F.to_json(
+                F.struct("event_id", "event_type", "value")
+            ).alias("data"),
+            F.concat(
+                F.lit("host-"), (F.col("user_id") % 8).cast("string")
+            ).alias("partitionKey"),
+        )
+
+    sink = KinesisSink(
+        "k02", client_factory=lambda: DirKinesisClient(ep)
+    )
+    spark.dataSource.register(KinesisDataSource)
+
+    def append_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.from_json(
+                    "data",
+                    "event_id long, event_type string, value double",
+                ).alias("r")
+            )
+            .groupBy(F.col("r.event_type").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_partial"),
+                F.sum("r.value").alias("v_partial"),
+            )
+            .write.mode("append")
+            .parquet(outp)
+        )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("kinesis_py")
+            .option("endpoint", f"dir:{ep}")
+            .load()
+            .writeStream.foreachBatch(append_partial)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    sink.write_batch(payload(0).coalesce(2), epoch_id=0)
+    drain()  # phase 1
+    sink.write_batch(payload(1).coalesce(2), epoch_id=1)
+    drain()  # phase 2: same checkpoint, only the new records
+    return (
+        spark.read.parquet(outp)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_partial").cast("long").alias("n_events"),
+            F.round(F.sum("v_partial"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5397,6 +5491,7 @@ REGISTRY = {
     "q70_bitwise_aggs": q70_bitwise_aggs,
     "d09_lsh_band_sweep": d09_lsh_band_sweep,
     "f16_multiline_json_array": f16_multiline_json_array,
+    "k02_kinesis_checkpoint_resume": k02_kinesis_checkpoint_resume,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
