@@ -2524,3 +2524,63 @@ WHERE event_id % 3 IN (0, 1)
 GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLES["p05_pipeline_reconciliation"] = """
+WITH nonshort AS (
+    SELECT doc_id, text FROM documents WHERE length(text) >= 100
+), exact_keep AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rk
+        FROM nonshort
+    ) WHERE rk = 1
+), multiset_keep AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                   PARTITION BY md5(array_to_string(
+                       list_sort(string_split_regex(
+                           lower(trim(text)), '\\s+')), ' '))
+                   ORDER BY doc_id) AS rk
+        FROM exact_keep
+    ) WHERE rk = 1
+), sampled AS (
+    SELECT doc_id FROM multiset_keep
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT) % 2 = 0
+)
+SELECT stage, n_docs FROM (
+    SELECT '1_raw' AS stage,
+           CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+    UNION ALL
+    SELECT '2_nonshort', CAST((SELECT count(*) FROM nonshort) AS BIGINT)
+    UNION ALL
+    SELECT '3_exact_unique',
+           CAST((SELECT count(*) FROM exact_keep) AS BIGINT)
+    UNION ALL
+    SELECT '4_multiset_unique',
+           CAST((SELECT count(*) FROM multiset_keep) AS BIGINT)
+    UNION ALL
+    SELECT '5_half_sampled',
+           CAST((SELECT count(*) FROM sampled) AS BIGINT)
+)
+ORDER BY stage
+"""
+
+ORACLES["w01_weighted_sample"] = """
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ln((CAST((doc_id * 2654435761 + 40503) % 2147483647 AS DOUBLE)
+               + 1.0) / 2147483648.0)
+           / CAST(n_chars AS DOUBLE) AS k
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT)
+           AS draw_rank
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT 50
+"""

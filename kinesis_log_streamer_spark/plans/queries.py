@@ -5388,6 +5388,99 @@ def k02_kinesis_checkpoint_resume(
     )
 
 
+def p05_pipeline_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end curation-funnel reconciliation — the run report a
+    production pipeline publishes after every pass: document counts
+    surviving each stage (raw → length filter → exact dedup →
+    token-multiset dedup → deterministic half-sample), each stage
+    feeding the next.  Every stage is md5/integer-deterministic, so
+    the oracle replays the IDENTICAL funnel and the row counts
+    hash-match — the cross-stage bookkeeping (not just each operator
+    alone) is what this gates.  All stages are one scan + hash-aggs;
+    the funnel shape is the d01/d08/t09 operators composed."""
+    docs = _t(spark, sf_dir, "documents")
+    nonshort = docs.filter(F.length("text") >= 100)
+    exact_keep = (
+        nonshort.select(
+            "doc_id", "text", F.md5("text").alias("sig")
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("sig").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    msig = F.md5(
+        F.concat_ws(
+            " ", F.sort_array(F.split(F.lower(F.trim("text")), r"\s+"))
+        )
+    )
+    multiset_keep = (
+        exact_keep.select("doc_id", "text", msig.alias("msig"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("msig").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    sampled = multiset_keep.filter(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+        == 0
+    )
+    stages = [
+        ("1_raw", docs),
+        ("2_nonshort", nonshort),
+        ("3_exact_unique", exact_keep),
+        ("4_multiset_unique", multiset_keep),
+        ("5_half_sampled", sampled),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage")
+
+
+def w01_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis):
+    each document draws a deterministic pseudo-uniform u and is
+    ranked by ``ln(u)/w`` (equivalent to max u^(1/w)) with weight =
+    n_chars — the "sample proportional to quality/length" primitive
+    data-mixing recipes need, as ONE top-k over a scan-local key, no
+    RNG state and reproducible across engines, retries, and
+    partitionings.  u comes from an integer LCG mix of doc_id
+    (exact on both engines); the double division only ORDERS rows,
+    so no fp-boundary output risk."""
+    docs = _t(spark, sf_dir, "documents")
+    u_int = (F.col("doc_id") * 2654435761 + 40503) % 2147483647
+    key = F.log(
+        (u_int.cast("double") + 1.0) / 2147483648.0
+    ) / F.col("n_chars").cast("double")
+    ranked = (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", key.alias("_k"))
+        .orderBy(F.desc("_k"), "doc_id")
+        .limit(50)
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(W.orderBy(F.desc("_k"), F.asc("doc_id")))
+        .alias("draw_rank"),
+    ).orderBy("draw_rank")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5492,6 +5585,8 @@ REGISTRY = {
     "d09_lsh_band_sweep": d09_lsh_band_sweep,
     "f16_multiline_json_array": f16_multiline_json_array,
     "k02_kinesis_checkpoint_resume": k02_kinesis_checkpoint_resume,
+    "p05_pipeline_reconciliation": p05_pipeline_reconciliation,
+    "w01_weighted_sample": w01_weighted_sample,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

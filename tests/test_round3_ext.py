@@ -569,3 +569,41 @@ class TestMultilineJsonArray:
         out = Q.f16_multiline_json_array(spark, SF)
         total = out.agg(F.sum("n_nations")).first()[0]
         assert total == Q._t(spark, SF, "nation").count()
+
+
+class TestPipelineReconciliation:
+    def test_funnel_is_monotone_nonincreasing(self, spark):
+        rows = {r["stage"]: r["n_docs"] for r in
+                Q.p05_pipeline_reconciliation(spark, SF).collect()}
+        order = ["1_raw", "2_nonshort", "3_exact_unique",
+                 "4_multiset_unique", "5_half_sampled"]
+        vals = [rows[s] for s in order]
+        assert vals == sorted(vals, reverse=True)
+        assert vals[0] == Q._t(spark, SF, "documents").count()
+
+
+class TestWeightedSample:
+    def test_longer_docs_overrepresented(self, spark):
+        """With weight = n_chars the sampled mean length must exceed
+        the corpus mean — the defining property of weighted draws."""
+        out = Q.w01_weighted_sample(spark, SF)
+        assert out.count() == 50
+        samp_mean = out.agg(F.avg("n_chars")).first()[0]
+        corp_mean = (
+            Q._t(spark, SF, "documents").agg(F.avg("n_chars")).first()[0]
+        )
+        assert samp_mean > corp_mean
+
+    def test_deterministic_across_partitionings(self, spark):
+        a = [r["doc_id"] for r in
+             Q.w01_weighted_sample(spark, SF).collect()]
+        docs = Q._t(spark, SF, "documents").repartition(13)
+        u_int = (F.col("doc_id") * 2654435761 + 40503) % 2147483647
+        key = F.log(
+            (u_int.cast("double") + 1.0) / 2147483648.0
+        ) / F.col("n_chars").cast("double")
+        b = [r["doc_id"] for r in
+             docs.filter(F.col("n_chars") > 0)
+             .select("doc_id", key.alias("_k"))
+             .orderBy(F.desc("_k"), "doc_id").limit(50).collect()]
+        assert a == b
