@@ -77,3 +77,29 @@ def salted_count(
     )
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__c"))
     return partial.groupBy(key).agg(F.sum("__c").alias("n"))
+
+
+def null_routed_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Left join that routes NULL-key rows AROUND the shuffle.
+
+    Null join keys never match, yet a plain left join still ships
+    every null-key row through the hash partitioner — and they all
+    land in ONE reducer (null hashes to one bucket), the single most
+    common skew pathology in fact tables with optional foreign keys.
+    The fix: split the null-key rows off with a scan-local filter,
+    join only the non-null rows, and union the null rows back with
+    null-extended right columns.  Result is row-identical to the
+    plain left join; the shuffle never sees a null key.
+    """
+    rcols = [c for c in right.columns if c != key]
+    nn = left.filter(F.col(key).isNotNull()).join(right, key, "left")
+    nulls = left.filter(F.col(key).isNull())
+    for c in rcols:
+        nulls = nulls.withColumn(
+            c, F.lit(None).cast(right.schema[c].dataType)
+        )
+    return nn.unionByName(nulls.select(nn.columns))

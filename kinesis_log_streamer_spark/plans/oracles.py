@@ -2584,3 +2584,40 @@ FROM keyed
 ORDER BY k DESC, doc_id
 LIMIT 50
 """
+
+ORACLES["q71_null_skew_join"] = """
+WITH ev AS (
+    SELECT event_id, event_type,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     % 3 <> 0
+                THEN (CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      % 1000) + 1
+           END AS cust_key
+    FROM events
+)
+SELECT event_type,
+       coalesce(c_mktsegment, '(no-key)') AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT cust_key) AS BIGINT) AS n_keys
+FROM ev
+LEFT JOIN customer ON ev.cust_key = customer.c_custkey
+GROUP BY event_type, segment
+ORDER BY event_type, segment
+"""
+
+ORACLES["q72_scd2_build"] = """
+WITH changes AS (
+    SELECT user_id, ts, max(event_id) AS change_id
+    FROM events
+    WHERE event_type = 'signup'
+    GROUP BY user_id, ts
+)
+SELECT user_id, change_id,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+           AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, change_id)
+ORDER BY user_id, valid_from
+"""

@@ -5481,6 +5481,79 @@ def w01_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("draw_rank")
 
 
+def q71_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key skew routing (`operators/skew.py:
+    null_routed_left_join`) — the most common real-world skew
+    pathology: optional foreign keys put every null row in ONE
+    reducer of a left join's shuffle.  Events with a derived
+    nullable key (missing props.k ⇒ null, plus k%3==0 nulled to
+    make the pathology dense) join customer; null rows bypass the
+    shuffle entirely via filter + union and re-enter null-extended.
+    Hash-matched against the plain left join, which by SQL
+    semantics must agree row-for-row."""
+    from kinesis_log_streamer_spark.operators.skew import (
+        null_routed_left_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.get_json_object("props", "$.k").cast("long") % 3 != 0,
+            (F.get_json_object("props", "$.k").cast("long") % 1000) + 1,
+        ).alias("cust_key"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        "c_mktsegment",
+    )
+    joined = null_routed_left_join(ev, cust, "cust_key")
+    return (
+        joined.groupBy(
+            "event_type",
+            F.coalesce("c_mktsegment", F.lit("(no-key)")).alias(
+                "segment"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("cust_key").alias("n_keys"),
+        )
+        .orderBy("event_type", "segment")
+    )
+
+
+def q72_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILDING an SCD2 dimension from a change log — the write-side
+    twin of q54's read-side point-in-time join: each user's event
+    stream becomes validity intervals ``[valid_from, valid_to)`` via
+    one ``lead()`` window (the current row closes when the next
+    change opens), with the open row carrying a null valid_to and
+    ``is_current = 1``.  One shuffle on the user key; this is the
+    MERGE pattern dimension tables are maintained with at scale.
+    Deduplicated to one change per (user, ts) with a deterministic
+    winner first, so the intervals are engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    changes = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("change_id"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "change_id")
+    return (
+        changes.select(
+            "user_id",
+            "change_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.when(F.lead("ts").over(w).isNull(), 1)
+            .otherwise(0)
+            .alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5587,6 +5660,8 @@ REGISTRY = {
     "k02_kinesis_checkpoint_resume": k02_kinesis_checkpoint_resume,
     "p05_pipeline_reconciliation": p05_pipeline_reconciliation,
     "w01_weighted_sample": w01_weighted_sample,
+    "q71_null_skew_join": q71_null_skew_join,
+    "q72_scd2_build": q72_scd2_build,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

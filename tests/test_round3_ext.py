@@ -607,3 +607,51 @@ class TestWeightedSample:
              .select("doc_id", key.alias("_k"))
              .orderBy(F.desc("_k"), "doc_id").limit(50).collect()]
         assert a == b
+
+
+class TestNullRoutedJoin:
+    def test_matches_plain_left_join_and_no_null_in_shuffle(self, spark):
+        from kinesis_log_streamer_spark.operators.skew import (
+            null_routed_left_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 20), (4, None)],
+            "id bigint, k bigint",
+        )
+        right = spark.createDataFrame(
+            [(10, "a"), (30, "c")], "k bigint, v string"
+        )
+        got = {
+            (r["id"], r["v"])
+            for r in null_routed_left_join(left, right, "k").collect()
+        }
+        exp = {
+            (r["id"], r["v"])
+            for r in left.join(right, "k", "left").collect()
+        }
+        assert got == exp
+        # the join input never carries null keys
+        plan = (
+            null_routed_left_join(left, right, "k")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "isnotnull(k" in plan
+
+
+class TestScd2Build:
+    def test_intervals_partition_the_timeline(self, spark):
+        rows = Q.q72_scd2_build(spark, SF).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        assert by_user
+        for user, ivs in by_user.items():
+            ivs.sort(key=lambda r: r["valid_from"])
+            for a, b in zip(ivs, ivs[1:]):
+                assert a["valid_to"] == b["valid_from"]
+                assert a["is_current"] == 0
+            assert ivs[-1]["valid_to"] is None
+            assert ivs[-1]["is_current"] == 1
