@@ -126,6 +126,13 @@ HEADLINE = [
     "q70_bitwise_aggs",
     "f15_dynamic_partition_overwrite",
     "st11_stream_source_union",
+    # round-3 batch 4: skew routing, SCD2 build, weighted sampling.
+    # (d09's 4-band md5 sweep and k02's two-phase drain are
+    # deliberately not headline queries: both are multi-pipeline
+    # gates, not single-operator timings.)
+    "q71_null_skew_join",
+    "q72_scd2_build",
+    "w01_weighted_sample",
 ]
 
 
