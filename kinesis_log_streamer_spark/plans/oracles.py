@@ -2621,3 +2621,64 @@ FROM changes
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, change_id)
 ORDER BY user_id, valid_from
 """
+
+ORACLES["q73_dynamic_sessionize"] = """
+WITH base AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) AS tus,
+           epoch_us(ts)
+           + CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1800 ELSE 300 END * 1000000 AS end_us
+    FROM events
+), marked AS (
+    SELECT user_id, event_id, tus,
+           CASE WHEN max(end_us) OVER w_prior IS NULL
+                     OR tus > max(end_us) OVER w_prior
+                THEN 1 ELSE 0 END AS new_sess
+    FROM base
+    WINDOW w_prior AS (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+), sess AS (
+    SELECT user_id, event_id,
+           CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS sess_id
+    FROM marked
+)
+SELECT user_id, sess_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS first_event,
+       CAST(max(event_id) AS BIGINT) AS last_event
+FROM sess
+GROUP BY user_id, sess_id
+ORDER BY user_id, sess_id
+"""
+
+ORACLES["q74_rank_battery"] = """
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 0) AS dollars,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist() OVER w, 6) AS cdist
+FROM orders
+WHERE o_orderkey % 37 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY round(o_totalprice, 0))
+ORDER BY o_orderpriority, dollars, o_orderkey
+"""
+
+ORACLES["q75_try_arithmetic"] = """
+SELECT l_orderkey, l_linenumber,
+       floor(l_extendedprice / nullif(l_quantity - 2, 0) * 100) / 100.0
+           AS price_per_unit,
+       CASE WHEN l_orderkey % 2 = 0
+            THEN CAST(9223372036854775807 AS BIGINT) END AS edge_add,
+       TRY_CAST('x' || l_returnflag AS INTEGER) AS bad_cast,
+       TRY_CAST(CAST(l_linenumber * 10 AS VARCHAR) AS INTEGER)
+           AS good_cast
+FROM lineitem
+WHERE l_orderkey % 101 = 0
+ORDER BY l_orderkey, l_linenumber
+"""

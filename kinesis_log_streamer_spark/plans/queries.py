@@ -5554,6 +5554,118 @@ def q72_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_dynamic_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT dynamic gap (views cool off in
+    5 minutes, purchases hold a session open for 30) — the semantics
+    ``session_window(ts, gap_expr)`` streams; here as the batch
+    gaps-and-islands form: an event starts a new session iff its ts
+    exceeds the RUNNING MAX of every prior event's own
+    ``ts + gap``.  Cumulative max + island id are two window passes
+    over one user-keyed shuffle; the oracle replays the identical
+    running-max recurrence."""
+    ev = _t(spark, sf_dir, "events")
+    gap_s = (
+        F.when(F.col("event_type") == "purchase", 1800)
+        .when(F.col("event_type") == "signup", 1800)
+        .otherwise(300)
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        (F.unix_micros("ts") + gap_s * 1_000_000).alias("end_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("tus", "event_id")
+    # running max of prior ends EXCLUDING the current row
+    prior_end = F.max("end_us").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = base.withColumn(
+        "new_sess",
+        F.when(
+            prior_end.isNull() | (F.col("tus") > prior_end), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_id", F.sum("new_sess").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
+def q74_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-function surface in one table: ``rank``,
+    ``dense_rank``, ``percent_rank``, ``cume_dist`` over orders per
+    priority (q11/q30 cover row_number / lead / ntile).  Ties are
+    REAL here (o_totalprice rounded to whole dollars) so rank vs
+    dense_rank actually diverge; percent_rank/cume_dist are exact
+    rationals of ranks and counts, rounded identically on both
+    engines."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 37 == 0
+    )
+    dollar = F.round("o_totalprice", 0)
+    w = W.partitionBy("o_orderpriority").orderBy(dollar)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        dollar.alias("dollars"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    ).orderBy("o_orderpriority", "dollars", "o_orderkey")
+
+
+def q75_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant arithmetic surface: ``try_divide`` (÷0 → null
+    instead of ANSI error), ``try_add`` at the bigint ceiling
+    (overflow → null), ``try_cast`` on hostile strings — the
+    never-crash contract batch pipelines need when expressions meet
+    dirty data.  Every null-production rule is pinned by the oracle
+    (DuckDB: NULLIF guards + TRY_CAST)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 101 == 0
+    )
+    qty_minus_two = F.col("l_quantity") - 2  # hits 0 for qty == 2
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            # floor-truncate, not round: the quotient lands on .xx5
+            # boundaries where Spark's BigDecimal HALF_UP and DuckDB's
+            # multiply-floor disagree; floor of the identical double
+            # is identical.
+            (
+                F.floor(
+                    F.try_divide(F.col("l_extendedprice"), qty_minus_two)
+                    * 100
+                )
+                / 100.0
+            ).alias("price_per_unit"),
+            F.try_add(
+                F.lit(9223372036854775807).cast("long"),
+                (F.col("l_orderkey") % 2).cast("long"),
+            ).alias("edge_add"),
+            F.concat(F.lit("x"), F.col("l_returnflag"))
+            .try_cast("int")
+            .alias("bad_cast"),
+            (F.col("l_linenumber") * 10)
+            .cast("string")
+            .try_cast("int")
+            .alias("good_cast"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5662,6 +5774,9 @@ REGISTRY = {
     "w01_weighted_sample": w01_weighted_sample,
     "q71_null_skew_join": q71_null_skew_join,
     "q72_scd2_build": q72_scd2_build,
+    "q73_dynamic_sessionize": q73_dynamic_sessionize,
+    "q74_rank_battery": q74_rank_battery,
+    "q75_try_arithmetic": q75_try_arithmetic,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

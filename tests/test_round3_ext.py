@@ -9,6 +9,7 @@ alone would not attribute."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from kinesis_log_streamer_spark.plans import queries as Q
 
@@ -655,3 +656,55 @@ class TestScd2Build:
                 assert a["is_current"] == 0
             assert ivs[-1]["valid_to"] is None
             assert ivs[-1]["is_current"] == 1
+
+
+class TestDynamicSessionize:
+    def test_dynamic_gap_merges_what_fixed_gap_splits(self, spark):
+        """A purchase (30 min hold) followed 10 min later by a view
+        must land in ONE session; two views 10 min apart must split
+        (5 min gap)."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 6, 1, 12, 0, 0)
+        ev = spark.createDataFrame(
+            [
+                (1, 1, base, "purchase"),
+                (1, 2, base + dt.timedelta(minutes=10), "view"),
+                (2, 3, base, "view"),
+                (2, 4, base + dt.timedelta(minutes=10), "view"),
+            ],
+            "user_id bigint, event_id bigint, ts timestamp, event_type string",
+        )
+        gap_s = (
+            F.when(F.col("event_type") == "purchase", 1800)
+            .otherwise(300)
+        )
+        b = ev.select(
+            "user_id", "event_id",
+            F.unix_micros("ts").alias("tus"),
+            (F.unix_micros("ts") + gap_s * 1_000_000).alias("end_us"),
+        )
+        w = W.partitionBy("user_id").orderBy("tus", "event_id")
+        prior = F.max("end_us").over(w.rowsBetween(W.unboundedPreceding, -1))
+        sess = b.withColumn(
+            "s",
+            F.sum(
+                F.when(prior.isNull() | (F.col("tus") > prior), 1).otherwise(0)
+            ).over(w),
+        )
+        got = {(r["user_id"], r["event_id"]): r["s"] for r in sess.collect()}
+        assert got[(1, 1)] == got[(1, 2)]      # merged by purchase hold
+        assert got[(2, 3)] != got[(2, 4)]      # split by view gap
+
+
+class TestTryArithmetic:
+    def test_null_production_rules(self, spark):
+        rows = Q.q75_try_arithmetic(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["bad_cast"] is None
+            assert r["good_cast"] == r["l_linenumber"] * 10
+            if r["l_orderkey"] % 2 == 1:
+                assert r["edge_add"] is None
+            else:
+                assert r["edge_add"] == 9223372036854775807
