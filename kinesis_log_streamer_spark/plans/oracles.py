@@ -2682,3 +2682,76 @@ FROM lineitem
 WHERE l_orderkey % 101 = 0
 ORDER BY l_orderkey, l_linenumber
 """
+
+ORACLES["q76_multi_distinct_agg"] = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_statuses,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_quantity), 1) AS total_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["s13_truncated_dim_eval"] = """
+WITH v AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+           / sqrt(
+               list_reduce(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(a.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               * list_reduce(list_transform(range(1, 65),
+                   i -> CAST(b.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+           ) AS c_full,
+           list_reduce(list_transform(range(1, 17),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+           / sqrt(
+               list_reduce(list_transform(range(1, 17),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(a.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               * list_reduce(list_transform(range(1, 17),
+                   i -> CAST(b.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+           ) AS c_trunc
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+), ranked AS (
+    SELECT row_number() OVER (ORDER BY c_full DESC, id_a, id_b)
+               AS r_full,
+           row_number() OVER (ORDER BY c_trunc DESC, id_a, id_b)
+               AS r_trunc
+    FROM pairs
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum((r_full - r_trunc) * (r_full - r_trunc)) AS BIGINT)
+           AS sum_d2,
+       CAST(
+           1.0 - 6.0 * CAST(sum((r_full - r_trunc) * (r_full - r_trunc))
+                            AS DOUBLE)
+                 / (count(*) * (count(*) * count(*) - 1)) >= 0.4
+           AS INT) AS rho_ok
+FROM ranked
+"""
+
+ORACLES["f17_failfast_json"] = """
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""

@@ -5666,6 +5666,135 @@ def q75_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over DIFFERENT columns in one
+    GROUP BY — the shape Catalyst compiles to an Expand (one input
+    row fans to one row per distinct-column group) + two-phase agg;
+    naive engines re-scan per distinct column.  Mixed with plain
+    aggregates to pin the null-handling interplay."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_linestatus").alias("n_statuses"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 1).alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def s13_truncated_dim_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: do the FIRST 16 of 64
+    embedding dims preserve the similarity ORDERING?  Over the s06
+    bounded pair subset, ranks pairs by full-dim and by truncated
+    cosine and reports Spearman's footrule ingredients — n_pairs and
+    Σd² are INTEGER-exact (ranks from bit-identical sequential-fold
+    cosines with a total-order tiebreak), so the oracle hash-matches
+    them; the ``rho_ok`` gate pins ρ = 1 − 6Σd²/(n(n²−1)) ≥ 0.4
+    (measured 0.47–0.49 across sf0.001–0.1 on this corpus).
+    This is the acceptance test for serving truncated embeddings at
+    a quarter of the storage/compute."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+
+    def cos(a, b, dims):
+        va = F.slice(F.col(a).cast("array<double>"), 1, dims)
+        vb = F.slice(F.col(b).cast("array<double>"), 1, dims)
+        dot = F.aggregate(
+            F.zip_with(va, vb, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.aggregate(
+            F.transform(va, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nb = F.aggregate(
+            F.transform(vb, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return dot / F.sqrt(na * nb)
+
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cos("ea", "eb", 64).alias("c_full"),
+            cos("ea", "eb", 16).alias("c_trunc"),
+        )
+    )
+    wf = W.orderBy(F.desc("c_full"), "id_a", "id_b")
+    wt = W.orderBy(F.desc("c_trunc"), "id_a", "id_b")
+    ranked = pairs.select(
+        F.row_number().over(wf).alias("r_full"),
+        F.row_number().over(wt).alias("r_trunc"),
+    )
+    # long BEFORE the square: int32 ranks at ~80k pairs overflow
+    diff = (F.col("r_full") - F.col("r_trunc")).cast("long")
+    d2 = F.sum(diff * diff)
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_pairs"),
+        d2.alias("sum_d2"),
+        (
+            1.0
+            - 6.0 * d2 / (n * (n * n - 1)).cast("double")
+            >= 0.4
+        )
+        .cast("int")
+        .alias("rho_ok"),
+    )
+
+
+def f17_failfast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAILFAST (strict) JSON mode — the reference's abort-on-parse-
+    error semantics (jsonstreamer.go:44–45) as a read mode, the
+    counterpart of f10's PERMISSIVE quarantine: on CLEAN input the
+    strict read must be lossless (hash-matched here); on corrupt
+    input it must raise, not quarantine (pinned by
+    tests/test_round3_ext.py, a query can't return an error)."""
+    import os
+    import tempfile
+
+    sup = _t(spark, sf_dir, "supplier")
+    path = os.path.join(tempfile.gettempdir(), "klss_f17_json")
+    (
+        sup.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = (
+        spark.read.option("mode", "FAILFAST")
+        .schema(
+            "s_suppkey bigint, s_name string, s_nationkey int, "
+            "s_acctbal double"
+        )
+        .json(path)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5777,6 +5906,9 @@ REGISTRY = {
     "q73_dynamic_sessionize": q73_dynamic_sessionize,
     "q74_rank_battery": q74_rank_battery,
     "q75_try_arithmetic": q75_try_arithmetic,
+    "q76_multi_distinct_agg": q76_multi_distinct_agg,
+    "s13_truncated_dim_eval": s13_truncated_dim_eval,
+    "f17_failfast_json": f17_failfast_json,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

@@ -708,3 +708,29 @@ class TestTryArithmetic:
                 assert r["edge_add"] is None
             else:
                 assert r["edge_add"] == 9223372036854775807
+
+
+class TestTruncatedDimEval:
+    def test_rho_gate_holds_and_ranks_exact(self, spark):
+        row = Q.s13_truncated_dim_eval(spark, SF).collect()[0]
+        n = row["n_pairs"]
+        assert n >= 3
+        assert row["rho_ok"] == 1
+        # footrule bound: sum_d2 <= (n^3 - n) / 3 (reverse ordering)
+        assert 0 <= row["sum_d2"] <= (n ** 3 - n) // 3
+
+
+class TestFailfastJson:
+    def test_corrupt_input_raises(self, spark, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text('{"a": 1}\n{broken\n{"a": 3}\n')
+        try:
+            (
+                spark.read.option("mode", "FAILFAST")
+                .schema("a int")
+                .json(str(tmp_path))
+                .count()
+            )
+            raise AssertionError("expected FAILFAST to raise")
+        except Exception as e:  # noqa: BLE001
+            assert "Malformed" in str(e) or "FAILFAST" in str(e)
