@@ -315,3 +315,60 @@ def _driver_pagerank(
         rank = base + damping * (inflow + dm / n)
     out = [(int(nodes[i]), float(rank[i])) for i in range(n)]
     return spark.createDataFrame(out, "node long, rank double")
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 120,
+) -> DataFrame:
+    """Breadth-first levels (unweighted shortest-path distance) from
+    ``source`` over the undirected graph ``edges`` — the third
+    iterative-graph primitive beside :func:`connected_components`
+    and :func:`pagerank`.
+
+    Level-synchronous relaxation: each round joins the current label
+    table to the arc list and keeps the per-node MIN distance; the
+    convergence check rides the same aggregate (own label tagged
+    through the groupBy) exactly like the CC loop, so a round costs
+    one join + one hash-agg + a scalar count.  Rounds needed = graph
+    diameter ≤ ``max_iter``.  Unreached nodes are absent from the
+    output (distance ∞), matching the recursive-CTE oracle.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    arcs = fwd.union(rev).na.drop().distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+
+    levels = spark.createDataFrame(
+        [(int(source), 0)], "node long, lvl int"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor = arcs.join(
+            levels, arcs["u"] == levels["node"]
+        ).select(
+            F.col("v").alias("node"),
+            (F.col("lvl") + 1).alias("lvl"),
+            F.lit(False).alias("own"),
+        )
+        own = levels.select("node", "lvl", F.lit(True).alias("own"))
+        stepped = (
+            own.unionByName(neighbor)
+            .groupBy("node")
+            .agg(
+                F.min("lvl").alias("lvl"),
+                F.min(F.when(F.col("own"), F.col("lvl"))).alias("old_lvl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(
+            F.col("old_lvl").isNull()
+            | (F.col("lvl") != F.col("old_lvl"))
+        ).count()
+        levels = stepped.select("node", "lvl")
+        if changed == 0:
+            return levels
+    raise RuntimeError(f"bfs_levels did not converge in {max_iter} rounds")

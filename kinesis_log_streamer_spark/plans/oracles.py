@@ -2755,3 +2755,72 @@ FROM supplier
 GROUP BY s_nationkey
 ORDER BY s_nationkey
 """
+
+ORACLES["g03_bfs_levels"] = """
+WITH RECURSIVE ev AS (
+    SELECT user_id % 100 AS src,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS dst
+    FROM events
+), arcs AS (
+    SELECT DISTINCT src AS u, dst AS v FROM ev
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+    UNION
+    SELECT dst, src FROM ev
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+), reach(node, d) AS (
+    SELECT CAST(0 AS BIGINT), 0
+    UNION
+    SELECT a.v, r.d + 1
+    FROM reach r JOIN arcs a ON a.u = r.node
+    WHERE r.d < 110
+)
+SELECT node, CAST(min(d) AS INT) AS lvl
+FROM reach
+GROUP BY node
+ORDER BY node
+"""
+
+ORACLES["w02_temperature_mix"] = """
+WITH counts AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY source
+), tot AS (
+    SELECT sum(sqrt(CAST(c AS DOUBLE))) AS sw FROM counts
+), quotas AS (
+    SELECT source, c,
+           CAST(floor(400.0 * sqrt(CAST(c AS DOUBLE)) / sw) AS INT)
+               AS quota
+    FROM counts, tot
+), ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+), picked AS (
+    SELECT r.source, r.doc_id
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rk <= q.quota
+)
+SELECT q.source, q.c, q.quota,
+       CAST(count(p.doc_id) AS BIGINT) AS n_sampled,
+       CAST(min(p.doc_id) AS BIGINT) AS first_doc
+FROM quotas q JOIN picked p ON p.source = q.source
+GROUP BY q.source, q.c, q.quota
+ORDER BY q.source
+"""
+
+ORACLES["q77_intersect_all"] = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS multiplicity
+FROM (
+    SELECT o_orderpriority, o_orderstatus FROM orders
+    WHERE o_orderkey % 2 = 0
+    INTERSECT ALL
+    SELECT o_orderpriority, o_orderstatus FROM orders
+    WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+"""

@@ -5795,6 +5795,96 @@ def f17_failfast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BFS (`operators/graph.py:bfs_levels`) from node 0
+    over the q56/g02 interaction graph: per-node shortest unweighted
+    distance via level-synchronous min-relaxation (one join + one
+    hash-agg per round, convergence check riding the aggregate).
+    Oracle: DuckDB recursive CTE exploring paths with a depth guard,
+    min distance per node — the declarative twin of the loop."""
+    from kinesis_log_streamer_spark.operators.graph import bfs_levels
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("src"),
+        (F.get_json_object("props", "$.k").cast("long") % 100).alias(
+            "dst"
+        ),
+    )
+    edges = ev.na.drop().filter(F.col("src") != F.col("dst"))
+    return bfs_levels(edges, source=0).orderBy("node")
+
+
+def w02_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM recipe:
+    sample probability ∝ count^α, α = 0.5, flattening head sources
+    and boosting the tail): per-source quotas are ⌊400·w_s⌋ with
+    w_s = √c_s / Σ√c, then each source contributes its top-quota
+    docs by md5 rank (t18's deterministic selection).  The √ and the
+    quota floor are computed from exact integers identically on both
+    engines; output is the per-source quota table plus realized
+    counts — the mixing audit a training-data build publishes."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("c").cast("double"))).alias("sw")
+    )
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c",
+        F.floor(
+            400.0 * F.sqrt(F.col("c").cast("double")) / F.col("sw")
+        )
+        .cast("int")
+        .alias("quota"),
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rk"),
+    )
+    picked = ranked.join(F.broadcast(quotas), "source").filter(
+        F.col("rk") <= F.col("quota")
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .join(quotas, "source")
+        .select("source", "c", "quota", "n_sampled", "first_doc")
+        .orderBy("source")
+    )
+
+
+def q77_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — ``INTERSECT ALL`` keeps
+    MULTIPLICITY min(l, r) per row (q15/q33 cover the distinct and
+    EXCEPT ALL forms): order-priority/status tuples of the first and
+    second order-key halves intersected with duplicates preserved,
+    then rolled up so the multiplicities themselves are
+    hash-checked."""
+    orders = _t(spark, sf_dir, "orders")
+    lo = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    hi = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    both = lo.intersectAll(hi)
+    return (
+        both.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5909,6 +5999,9 @@ REGISTRY = {
     "q76_multi_distinct_agg": q76_multi_distinct_agg,
     "s13_truncated_dim_eval": s13_truncated_dim_eval,
     "f17_failfast_json": f17_failfast_json,
+    "g03_bfs_levels": g03_bfs_levels,
+    "w02_temperature_mix": w02_temperature_mix,
+    "q77_intersect_all": q77_intersect_all,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

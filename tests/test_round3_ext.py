@@ -734,3 +734,43 @@ class TestFailfastJson:
             raise AssertionError("expected FAILFAST to raise")
         except Exception as e:  # noqa: BLE001
             assert "Malformed" in str(e) or "FAILFAST" in str(e)
+
+
+class TestBfsLevels:
+    def test_known_path_graph(self, spark):
+        from kinesis_log_streamer_spark.operators.graph import bfs_levels
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (10, 11)],  # 10-11 unreachable
+            "src bigint, dst bigint",
+        )
+        got = {
+            r["node"]: r["lvl"]
+            for r in bfs_levels(edges, source=0).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_cycle_terminates(self, spark):
+        from kinesis_log_streamer_spark.operators.graph import bfs_levels
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "src bigint, dst bigint"
+        )
+        got = {
+            r["node"]: r["lvl"]
+            for r in bfs_levels(edges, source=0).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 1}
+
+
+class TestTemperatureMix:
+    def test_tail_boosted_head_flattened(self, spark):
+        rows = Q.w02_temperature_mix(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r["n_sampled"] == min(r["quota"], r["c"])
+        # sampling fraction must be higher for smaller sources
+        fracs = sorted(
+            ((r["c"], r["n_sampled"] / r["c"]) for r in rows)
+        )
+        assert fracs[0][1] >= fracs[-1][1]
