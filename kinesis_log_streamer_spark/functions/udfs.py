@@ -144,3 +144,41 @@ def _char_count_iter_udf():
 def char_count_iter(col):
     """Apply the SCALAR_ITER codepoint-count UDF to ``col``."""
     return _char_count_iter_udf()(col)
+
+
+@lru_cache(maxsize=1)
+def split_fields_udtf():
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze`` API): output
+    schema is computed at PLAN time from the constant field-count
+    argument — ``split_fields(s, 3)`` yields columns f0..f2.  The
+    eighth Python extension shape: u03's UDTF has a fixed schema;
+    this one is schema-on-call, the shape generic text-splitting
+    tools need."""
+    from pyspark.sql.functions import (
+        AnalyzeArgument,
+        AnalyzeResult,
+        udtf,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    class SplitFields:
+        @staticmethod
+        def analyze(
+            s: AnalyzeArgument, n: AnalyzeArgument, sep: AnalyzeArgument
+        ) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"f{i}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, s, n: int, sep: str):
+            parts = (s or "").split(sep)
+            yield tuple(
+                (parts[i] if i < len(parts) else None) for i in range(n)
+            )
+
+    return udtf(SplitFields)

@@ -2824,3 +2824,33 @@ FROM (
 GROUP BY o_orderpriority, o_orderstatus
 ORDER BY o_orderpriority, o_orderstatus
 """
+
+ORACLES["u08_polymorphic_udtf"] = """
+SELECT c_custkey,
+       string_split(c_name, '#')[1] AS name_prefix,
+       string_split(c_name, '#')[2] AS name_digits
+FROM customer
+WHERE c_custkey % 41 = 0
+ORDER BY c_custkey
+"""
+
+ORACLES["q78_json_tuple"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(count(json_extract_string(props, '$.missing')) AS BIGINT)
+           AS n_missing_nonnull
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["f18_path_glob_recursive"] = """
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""

@@ -5885,6 +5885,94 @@ def q77_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u08_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (``analyze``-time schema,
+    `functions/udfs.py:split_fields_udtf`): customer names split on
+    '#' into a column count chosen AT THE CALL SITE — the output
+    schema exists only after Catalyst calls the UDTF's ``analyze``
+    with the constant args.  The eighth and final Python extension
+    shape.  Oracle: fixed-position string_split."""
+    from kinesis_log_streamer_spark.functions.udfs import (
+        split_fields_udtf,
+    )
+
+    spark.udtf.register("klss_split_fields", split_fields_udtf())
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(
+        "u08_customer"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.f0 AS name_prefix, t.f1 AS name_digits
+        FROM u08_customer c,
+             LATERAL klss_split_fields(c.c_name, 2, '#') t
+        WHERE c.c_custkey % 41 = 0
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+def q78_json_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``json_tuple`` generator — the Hive-style multi-path JSON
+    extractor (one parse, N columns, a LATERAL VIEW generator rather
+    than a scalar function like q20's ``get_json_object``): events
+    props exploded to (k) plus a second constant-missing path that
+    must yield null."""
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        "event_id",
+        "event_type",
+        F.json_tuple("props", "k", "missing").alias("k", "missing"),
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.count("missing").alias("n_missing_nonnull"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def f18_path_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-lake directory hygiene: a nested tree holding parquet
+    shards AND decoy sidecar files (_SUCCESS markers, .txt notes),
+    read with ``recursiveFileLookup`` + ``pathGlobFilter`` so only
+    the parquet leaves load regardless of depth.  The oracle
+    aggregates the original table — any decoy leaking into the scan
+    or any missed nested shard breaks the hash."""
+    import os
+    import shutil
+    import tempfile
+
+    sup = _t(spark, sf_dir, "supplier")
+    base = os.path.join(tempfile.gettempdir(), "klss_f18_tree")
+    shutil.rmtree(base, ignore_errors=True)
+    for i, sub in enumerate(("a", "a/deep", "b")):
+        d = os.path.join(base, sub)
+        os.makedirs(d, exist_ok=True)
+        _write_single_parquet(
+            sup.filter(F.col("s_suppkey") % 3 == i),
+            os.path.join(d, f"part_{i}.parquet"),
+        )
+        with open(os.path.join(d, "notes.txt"), "w") as fh:
+            fh.write("decoy sidecar\n")
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(base)
+    )
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6002,6 +6090,9 @@ REGISTRY = {
     "g03_bfs_levels": g03_bfs_levels,
     "w02_temperature_mix": w02_temperature_mix,
     "q77_intersect_all": q77_intersect_all,
+    "u08_polymorphic_udtf": u08_polymorphic_udtf,
+    "q78_json_tuple": q78_json_tuple,
+    "f18_path_glob_recursive": f18_path_glob_recursive,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

@@ -774,3 +774,29 @@ class TestTemperatureMix:
             ((r["c"], r["n_sampled"] / r["c"]) for r in rows)
         )
         assert fracs[0][1] >= fracs[-1][1]
+
+
+class TestPolymorphicUdtf:
+    def test_schema_follows_call_site(self, spark):
+        from kinesis_log_streamer_spark.functions.udfs import (
+            split_fields_udtf,
+        )
+
+        spark.udtf.register("t_split_fields", split_fields_udtf())
+        two = spark.sql(
+            "SELECT * FROM t_split_fields('a,b,c', 2, ',')"
+        )
+        four = spark.sql(
+            "SELECT * FROM t_split_fields('a,b,c', 4, ',')"
+        )
+        assert two.columns == ["f0", "f1"]
+        assert four.columns == ["f0", "f1", "f2", "f3"]
+        r = four.collect()[0]
+        assert (r["f0"], r["f1"], r["f2"], r["f3"]) == ("a", "b", "c", None)
+
+
+class TestPathGlobRecursive:
+    def test_decoys_excluded_nested_included(self, spark):
+        out = Q.f18_path_glob_recursive(spark, SF)
+        total = out.agg(F.sum("n_suppliers")).first()[0]
+        assert total == Q._t(spark, SF, "supplier").count()
