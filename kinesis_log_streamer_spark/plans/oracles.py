@@ -2854,3 +2854,28 @@ FROM supplier
 GROUP BY s_nationkey
 ORDER BY s_nationkey
 """
+
+ORACLES["q79_collation_group"] = """
+WITH ev AS (
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+                ELSE event_type END AS etype
+    FROM events
+)
+SELECT lower(etype) AS event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT etype) AS BIGINT) AS n_variants_seen
+FROM ev
+GROUP BY lower(etype)
+ORDER BY event_type
+"""
+
+ORACLES["q80_parameterized_sql"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_totalprice > 50000.0 AND o_orderkey % 7 = 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

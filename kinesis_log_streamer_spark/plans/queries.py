@@ -5973,6 +5973,57 @@ def f18_path_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collation (Spark 4 ``COLLATE UTF8_LCASE``): grouping
+    treats case variants as one key WITHOUT materializing a
+    lowercase copy — collation rides the type, so comparisons,
+    GROUP BY, and joins all honor it engine-side.  Deterministically
+    case-mangled event types (every third event upper-cased) must
+    collapse back to the base key counts; the output key is
+    canonicalized to lower for the hash (DuckDB emulates the
+    collation with lower())."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0, F.upper("event_type")
+        )
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+    )
+    ev.createOrReplaceTempView("q79_events")
+    return spark.sql(
+        """
+        SELECT lower(etype COLLATE UTF8_LCASE) AS event_type,
+               count(*) AS n_events,
+               count(DISTINCT etype) AS n_variants_seen
+        FROM q79_events
+        GROUP BY etype COLLATE UTF8_LCASE
+        ORDER BY event_type
+        """
+    )
+
+
+def q80_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (``spark.sql(query, args=...)``) —
+    the injection-safe templating surface: thresholds and limits
+    arrive as BOUND PARAMETERS, not string-spliced literals, so the
+    same plan text is cacheable across invocations.  The oracle
+    splices the identical constants."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q80_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM q80_orders
+        WHERE o_totalprice > :min_price AND o_orderkey % :modulus = 0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 50000.0, "modulus": 7},
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6093,6 +6144,8 @@ REGISTRY = {
     "u08_polymorphic_udtf": u08_polymorphic_udtf,
     "q78_json_tuple": q78_json_tuple,
     "f18_path_glob_recursive": f18_path_glob_recursive,
+    "q79_collation_group": q79_collation_group,
+    "q80_parameterized_sql": q80_parameterized_sql,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
