@@ -2879,3 +2879,18 @@ WHERE o_totalprice > 50000.0 AND o_orderkey % 7 = 0
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+ORACLES["q81_sql_pivot_unpivot"] = """
+SELECT user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+ORACLES["q82_offset_pagination"] = """
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+"""

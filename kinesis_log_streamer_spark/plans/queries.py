@@ -6024,6 +6024,52 @@ def q80_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q81_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard ``PIVOT``/``UNPIVOT`` clauses (q26/q37 use
+    the DataFrame API — these are separate parser surfaces): event
+    counts pivoted wide by type, then UNPIVOTed straight back, which
+    must reproduce the original per-(user, type) counts exactly —
+    a round trip that fails if either clause drops, reorders, or
+    null-fills incorrectly.  UNPIVOT excludes NULL cells by SQL
+    default, so absent (user, type) combinations stay absent,
+    matching the plain GROUP BY oracle."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("q81_events")
+    return spark.sql(
+        """
+        SELECT user_id, event_type, n_events
+        FROM (
+            SELECT * FROM (
+                SELECT user_id, event_type FROM q81_events
+            )
+            PIVOT (count(*) AS cnt
+                   FOR event_type IN ('click', 'error', 'purchase',
+                                      'signup', 'view'))
+        )
+        UNPIVOT (n_events FOR event_type IN (click, error, purchase,
+                                             signup, view))
+        ORDER BY user_id, event_type
+        """
+    )
+
+
+def q82_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LIMIT … OFFSET`` pagination (Spark 4 SQL) — page 3 of the
+    order book under a TOTAL order (unique key tiebreak, or pages
+    shuffle between runs).  At scale OFFSET is a full sort of the
+    prefix — fine for report pages, wrong for crawls (keyset
+    pagination is the scale path); the docstring IS the guidance,
+    the query pins the semantics."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q82_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price
+        FROM q82_orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6146,6 +6192,8 @@ REGISTRY = {
     "f18_path_glob_recursive": f18_path_glob_recursive,
     "q79_collation_group": q79_collation_group,
     "q80_parameterized_sql": q80_parameterized_sql,
+    "q81_sql_pivot_unpivot": q81_sql_pivot_unpivot,
+    "q82_offset_pagination": q82_offset_pagination,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
