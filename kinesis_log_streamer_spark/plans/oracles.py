@@ -2894,3 +2894,37 @@ FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20 OFFSET 40
 """
+
+ORACLES["q83_native_dynamic_session"] = """
+WITH base AS (
+    SELECT user_id, event_id, ts,
+           epoch_us(ts) AS tus,
+           epoch_us(ts)
+           + CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN 1800 ELSE 300 END * 1000000 AS end_us
+    FROM events
+), marked AS (
+    SELECT user_id, event_id, ts, tus, end_us,
+           CASE WHEN max(end_us) OVER w_prior IS NULL
+                     OR tus >= max(end_us) OVER w_prior
+                THEN 1 ELSE 0 END AS new_sess
+    FROM base
+    WINDOW w_prior AS (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+), sess AS (
+    SELECT user_id, ts, end_us,
+           sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sess_id
+    FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       make_timestamp(max(end_us)) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+"""

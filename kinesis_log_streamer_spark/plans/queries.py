@@ -6070,6 +6070,40 @@ def q82_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_native_dynamic_session(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's NATIVE dynamic-gap ``session_window(ts, gap_expr)``
+    (q73 hand-builds the same semantics as a running-max recurrence):
+    per-event gaps — purchases/signups hold sessions open 30 min,
+    everything else 5 — merged engine-side.  The oracle replays the
+    recurrence and aggregates each island to (start, end, count), so
+    this is a cross-IMPLEMENTATION gate: Spark's built-in operator
+    must agree with the declarative replay down to the hash.
+    session_end is the max of the merged intervals' own ends (the
+    window close), not the last event time."""
+    ev = _t(spark, sf_dir, "events")
+    gap = (
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), "30 minutes"
+        )
+        .otherwise("5 minutes")
+    )
+    return (
+        ev.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6194,6 +6228,7 @@ REGISTRY = {
     "q80_parameterized_sql": q80_parameterized_sql,
     "q81_sql_pivot_unpivot": q81_sql_pivot_unpivot,
     "q82_offset_pagination": q82_offset_pagination,
+    "q83_native_dynamic_session": q83_native_dynamic_session,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
