@@ -6118,6 +6118,13 @@ REGISTRY = {
     # (4) then the already-green tail.  When adding a query, insert it
     # at the end of block (3), never below it.
     #
+    # ROUND-4 REORDER (mechanical): after the r03 driver run verifies
+    # the current first 50, the never-verified pool is exactly the 45
+    # r03b additions parked between t17 and block 4 (q64…q83 incl.
+    # the f/g/l/s/t/u/w/d/k/p/st families added after the window
+    # filled).  Move those 45 to the front as r04's block 1; any r03
+    # FAIL/ERR re-checks follow; then r04's new queries.
+    #
     # -- block 1: 34 queries with no driver verdict after r01+r02 ----
     # reference ingest surface (linestreamer.go:89-99,
     # jsonstreamer.go:40-62) — two rounds old without a row:
