@@ -2928,3 +2928,27 @@ FROM sess
 GROUP BY user_id, sess_id
 ORDER BY user_id, session_start
 """
+
+ORACLES["t21_langid_confusion"] = """
+WITH staged AS (
+    SELECT lang,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT
+               AS nt
+    FROM documents
+), pred AS (
+    SELECT lang,
+           (list_max([
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('der','die','und','das','ist','von','mit','den','im','ein')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'de'),
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'en'),
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','se','del')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'es'),
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','du','est','dans')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'fr'),
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'zh')
+           ])).l AS pred_lang
+    FROM staged
+)
+SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""

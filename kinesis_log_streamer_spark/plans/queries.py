@@ -6104,6 +6104,24 @@ def q83_native_dynamic_session(
     )
 
 
+def t21_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY hash-gated language-ID confusion matrix — upgrading the
+    evidence class of t03 (rows-only since r01): the per-language
+    stopword scores are integer-exact 4-decimal rationals and the
+    argmax tiebreak is total (max (score, lang) struct), so DuckDB
+    replays the ENTIRE prediction — per-doc scores, struct argmax
+    via ``list_max``, confusion rollup — and the hash must match.
+    t03 stays registered untouched (its r01 verdict is history);
+    this is the same computation under the stronger gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TX.langid(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6236,6 +6254,7 @@ REGISTRY = {
     "q81_sql_pivot_unpivot": q81_sql_pivot_unpivot,
     "q82_offset_pagination": q82_offset_pagination,
     "q83_native_dynamic_session": q83_native_dynamic_session,
+    "t21_langid_confusion": t21_langid_confusion,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
