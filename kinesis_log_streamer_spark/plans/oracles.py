@@ -2952,3 +2952,12 @@ FROM pred
 GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang
 """
+
+ORACLES["q84_approx_distinct_gate"] = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_buyers,
+       CAST(1 AS INT) AS est_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -6122,6 +6122,32 @@ def t21_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q84_approx_distinct_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Accuracy gate for ``approx_count_distinct`` (HyperLogLog++,
+    the API q28 reports rows-only) — completing the rule that every
+    approximate operator in the registry carries an oracle-checked
+    accuracy assertion (q61: percentile sketch; q64: Datasketches
+    HLL; s03/s05/s08: ANN; t17: MinHash).  rsd is pinned at 0.02 and
+    the gate sits at 3σ = 6 % of the exact count."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_buyers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("est"),
+    )
+    return per.select(
+        "o_orderpriority",
+        "exact_buyers",
+        (
+            F.abs(F.col("est") - F.col("exact_buyers"))
+            <= 0.06 * F.col("exact_buyers")
+        )
+        .cast("int")
+        .alias("est_ok"),
+    ).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6255,6 +6281,7 @@ REGISTRY = {
     "q82_offset_pagination": q82_offset_pagination,
     "q83_native_dynamic_session": q83_native_dynamic_session,
     "t21_langid_confusion": t21_langid_confusion,
+    "q84_approx_distinct_gate": q84_approx_distinct_gate,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
