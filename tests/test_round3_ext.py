@@ -800,3 +800,27 @@ class TestPathGlobRecursive:
         out = Q.f18_path_glob_recursive(spark, SF)
         total = out.agg(F.sum("n_suppliers")).first()[0]
         assert total == Q._t(spark, SF, "supplier").count()
+
+
+class TestUtf8LineHandling:
+    def test_multibyte_lines_survive_split_and_count(self, spark, tmp_path):
+        """UTF-8 multi-byte content (CJK, emoji, combining marks) must
+        survive the line source byte-exactly, and char/byte counts
+        must diverge correctly (the trap ASCII-only tests miss)."""
+        from kinesis_log_streamer_spark.sources.lines import read_lines
+
+        lines = ["héllo wörld", "的是了在我", "mixed 中文 ascii", "🎉🎈"]
+        p = tmp_path / "utf8.txt"
+        p.write_text("\r\n".join(lines) + "\r\n", encoding="utf-8")
+        df = read_lines(spark, str(tmp_path))
+        got = [r["value"] for r in df.collect()]
+        assert sorted(got) == sorted(lines)
+        stats = df.select(
+            F.sum(F.length("value")).alias("chars"),
+            F.sum(F.octet_length("value")).alias("bytes"),
+        ).collect()[0]
+        assert stats["chars"] == sum(len(s) for s in lines)
+        assert stats["bytes"] == sum(
+            len(s.encode("utf-8")) for s in lines
+        )
+        assert stats["bytes"] > stats["chars"]
