@@ -2961,3 +2961,34 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+ORACLES["t22_ngram_novelty"] = """
+WITH grams AS (
+    SELECT DISTINCT doc_id,
+           unnest([array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t) - 1)]) AS g
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+    WHERE len(t) >= 3
+), dfc AS (
+    SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(CASE WHEN df >= 2 THEN 1 END) AS BIGINT) AS n_shared,
+       CAST((2*1000*count(CASE WHEN df >= 2 THEN 1 END) + count(*))
+            // (2*count(*)) AS BIGINT) AS shared_permille
+FROM grams JOIN dfc USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+ORACLES["q85_map_hof_battery"] = """
+SELECT user_id, event_type,
+       CAST(count(*) * 2 AS BIGINT) AS doubled
+FROM events
+GROUP BY user_id, event_type
+HAVING count(*) * 2 >= 30
+ORDER BY user_id, event_type
+"""

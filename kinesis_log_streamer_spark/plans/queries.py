@@ -6148,6 +6148,78 @@ def q84_approx_distinct_gate(
     ).orderBy("o_orderpriority")
 
 
+def t22_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication pressure: what fraction of a doc's
+    DISTINCT 3-grams also appear in at least one OTHER document —
+    the novelty/memorization signal curation uses to find boilerplate
+    clusters exact dedup misses (d07 measures pairwise containment;
+    this is the corpus-wide marginal).  Shapes: distinct (doc, gram)
+    explode, gram-level doc-frequency hash-agg, one equi-join back —
+    the t06 df-join form.  Ratio as integer per-mille (half-up), the
+    house fp-proof rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                TX.ngrams_col(F.col("text"), 3)
+            )
+        ).alias("g"),
+    )
+    df_counts = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("df") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        F.expr(
+            "(2*1000*n_shared + n_grams) div (2*n_grams)"
+        ).alias("shared_permille"),
+    ).orderBy("doc_id")
+
+
+def q85_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (q34 covers construction/access):
+    per-user event-type count maps built with ``map_from_arrays``,
+    doubled via ``transform_values``, thresholded via ``map_filter``,
+    then exploded back to atomic rows for the hash (collections
+    never cross the oracle boundary).  The oracle produces the same
+    semantic result relationally — the point is the Spark side
+    exercising the map algebra, not the oracle mirroring it
+    operator-for-operator."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_arrays(
+            F.collect_list("event_type"), F.collect_list("n")
+        ).alias("m")
+    )
+    transformed = maps.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values(F.col("m"), lambda k, v: v * 2),
+            lambda k, v: v >= 30,
+        ).alias("m2"),
+    )
+    return (
+        transformed.select(
+            "user_id", F.explode("m2").alias("event_type", "doubled")
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6282,6 +6354,8 @@ REGISTRY = {
     "q83_native_dynamic_session": q83_native_dynamic_session,
     "t21_langid_confusion": t21_langid_confusion,
     "q84_approx_distinct_gate": q84_approx_distinct_gate,
+    "t22_ngram_novelty": t22_ngram_novelty,
+    "q85_map_hof_battery": q85_map_hof_battery,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
