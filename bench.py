@@ -133,6 +133,28 @@ HEADLINE = [
     "q71_null_skew_join",
     "q72_scd2_build",
     "w01_weighted_sample",
+    # round-3 batch 5: sub-3s additions keep bench wall-clock sane;
+    # the multi-pipeline gates (d09, k02, s11) and >8s single ops
+    # (g03, t21, t22, u08) are covered by selfcheck, not bench.
+    "q73_dynamic_sessionize",
+    "q74_rank_battery",
+    "q75_try_arithmetic",
+    "q76_multi_distinct_agg",
+    "q77_intersect_all",
+    "q79_collation_group",
+    "q80_parameterized_sql",
+    "q81_sql_pivot_unpivot",
+    "q82_offset_pagination",
+    "q83_native_dynamic_session",
+    "q84_approx_distinct_gate",
+    "q85_map_hof_battery",
+    "q86_incremental_rollup",
+    "s13_truncated_dim_eval",
+    "w02_temperature_mix",
+    "f16_multiline_json_array",
+    "f17_failfast_json",
+    "f18_path_glob_recursive",
+    "p05_pipeline_reconciliation",
 ]
 
 

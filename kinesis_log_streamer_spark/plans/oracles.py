@@ -2992,3 +2992,15 @@ GROUP BY user_id, event_type
 HAVING count(*) * 2 >= 30
 ORDER BY user_id, event_type
 """
+
+ORACLES["q86_incremental_rollup"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       round(sum(o_totalprice) / count(*), 2) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

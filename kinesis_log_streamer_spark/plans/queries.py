@@ -6220,6 +6220,48 @@ def q85_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q86_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the algebraic rollforward
+    every daily pipeline relies on: yesterday's MATERIALIZED partial
+    aggregate (count/sum/min/max per key) merged with today's delta
+    batch by re-aggregating the PARTIALS, never rescanning the base
+    rows.  Legal exactly because these aggregates are commutative
+    monoids (avg is derived post-merge as sum/count — storing avg
+    itself would be the classic incremental-pipeline bug).  The
+    oracle recomputes from the full table, so the merge must be
+    value-identical to a cold rebuild."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderkey") % 5 != 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 5 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("s").alias("_s"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round("_s", 2).alias("total"),
+        F.round(F.col("_s") / F.col("n_orders"), 2).alias("avg_price"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6356,6 +6398,7 @@ REGISTRY = {
     "q84_approx_distinct_gate": q84_approx_distinct_gate,
     "t22_ngram_novelty": t22_ngram_novelty,
     "q85_map_hof_battery": q85_map_hof_battery,
+    "q86_incremental_rollup": q86_incremental_rollup,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
