@@ -44,6 +44,11 @@ for name in (
     "q25_sessionize",             # epoch cast over event time
     "st01_stream_window_counts",  # streaming replay fixture
     "u04_grouped_map_zscore",     # Arrow / pandas path
+    "q64_hll_partial_union",      # Datasketches HLL exprs
+    "q79_collation_group",        # Spark 4 collation
+    "f13_variant_shred",          # VARIANT type
+    "q83_native_dynamic_session", # dynamic session_window
+    "u06_arrow_scalar_udf",       # useArrow UDF transport
 ):
     n = Q.REGISTRY[name](spark, SF).count()
     assert n > 0, f"{{name}} returned 0 rows on bare session"
