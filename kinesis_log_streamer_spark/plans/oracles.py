@@ -3004,3 +3004,38 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+ORACLES["l12_alert_transitions"] = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                AS BIGINT) AS errors
+    FROM events
+    GROUP BY 1
+), marked AS (
+    SELECT hour_ts, total, errors,
+           CASE WHEN errors * 100 >= total * 21 THEN 1 ELSE 0 END
+               AS above,
+           lag(CASE WHEN errors * 100 >= total * 21 THEN 1 ELSE 0 END)
+               OVER (ORDER BY hour_ts) AS prev_above
+    FROM hourly
+), cand AS (
+    SELECT hour_ts, total, errors,
+           CASE WHEN above = 1 AND prev_above = 1 THEN 'raise'
+                WHEN above = 0 AND prev_above = 0 THEN 'clear'
+           END AS action
+    FROM marked
+    WHERE (above = 1 AND prev_above = 1)
+       OR (above = 0 AND prev_above = 0)
+), fired AS (
+    SELECT hour_ts, action, total, errors,
+           lag(action) OVER (ORDER BY hour_ts) AS prev_action
+    FROM cand
+)
+SELECT hour_ts, action, total, errors
+FROM fired
+WHERE (prev_action IS NULL AND action = 'raise')
+   OR (prev_action IS NOT NULL AND action <> prev_action)
+ORDER BY hour_ts
+"""

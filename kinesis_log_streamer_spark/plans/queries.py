@@ -6262,6 +6262,58 @@ def q86_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def l12_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alerting with HYSTERESIS over the hourly error rate — the
+    state machine monitoring systems actually run (l03 computes the
+    rate; this turns it into pages): RAISE after ≥2 consecutive
+    hours at-or-above 21 %, CLEAR after ≥2 consecutive below, and
+    repeated candidates while already raised/cleared do not re-fire.
+    Flapping-proof by construction.  Entirely window functions over
+    one hourly rollup; the threshold compares in INTEGER cross
+    multiplication (errors·100 ≥ total·21), no fp anywhere.  The
+    oracle replays the identical candidate/dedup logic."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias(
+                "errors"
+            ),
+        )
+    )
+    w = W.orderBy("hour_ts")
+    above = (F.col("errors") * 100 >= F.col("total") * 21).cast("int")
+    marked = hourly.withColumn("above", above).withColumn(
+        "prev_above", F.lag("above").over(w)
+    )
+    cand = marked.withColumn(
+        "action",
+        F.when(
+            (F.col("above") == 1) & (F.col("prev_above") == 1), "raise"
+        ).when(
+            (F.col("above") == 0) & (F.col("prev_above") == 0), "clear"
+        ),
+    ).filter(F.col("action").isNotNull())
+    # fire only when the candidate CHANGES the current state; initial
+    # state is cleared, so leading clear candidates are dropped.
+    fired = cand.withColumn(
+        "prev_action", F.lag("action").over(W.orderBy("hour_ts"))
+    ).filter(
+        (
+            F.col("prev_action").isNull()
+            & (F.col("action") == "raise")
+        )
+        | (
+            F.col("prev_action").isNotNull()
+            & (F.col("action") != F.col("prev_action"))
+        )
+    )
+    return fired.select(
+        "hour_ts", "action", "total", "errors"
+    ).orderBy("hour_ts")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6399,6 +6451,7 @@ REGISTRY = {
     "t22_ngram_novelty": t22_ngram_novelty,
     "q85_map_hof_battery": q85_map_hof_battery,
     "q86_incremental_rollup": q86_incremental_rollup,
+    "l12_alert_transitions": l12_alert_transitions,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
