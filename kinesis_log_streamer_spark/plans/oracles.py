@@ -3039,3 +3039,23 @@ WHERE (prev_action IS NULL AND action = 'raise')
    OR (prev_action IS NOT NULL AND action <> prev_action)
 ORDER BY hour_ts
 """
+
+ORACLES["f19_parquet_codec_matrix"] = """
+SELECT codec,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(s_acctbal), 2) AS total_bal,
+       CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_nations
+FROM supplier, (VALUES ('lz4'), ('snappy'), ('zstd')) c(codec)
+GROUP BY codec
+ORDER BY codec
+"""
+
+ORACLES["q87_group_by_all"] = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""

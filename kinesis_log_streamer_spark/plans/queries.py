@@ -6314,6 +6314,63 @@ def l12_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour_ts")
 
 
+def f19_parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec matrix (zstd / snappy / lz4 — the
+    three a 100 TB lake actually chooses between; f14 covered
+    gzip TEXT): the same supplier slice written under each codec,
+    read back, and aggregated per codec — identical rows under every
+    codec proves the lake can mix codecs file-by-file (each parquet
+    footer self-describes), which is how fleets migrate codecs
+    in place.  Output: one row per codec, all value columns equal."""
+    import os
+    import tempfile
+
+    sup = _t(spark, sf_dir, "supplier")
+    rows = []
+    for codec in ("lz4", "snappy", "zstd"):
+        path = os.path.join(
+            tempfile.gettempdir(), f"klss_f19_{codec}"
+        )
+        (
+            sup.write.mode("overwrite")
+            .option("compression", codec)
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        rows.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+                F.countDistinct("s_nationkey").alias("n_nations"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("codec")
+
+
+def q87_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (the DuckDB-originated
+    sugar Spark 4 adopted): every non-aggregate select item becomes
+    a grouping key implicitly — the ergonomic surface ad-hoc
+    analytics lives in, worth pinning because resolution happens in
+    the analyzer, not the parser."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q87_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM q87_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6452,6 +6509,8 @@ REGISTRY = {
     "q85_map_hof_battery": q85_map_hof_battery,
     "q86_incremental_rollup": q86_incremental_rollup,
     "l12_alert_transitions": l12_alert_transitions,
+    "f19_parquet_codec_matrix": f19_parquet_codec_matrix,
+    "q87_group_by_all": q87_group_by_all,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
