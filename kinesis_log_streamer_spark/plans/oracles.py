@@ -3059,3 +3059,50 @@ FROM orders
 GROUP BY ALL
 ORDER BY ALL
 """
+
+ORACLES["q88_filter_through_window"] = """
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 2) AS price,
+       CAST(rn AS INT) AS rn
+FROM (
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rn
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+)
+WHERE rn <= 100
+ORDER BY rn
+"""
+
+ORACLES["st12_file_sink_log"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["d10_incremental_dedup"] = """
+WITH base AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+), delta AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text FROM base WHERE doc_id % 31 = 0
+), base_index AS (
+    SELECT DISTINCT md5(text) AS sig FROM base
+), delta_deduped AS (
+    SELECT doc_id, sig FROM (
+        SELECT doc_id, md5(text) AS sig,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rk
+        FROM delta
+    ) WHERE rk = 1
+)
+SELECT doc_id
+FROM delta_deduped d
+WHERE NOT EXISTS (SELECT 1 FROM base_index b WHERE b.sig = d.sig)
+ORDER BY doc_id
+"""

@@ -6371,6 +6371,127 @@ def q87_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_filter_through_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Predicate pushdown THROUGH a window function: a filter on the
+    window's PARTITION key commutes with the window (each partition
+    is computed independently), so Catalyst pushes it below the
+    sort/shuffle and into the parquet scan — the difference between
+    ranking one priority class and ranking the whole table then
+    discarding 4/5 of it.  The code asserts PushedFilters carries
+    the predicate; values hash-match the oracle that filters first
+    by construction."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    out = (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.col("rn") <= 100)
+        .orderBy("rn")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "1-URGENT" not in plan.split("Exchange")[-1]:
+        raise RuntimeError(
+            "expected the priority predicate pushed below the window "
+            "exchange into the scan"
+        )
+    return out
+
+
+def st12_file_sink_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE streaming file sink's transaction log
+    (``_spark_metadata``) — exactly-once file output WITHOUT
+    foreachBatch (st08's hand-rolled path): the stream writes
+    parquet through the sink's commit log; a batch read of the
+    output directory consults that log and must see exactly the
+    input rows — partial/uncommitted files are invisible by
+    construction.  This is the mechanism production streaming lakes
+    rely on before table formats."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = os.path.join(tempfile.gettempdir(), "klss_st12_src")
+    out = os.path.join(tempfile.gettempdir(), "klss_st12_out")
+    ckpt = os.path.join(tempfile.gettempdir(), "klss_st12_ckpt")
+    for d in (src, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    ev = _t(spark, sf_dir, "events")
+    for i in range(2):
+        _write_single_parquet(
+            ev.filter(F.col("event_id") % 2 == i),
+            os.path.join(src, f"p{i}.parquet"),
+        )
+    q = (
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape every CONTINUOUS ingest pipeline
+    needs (d01 dedupes a full corpus; re-running it daily re-shuffles
+    100 TB): the BASE corpus keeps only a signature index (16-byte
+    md5, not text), and each DELTA batch dedupes internally then
+    anti-joins that index — new-vs-base duplicates die without
+    touching base text.  Planted twins (every base doc_id % 31 == 0
+    re-appears in the delta under doc_id + 200 000) must all be
+    dropped; genuinely new docs survive."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    fresh = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text"
+    )
+    replays = base.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"), "text"
+    )
+    delta = fresh.unionByName(replays)
+    base_index = base.select(F.md5("text").alias("sig")).distinct()
+    delta_signed = delta.select(
+        "doc_id", F.md5("text").alias("sig")
+    )
+    delta_deduped = (
+        delta_signed.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("sig").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    kept = delta_deduped.join(base_index, "sig", "left_anti")
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6511,6 +6632,9 @@ REGISTRY = {
     "l12_alert_transitions": l12_alert_transitions,
     "f19_parquet_codec_matrix": f19_parquet_codec_matrix,
     "q87_group_by_all": q87_group_by_all,
+    "q88_filter_through_window": q88_filter_through_window,
+    "st12_file_sink_log": st12_file_sink_log,
+    "d10_incremental_dedup": d10_incremental_dedup,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

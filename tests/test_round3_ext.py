@@ -824,3 +824,35 @@ class TestUtf8LineHandling:
             len(s.encode("utf-8")) for s in lines
         )
         assert stats["bytes"] > stats["chars"]
+
+
+class TestIncrementalDedup:
+    def test_replays_dropped_new_kept(self, spark):
+        kept = {r["doc_id"] for r in
+                Q.d10_incremental_dedup(spark, SF).collect()}
+        assert kept  # some genuinely new docs survive
+        assert all(k < 200_000 for k in kept)  # every replay dropped
+
+
+class TestFileSinkLog:
+    def test_metadata_log_gates_read(self, spark, tmp_path):
+        """An orphan parquet file dropped into the sink directory
+        OUTSIDE the commit log must be invisible to readers."""
+        import os
+
+        out = Q.st12_file_sink_log(spark, SF)
+        base = os.path.join(
+            __import__("tempfile").gettempdir(), "klss_st12_out"
+        )
+        n_before = spark.read.parquet(base).count()
+        # plant an orphan (valid parquet, not in _spark_metadata)
+        Q._t(spark, SF, "events").limit(7).write.parquet(
+            str(tmp_path / "orphan")
+        )
+        import glob
+        import shutil
+
+        orphan = glob.glob(str(tmp_path / "orphan" / "*.parquet"))[0]
+        shutil.copy(orphan, os.path.join(base, "zz-orphan.parquet"))
+        n_after = spark.read.parquet(base).count()
+        assert n_after == n_before  # orphan invisible
