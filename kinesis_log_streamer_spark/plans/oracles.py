@@ -3106,3 +3106,28 @@ FROM delta_deduped d
 WHERE NOT EXISTS (SELECT 1 FROM base_index b WHERE b.sig = d.sig)
 ORDER BY doc_id
 """
+
+ORACLES["t23_chunk_with_overlap"] = """
+WITH d AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT
+               AS n
+    FROM documents
+), c AS (
+    SELECT doc_id, toks, n,
+           unnest(range(0,
+               CASE WHEN n <= 64 THEN 1
+                    ELSE 1 + CAST(ceil((n - 64) / 48.0) AS INT)
+               END)) AS chunk_id
+    FROM d
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(least(64, n - chunk_id * 48) AS INT) AS n_tokens,
+       toks[CAST(chunk_id * 48 + 1 AS INT)] AS first_token,
+       toks[CAST(chunk_id * 48 + least(64, n - chunk_id * 48) AS INT)]
+           AS last_token
+FROM c
+ORDER BY doc_id, chunk_id
+"""

@@ -6492,6 +6492,50 @@ def d10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def t23_chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the retrieval-side twin
+    of t10's training-sequence packing (RAG pipelines embed CHUNKS,
+    not documents, and adjacent chunks overlap so no answer spans a
+    boundary): token windows of 64 with stride 48, the final partial
+    window kept iff it adds tokens.  Pure sequence/slice arithmetic
+    inside the scan (chunk count = 1 + ceil((n-64)/48) for n > 64),
+    one explode; identity columns (first/last token, exact lengths)
+    pin lossless coverage.  Short docs yield exactly one chunk."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens_col(F.col("text"))
+    n = F.size(toks)
+    window, stride = 64, 48
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        1 + F.ceil((n - window) / float(stride)).cast("int")
+    )
+    chunked = (
+        docs.select(
+            "doc_id",
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .withColumn("_start0", F.col("chunk_id") * stride)
+        .withColumn(
+            "_len",
+            F.least(F.lit(window), F.col("_n") - F.col("_start0")),
+        )
+        .withColumn(
+            "_chunk",
+            F.slice(F.col("_toks"), F.col("_start0") + 1, F.col("_len")),
+        )
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size("_chunk").alias("n_tokens"),
+        F.element_at("_chunk", 1).alias("first_token"),
+        F.element_at("_chunk", -1).alias("last_token"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6635,6 +6679,7 @@ REGISTRY = {
     "q88_filter_through_window": q88_filter_through_window,
     "st12_file_sink_log": st12_file_sink_log,
     "d10_incremental_dedup": d10_incremental_dedup,
+    "t23_chunk_with_overlap": t23_chunk_with_overlap,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

@@ -856,3 +856,33 @@ class TestFileSinkLog:
         shutil.copy(orphan, os.path.join(base, "zz-orphan.parquet"))
         n_after = spark.read.parquet(base).count()
         assert n_after == n_before  # orphan invisible
+
+
+class TestChunkWithOverlap:
+    def test_coverage_and_overlap_invariants(self, spark):
+        """Every token position is covered; consecutive chunks overlap
+        by exactly window - stride except possibly the last."""
+        rows = Q.t23_chunk_with_overlap(spark, SF).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        docs = {
+            r["doc_id"]: r["n"]
+            for r in Q._t(spark, SF, "documents")
+            .select(
+                "doc_id",
+                F.size(
+                    F.split(F.lower(F.trim("text")), r"\s+")
+                ).alias("n"),
+            )
+            .collect()
+        }
+        for doc_id, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["chunk_id"])
+            n = docs[doc_id]
+            # last chunk must reach the final token
+            last = chunks[-1]
+            assert last["chunk_id"] * 48 + last["n_tokens"] == n
+            # every chunk starts within the previous chunk's span
+            for a, b in zip(chunks, chunks[1:]):
+                assert b["chunk_id"] * 48 < a["chunk_id"] * 48 + a["n_tokens"]
