@@ -3131,3 +3131,46 @@ SELECT doc_id,
 FROM c
 ORDER BY doc_id, chunk_id
 """
+
+
+ORACLES["t24_quality_ensemble"] = f"""
+WITH q AS ({ORACLES['t01_text_quality']}),
+e AS ({ORACLES['t16_unigram_entropy']}),
+s AS ({ORACLES['t20_unigram_lm_score']})
+SELECT reason, CAST(count(*) AS BIGINT) AS n_docs FROM (
+    SELECT CASE WHEN q.quality_score < 0.45 THEN 'low_quality'
+                WHEN e.entropy < 4.0 THEN 'low_entropy'
+                WHEN s.mean_surprisal > 4.92 THEN 'high_surprisal'
+                ELSE 'kept' END AS reason
+    FROM q JOIN e USING (doc_id) JOIN s USING (doc_id)
+)
+GROUP BY reason
+ORDER BY reason
+"""
+
+ORACLES["f20_wholetext_scan"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(length(text) + 13) AS BIGINT) AS total_chars,
+       CAST(count(*) AS BIGINT) AS n_with_trailer
+FROM documents
+WHERE doc_id % 100 = 0
+"""
+
+ORACLES["m05_frame_dedup"] = """
+WITH f AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(0, CAST(greatest(floor(strlen(text) / 64.0),
+                                      1) AS BIGINT)),
+               i -> substring(text, CAST(i * 64 + 1 AS INT), 1)))
+               AS frame_token
+    FROM documents
+)
+SELECT frame_token,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM f
+GROUP BY frame_token
+HAVING count(*) >= 2
+ORDER BY frame_token
+"""

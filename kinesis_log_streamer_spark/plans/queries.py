@@ -6536,6 +6536,96 @@ def t23_chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+def t24_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DECISION layer: three independent quality signals
+    (t01 composite score, t16 unigram entropy, t20 LM surprisal)
+    joined per document and folded into one keep/drop verdict with a
+    FIRST-FAILING-RULE reason — the policy table a production filter
+    publishes so drops are attributable.  Composition, not
+    recomputation: the t01/t16/t20 query bodies are reused verbatim
+    (three scans today; one multi-output pass in a tuned pipeline),
+    and the oracle assembles the same three already-verified oracle
+    SQLs as CTEs — so this gates the JOIN/decision logic on top of
+    signals whose cross-engine equality is independently proven.
+    Thresholds (0.45 / 4.0 / 4.92) pinned from the corpus deciles so
+    every reason class is non-empty."""
+    q = t01_text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    e = t16_unigram_entropy(spark, sf_dir).select("doc_id", "entropy")
+    s = t20_unigram_lm_score(spark, sf_dir).select(
+        "doc_id", "mean_surprisal"
+    )
+    joined = q.join(e, "doc_id").join(s, "doc_id")
+    reason = (
+        F.when(F.col("quality_score") < 0.45, "low_quality")
+        .when(F.col("entropy") < 4.0, "low_entropy")
+        .when(F.col("mean_surprisal") > 4.92, "high_surprisal")
+        .otherwise("kept")
+    )
+    return (
+        joined.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("reason")
+    )
+
+
+def f20_wholetext_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wholetext`` reading mode — one row per FILE, the shape
+    document-per-file corpora arrive in (the text source's default
+    one-row-per-line is wrong for them): five documents written as
+    individual .txt files, read back whole, and length-accounted.
+    Newlines inside a document must survive (they would become row
+    splits under the default mode)."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 100 == 0
+    )
+    base = os.path.join(tempfile.gettempdir(), "klss_f20_files")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    for r in docs.select("doc_id", "text").collect():  # bounded: n/100
+        with open(
+            os.path.join(base, f"doc_{r['doc_id']:06d}.txt", ),
+            "w",
+        ) as fh:
+            fh.write(r["text"] + "\nTRAILER LINE")
+    back = spark.read.text(base, wholetext=True)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.count(
+            F.when(F.col("value").endswith("TRAILER LINE"), 1)
+        ).alias("n_with_trailer"),
+    )
+
+
+def m05_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup across media payloads — m03's frame sampling
+    composed with d01's hash-groupBy: identical sampled frames
+    (byte at the sampled offset of the payload, the deterministic
+    stand-in for a real frame digest) collapse across ALL payloads,
+    yielding the cross-video duplicate-frame histogram a dedup pass
+    over video corpora produces."""
+    docs = _t(spark, sf_dir, "documents")
+    frames = M.frame_sample(
+        M.attach_binary_payload(docs), every_n_bytes=64, fake=True
+    )
+    return (
+        frames.groupBy("frame_token")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_frames") >= 2)
+        .orderBy("frame_token")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6680,6 +6770,9 @@ REGISTRY = {
     "st12_file_sink_log": st12_file_sink_log,
     "d10_incremental_dedup": d10_incremental_dedup,
     "t23_chunk_with_overlap": t23_chunk_with_overlap,
+    "t24_quality_ensemble": t24_quality_ensemble,
+    "f20_wholetext_scan": f20_wholetext_scan,
+    "m05_frame_dedup": m05_frame_dedup,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
