@@ -3174,3 +3174,13 @@ GROUP BY frame_token
 HAVING count(*) >= 2
 ORDER BY frame_token
 """
+
+ORACLES["q89_cbo_stats"] = """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""

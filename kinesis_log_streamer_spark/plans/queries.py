@@ -6626,6 +6626,59 @@ def m05_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q89_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer statistics: ``ANALYZE TABLE`` computes
+    row/size stats into the catalog, and with CBO enabled the
+    planner uses them (instead of raw file size) to pick the
+    broadcast side of a join — the mechanism that keeps 100 TB
+    plans sane when file size is a bad cardinality proxy (heavy
+    compression, wide-but-filtered dims).  The code asserts the
+    analyzed stats are visible to the planner via the catalog's
+    statistics API and that the join broadcasts; values hash-match
+    the plain join oracle."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    nation = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql("DROP TABLE IF EXISTS klss_q89_nation")
+    shutil.rmtree(
+        os.path.join(warehouse, "klss_q89_nation"), ignore_errors=True
+    )
+    nation.write.saveAsTable("klss_q89_nation")
+    spark.sql("ANALYZE TABLE klss_q89_nation COMPUTE STATISTICS")
+    stats = spark.sql(
+        "DESCRIBE EXTENDED klss_q89_nation"
+    ).filter(F.col("col_name") == "Statistics")
+    if stats.count() != 1:
+        raise RuntimeError("ANALYZE produced no catalog statistics")
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        out = (
+            sup.join(
+                spark.table("klss_q89_nation"),
+                sup.s_nationkey == F.col("n_nationkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_suppliers"),
+                F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            )
+            .orderBy("n_name")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" not in plan:
+            raise RuntimeError(
+                "expected the analyzed dim broadcast under CBO"
+            )
+        return out
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6773,6 +6826,7 @@ REGISTRY = {
     "t24_quality_ensemble": t24_quality_ensemble,
     "f20_wholetext_scan": f20_wholetext_scan,
     "m05_frame_dedup": m05_frame_dedup,
+    "q89_cbo_stats": q89_cbo_stats,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
