@@ -3184,3 +3184,33 @@ JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
 """
+
+ORACLES["l13_errorlog_rollup"] = """
+SELECT 'ErrorLog' AS logfile,
+       CASE WHEN event_id % 3 = 0 THEN 'error'
+            WHEN event_id % 3 = 1 THEN 'warn'
+            ELSE 'notice' END AS level,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_pids
+FROM events
+WHERE event_type = 'error'
+GROUP BY level
+ORDER BY logfile, level
+"""
+
+ORACLES["q90_mad"] = """
+WITH med AS (
+    SELECT o_orderpriority,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+               AS med
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       round(any_value(m.med), 2) AS median_price,
+       round(percentile_cont(0.5) WITHIN GROUP (
+           ORDER BY abs(o.o_totalprice - m.med)), 2) AS mad,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN med m USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

@@ -6679,6 +6679,94 @@ def q89_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.cbo.enabled", prev)
 
 
+def l13_errorlog_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND canonical deployment — the Apache
+    ErrorLog pipe (httpd.conf:182; main.go:48-50): error-format lines
+    ``[ts] [level] [pid N] message`` built deterministically from
+    error events, piped through the reference transform chain
+    (T2 wrap under LogEntry + T4 LogFile=ErrorLog enrichment —
+    `operators/transforms.py:wrap_line_as_json`), then ANALYZED back
+    out: parse the wrapped JSON, regex the severity and pid, and
+    roll up — the l-series treatment for the error-log data model
+    (l01–l06 cover the access log)."""
+    from kinesis_log_streamer_spark.operators.transforms import (
+        wrap_line_as_json,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    lvl = (
+        F.when(F.col("event_id") % 3 == 0, "error")
+        .when(F.col("event_id") % 3 == 1, "warn")
+        .otherwise("notice")
+    )
+    lines = ev.select(
+        F.concat(
+            F.lit("["),
+            F.date_format("ts", "EEE MMM dd HH:mm:ss yyyy"),
+            F.lit("] ["),
+            lvl,
+            F.lit("] [pid "),
+            F.col("user_id").cast("string"),
+            F.lit("] event "),
+            F.col("event_id").cast("string"),
+            F.lit(" failed"),
+        ).alias("value")
+    )
+    wrapped = wrap_line_as_json(
+        lines, output_key="LogEntry", entries={"LogFile": "ErrorLog"}
+    )
+    parsed = wrapped.select(
+        F.get_json_object("data", "$.LogEntry").alias("line"),
+        F.get_json_object("data", "$.LogFile").alias("logfile"),
+    )
+    return (
+        parsed.select(
+            "logfile",
+            F.regexp_extract("line", r"\] \[(\w+)\] \[pid", 1).alias(
+                "level"
+            ),
+            F.regexp_extract("line", r"\[pid (\d+)\]", 1)
+            .cast("long")
+            .alias("pid"),
+        )
+        .groupBy("logfile", "level")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("pid").alias("n_pids"),
+        )
+        .orderBy("logfile", "level")
+    )
+
+
+def q90_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    statistic anomaly detection prefers over stddev (l09's z-scores
+    break on heavy tails; MAD does not): two exact-median passes,
+    the per-group median joined back for the deviation pass.  Both
+    medians are exact interpolating percentiles (q50 proved the
+    cross-engine equivalence)."""
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+        "med",
+    )
+    return (
+        dev.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.first("med"), 2).alias("median_price"),
+            F.round(F.expr("percentile(adev, 0.5)"), 2).alias("mad"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6827,6 +6915,8 @@ REGISTRY = {
     "f20_wholetext_scan": f20_wholetext_scan,
     "m05_frame_dedup": m05_frame_dedup,
     "q89_cbo_stats": q89_cbo_stats,
+    "l13_errorlog_rollup": l13_errorlog_rollup,
+    "q90_mad": q90_mad,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
