@@ -3214,3 +3214,41 @@ FROM orders o JOIN med m USING (o_orderpriority)
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+ORACLES["s14_knn_accuracy"] = """
+WITH v AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    WHERE vec_id % 10 = 0
+), pairs AS (
+    SELECT a.vec_id AS id_a, a.label AS label_a, b.label AS label_b,
+           b.vec_id AS id_b,
+           list_reduce(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)
+           / sqrt(
+               list_reduce(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(a.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+               * list_reduce(list_transform(range(1, 65),
+                   i -> CAST(b.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y)
+           ) AS cos
+    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), nn AS (
+    SELECT label_a, label_b FROM (
+        SELECT label_a, label_b,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY cos DESC, id_b) AS rn
+        FROM pairs
+    ) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(CASE WHEN label_a = label_b THEN 1 END) AS BIGINT)
+           AS correct,
+       CAST((2*1000*count(CASE WHEN label_a = label_b THEN 1 END)
+             + count(*)) // (2*count(*)) AS BIGINT) AS acc_permille
+FROM nn
+"""

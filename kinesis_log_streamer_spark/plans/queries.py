@@ -6767,6 +6767,63 @@ def q90_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s14_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy — the standard intrinsic
+    embedding-quality eval (do nearest neighbors share labels?):
+    over a bounded subset, each vector's nearest OTHER vector by
+    exact cosine votes its label; accuracy is reported in integer
+    per-mille.  Ranks come from the s13 sequential-fold cosine that
+    DuckDB replays bit-identically, with a total-order tiebreak, so
+    the n/correct/accuracy row hash-matches — an EVAL op, the
+    piece that turns the s-family from search into measurement."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+
+    def fold(col):
+        return F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+        F.col("label").alias("label_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+        F.col("label").alias("label_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") != F.col("id_b"))
+    cos = fold(
+        F.zip_with("va", "vb", lambda x, y: x * y)
+    ) / F.sqrt(
+        fold(F.transform("va", lambda x: x * x))
+        * fold(F.transform("vb", lambda x: x * x))
+    )
+    ranked = pairs.select(
+        "id_a",
+        "label_a",
+        "label_b",
+        F.row_number()
+        .over(
+            W.partitionBy("id_a").orderBy(F.desc(cos), F.asc("id_b"))
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count(F.when(F.col("label_a") == F.col("label_b"), 1)).alias(
+            "correct"
+        ),
+        F.expr(
+            "(2*1000*count(CASE WHEN label_a = label_b THEN 1 END)"
+            " + count(*)) div (2*count(*))"
+        ).alias("acc_permille"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6917,6 +6974,7 @@ REGISTRY = {
     "q89_cbo_stats": q89_cbo_stats,
     "l13_errorlog_rollup": l13_errorlog_rollup,
     "q90_mad": q90_mad,
+    "s14_knn_accuracy": s14_knn_accuracy,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
