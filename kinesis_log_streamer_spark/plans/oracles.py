@@ -3252,3 +3252,16 @@ SELECT CAST(count(*) AS BIGINT) AS n_vecs,
              + count(*)) // (2*count(*)) AS BIGINT) AS acc_permille
 FROM nn
 """
+
+ORACLES["q91_time_rollup"] = """
+SELECT CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(grouping(year(ts)) * 4 + grouping(month(ts)) * 2
+            + grouping(day(ts)) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+ORDER BY gid, y, m, d
+"""

@@ -6824,6 +6824,31 @@ def s14_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy ROLLUP (year → month → day) with
+    ``grouping_id`` — the calendar drill-down q13's dimension rollup
+    doesn't cover, and the aggregate a date-partitioned 100 TB lake
+    answers from partition metadata alone at the coarser levels.
+    grouping_id disambiguates NULL-as-subtotal from NULL data on
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.year("ts").alias("y"),
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "y", "m", "d")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6975,6 +7000,7 @@ REGISTRY = {
     "l13_errorlog_rollup": l13_errorlog_rollup,
     "q90_mad": q90_mad,
     "s14_knn_accuracy": s14_knn_accuracy,
+    "q91_time_rollup": q91_time_rollup,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
