@@ -3265,3 +3265,32 @@ FROM events
 GROUP BY ROLLUP (year(ts), month(ts), day(ts))
 ORDER BY gid, y, m, d
 """
+
+ORACLES["q92_lag_defaults"] = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(coalesce(lag(o_orderkey, 2) OVER w, -1) AS BIGINT)
+           AS lag2_key,
+       coalesce(lead(o_orderstatus, 1) OVER w, '(end)') AS next_status
+FROM orders
+WHERE o_orderkey % 53 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+ORACLES["q92b_comparator_sort"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_sort(list_transform(
+               list_distinct(
+                   string_split_regex(lower(trim(text)), '\\s+')),
+               x -> struct_pack(n := length(x), v := x))) AS s
+    FROM documents
+    WHERE doc_id % 20 = 0
+)
+SELECT doc_id,
+       CAST(len(s) AS INT) AS n_tokens,
+       s[1].v AS shortest_first,
+       s[-1].v AS longest_last
+FROM t
+ORDER BY doc_id
+"""

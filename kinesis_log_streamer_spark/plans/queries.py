@@ -6849,6 +6849,51 @@ def q91_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q92_lag_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lag``/``lead`` with explicit OFFSETS and DEFAULT values —
+    the frame-edge semantics q30's plain forms leave unpinned: a
+    2-step lag with a sentinel default, and a lead default that must
+    appear exactly on each partition's final rows (not as null)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 53 == 0
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_orderkey", 2, -1).over(w).alias("lag2_key"),
+        F.lead("o_orderstatus", 1, "(end)").over(w).alias(
+            "next_status"
+        ),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+def q92b_comparator_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``array_sort`` with a CUSTOM COMPARATOR lambda (length-then-
+    lexicographic) — the HOF shape plain ascending sort can't
+    express.  DuckDB lacks comparator lambdas, so the oracle gets
+    the same order via the decorate-sort-undecorate struct trick —
+    proving the comparator semantics, not just the API."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    toks = F.array_distinct(TX.tokens_col(F.col("text")))
+    cmp_sorted = F.array_sort(
+        toks,
+        lambda l, r: F.when(F.length(l) < F.length(r), -1)
+        .when(F.length(l) > F.length(r), 1)
+        .otherwise(
+            F.when(l < r, -1).when(l > r, 1).otherwise(0)
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(cmp_sorted).alias("n_tokens"),
+        F.element_at(cmp_sorted, 1).alias("shortest_first"),
+        F.element_at(cmp_sorted, -1).alias("longest_last"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7001,6 +7046,8 @@ REGISTRY = {
     "q90_mad": q90_mad,
     "s14_knn_accuracy": s14_knn_accuracy,
     "q91_time_rollup": q91_time_rollup,
+    "q92_lag_defaults": q92_lag_defaults,
+    "q92b_comparator_sort": q92b_comparator_sort,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
