@@ -3294,3 +3294,14 @@ SELECT doc_id,
 FROM t
 ORDER BY doc_id
 """
+
+ORACLES["q93_bool_aggregates"] = """
+SELECT l_returnflag,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
+       bool_and(l_quantity > 0) AS all_qty_pos,
+       bool_or(l_tax > 0.07) AS any_high_tax,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -6894,6 +6894,26 @@ def q92b_comparator_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q93_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface: ``count_if``,
+    ``bool_and``/``every``, ``bool_or``/``any`` — the predicates-as-
+    aggregates family DQ rules compile to (p02 uses explicit counts;
+    these are the idiomatic forms)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias(
+                "n_discounted"
+            ),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_qty_pos"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7048,6 +7068,7 @@ REGISTRY = {
     "q91_time_rollup": q91_time_rollup,
     "q92_lag_defaults": q92_lag_defaults,
     "q92b_comparator_sort": q92b_comparator_sort,
+    "q93_bool_aggregates": q93_bool_aggregates,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
