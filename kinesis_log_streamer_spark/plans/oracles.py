@@ -3305,3 +3305,122 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+ORACLES["d11_dup_span_stats"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), wins AS (
+    SELECT doc_id, array_to_string(t[s:s+7], ' ') AS span
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, len(t) - 7, 4)) AS s) g
+    WHERE len(t) >= 8
+), counted AS (
+    SELECT span, count(*) AS nocc FROM wins GROUP BY span
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT)                 AS n_windows,
+       CAST(count_if(c.nocc >= 2) AS BIGINT)    AS n_dup_windows,
+       CAST((200 * count_if(c.nocc >= 2) + count(*))
+            // (2 * count(*)) AS BIGINT)        AS dup_pct
+FROM wins w JOIN counted c USING (span)
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""
+
+ORACLES["q94_lateral_view_outer"] = """
+WITH t AS (
+    SELECT p_partkey,
+           list_filter(string_split(p_name, ' '),
+                       x -> length(x) >= 8) AS arr
+    FROM part
+    WHERE p_partkey % 7 = 0
+)
+SELECT t.p_partkey, u.tok
+FROM t LEFT JOIN LATERAL (SELECT unnest(arr) AS tok) u ON TRUE
+ORDER BY p_partkey, tok
+"""
+
+ORACLES["q96_bitmap_distinct"] = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["q97_aes_roundtrip"] = """
+SELECT p_partkey,
+       p_name                                             AS p_name_rt,
+       CAST(16 * (length(p_name) // 16 + 1) AS INT)       AS cipher_len,
+       TRUE                                               AS ok
+FROM part
+WHERE p_partkey % 50 = 0
+ORDER BY p_partkey
+"""
+
+ORACLES["q98_url_canonicalize"] = """
+WITH ev AS (
+    SELECT event_id, user_id,
+           json_extract_string(props, '$.k')::BIGINT AS k
+    FROM events
+    WHERE user_id % 11 = 0
+), built AS (
+    SELECT 'https://Shop' || (user_id % 7) || '.Example.COM/p/' || k
+           || CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END
+           || CASE WHEN event_id % 3 = 0
+                   THEN '?utm_source=x&id=' || k
+                   ELSE '?id=' || k END                        AS url,
+           'https://shop' || (user_id % 7) || '.example.com/p/' || k
+           || '?id=' || k                                      AS canon_url
+    FROM ev
+)
+SELECT canon_url,
+       CAST(count(*) AS BIGINT)            AS n_hits,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+FROM built
+GROUP BY canon_url
+ORDER BY canon_url
+"""
+
+ORACLES["q99_regexp_battery"] = """
+SELECT p_partkey,
+       coalesce(array_to_string(
+           regexp_extract_all(p_name, '[a-z]{6,}'), '|'),
+           '')                                              AS long_words,
+       CAST(len(regexp_extract_all(p_name, '[a-z]{6,}'))
+            AS INT)                                         AS n_long,
+       coalesce(regexp_extract(p_name, '[a-z]{6,}'), '')    AS first_long,
+       regexp_matches(p_name, 'red|blue')                   AS has_color
+FROM part
+WHERE p_partkey % 11 = 0
+ORDER BY p_partkey
+"""
+
+ORACLES["q100_union_by_name"] = """
+SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+       'orders' AS src
+FROM orders WHERE o_orderkey % 67 = 0
+UNION ALL BY NAME
+SELECT c_custkey AS k, round(c_acctbal, 2) AS bal,
+       'customer' AS src
+FROM customer WHERE c_custkey % 13 = 0
+ORDER BY src, k
+"""
+
+ORACLES["q101_datetime_battery"] = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH
+            AS DATE)                                        AS plus3m,
+       last_day(CAST(o_orderdate AS DATE))                  AS month_end,
+       CAST(DATE '1998-12-31' - CAST(o_orderdate AS DATE)
+            AS BIGINT)                                      AS days_to_eoy98,
+       CAST(o_orderdate AS DATE) - 30                       AS minus30d,
+       CAST(quarter(o_orderdate) AS BIGINT)                 AS qtr,
+       CAST(dayofyear(o_orderdate) AS BIGINT)               AS doy
+FROM orders
+WHERE o_orderkey % 83 = 0
+ORDER BY o_orderkey
+"""

@@ -6914,6 +6914,257 @@ def q93_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d11_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level DUPLICATE-SPAN statistics over hashed rolling token
+    windows (size 8, stride 4) — the substring-duplication measure
+    behind "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022), distinct from doc-level MinHash (d02) and
+    containment (d07): it finds REPEATED PASSAGES, not similar docs.
+
+    Scale: windows are grouped by their text (at 100 TB: by a 128-bit
+    hash of it) — one hash-agg shuffle to count corpus-wide span
+    occurrences, one equi-join back, one per-doc hash-agg.  Never a
+    doc×doc comparison; shuffle volume is O(total windows), and
+    map-side partial counts collapse the heavy-hitter spans before the
+    exchange.  dup_pct uses the repo's integer half-up rule so both
+    engines round identically."""
+    W_SZ, STRIDE = 8, 4
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= W_SZ
+    )
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.size("toks") - (W_SZ - 1), F.lit(STRIDE)
+            )
+        ).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", F.col("s"), W_SZ)).alias("span"),
+    )
+    counted = wins.groupBy("span").agg(
+        F.count(F.lit(1)).alias("nocc")
+    )
+    return (
+        wins.join(counted, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count_if(F.col("nocc") >= 2).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr(
+                "(200 * n_dup_windows + n_windows) div (2 * n_windows)"
+            ).alias("dup_pct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q94_lateral_view_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``LATERAL VIEW OUTER explode`` SQL surface: rows whose
+    generated array is EMPTY must survive with a NULL token (plain
+    LATERAL VIEW would drop them) — the outer-generator semantics
+    left unpinned by q31/q60."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    part.createOrReplaceTempView("klss_q94_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, tok
+        FROM (
+            SELECT p_partkey,
+                   filter(split(p_name, ' '), x -> length(x) >= 8)
+                       AS arr
+            FROM klss_q94_part
+        )
+        LATERAL VIEW OUTER explode(arr) x AS tok
+        ORDER BY p_partkey, tok
+        """
+    )
+
+
+def q96_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates
+    (``bitmap_bucket_number`` / ``bitmap_bit_position`` /
+    ``bitmap_construct_agg`` / ``bitmap_count``, Spark 3.5+) — the
+    mergeable-exact middle ground between COUNT(DISTINCT) (exact,
+    re-shuffles raw keys) and HLL (mergeable, approximate).
+
+    Scale: pass 1 shuffles (flag, bucket)→32 KiB bitmaps — partial
+    construct_agg OR-combines map-side so the exchange carries one
+    bitmap per group-bucket, not raw keys; pass 2 sums popcounts over
+    |groups × buckets| rows.  Oracle pins it to COUNT(DISTINCT)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.select(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+            F.expr(
+                "bitmap_bit_position(l_partkey)"
+            ).alias("pos"),
+        )
+        .groupBy("l_returnflag", "bkt")
+        .agg(
+            F.expr("bitmap_construct_agg(pos)").alias("bm"),
+            F.count(F.lit(1)).alias("bucket_rows"),
+        )
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("nd_part"),
+            F.sum("bucket_rows").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q97_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption round trip: ``aes_encrypt`` →
+    ``base64`` transport → ``unbase64`` → ``aes_decrypt`` (ECB/PKCS,
+    deterministic).  The oracle pins BOTH the recovered plaintext and
+    the ciphertext length (PKCS pads to the next 16-byte block), so a
+    wrong mode/padding cannot sneak through on row counts."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    key = F.lit("0123456789abcdef")
+    enc = F.expr(
+        "aes_encrypt(p_name, '0123456789abcdef', 'ECB', 'PKCS')"
+    )
+    b64 = F.base64(enc)
+    dec = F.expr(
+        "cast(aes_decrypt(unbase64(base64(aes_encrypt("
+        "p_name, '0123456789abcdef', 'ECB', 'PKCS'))), "
+        "'0123456789abcdef', 'ECB', 'PKCS') as string)"
+    )
+    _ = key, b64
+    return part.select(
+        "p_partkey",
+        dec.alias("p_name_rt"),
+        F.length(enc).alias("cipher_len"),
+        (dec == F.col("p_name")).alias("ok"),
+    ).orderBy("p_partkey")
+
+
+def q98_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the web-corpus curation step
+    that collapses tracking-parameter/case/trailing-slash variants of
+    one logical URL (``parse_url`` HOST/PATH/QUERY-param extraction,
+    then rebuild-and-count).  URLs are synthesized deterministically
+    from events so the oracle can derive ground truth from the same
+    columns without a URL parser.
+
+    Scale: one projection (codegen) + one hash-agg on the canonical
+    string; no joins, no UDFs."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    url = F.concat(
+        F.lit("https://Shop"),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit(".Example.COM/p/"),
+        k.cast("string"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("/")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=x&id="), k.cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), k.cast("string"))),
+    )
+    with_url = ev.select(url.alias("url"))
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.regexp_replace(
+        F.parse_url(F.col("url"), F.lit("PATH")), r"/$", ""
+    )
+    ident = F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id"))
+    canon = F.concat(
+        F.lit("https://"), host, path, F.lit("?id="), ident
+    )
+    return (
+        with_url.select("url", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("url").alias("n_variants"),
+        )
+        .orderBy("canon_url")
+    )
+
+
+def q99_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface beyond q18's single extract:
+    ``regexp_extract_all`` (pipe-joined per the atomic-columns rule),
+    ``regexp_count``, first-match extract, and a boolean ``rlike`` —
+    all against DuckDB's independent regex engine."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 11 == 0)
+    pat = r"[a-z]{6,}"
+    return part.select(
+        "p_partkey",
+        F.concat_ws(
+            "|", F.regexp_extract_all("p_name", F.lit(pat), F.lit(0))
+        ).alias("long_words"),
+        F.regexp_count("p_name", F.lit(pat)).alias("n_long"),
+        F.regexp_extract("p_name", pat, 0).alias("first_long"),
+        F.col("p_name").rlike("red|blue").alias("has_color"),
+    ).orderBy("p_partkey")
+
+
+def q100_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unionByName(allowMissingColumns=True)`` — schema-aligned
+    union across heterogeneous sources with NULL back-fill, the
+    multi-source corpus-manifest merge shape.  Oracle: DuckDB's
+    ``UNION ALL BY NAME``."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 67 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round("o_totalprice", 2).alias("price"),
+            F.lit("orders").alias("src"),
+        )
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 13 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round("c_acctbal", 2).alias("bal"),
+            F.lit("customer").alias("src"),
+        )
+    )
+    return orders.unionByName(cust, allowMissingColumns=True).orderBy(
+        "src", "k"
+    )
+
+
+def q101_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic beyond q19's trunc/extract: ``add_months``
+    (end-of-month clamping), ``last_day``, ``datediff``, ``date_sub``,
+    ``quarter``, ``dayofyear`` — each with a clean ANSI twin so the
+    oracle exercises DuckDB's independent calendar logic."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 83 == 0
+    )
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias(
+            "days_to_eoy98"
+        ),
+        F.date_sub(d, 30).alias("minus30d"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.dayofyear(d).cast("long").alias("doy"),
+    ).orderBy("o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7069,6 +7320,14 @@ REGISTRY = {
     "q92_lag_defaults": q92_lag_defaults,
     "q92b_comparator_sort": q92b_comparator_sort,
     "q93_bool_aggregates": q93_bool_aggregates,
+    "d11_dup_span_stats": d11_dup_span_stats,
+    "q94_lateral_view_outer": q94_lateral_view_outer,
+    "q96_bitmap_distinct": q96_bitmap_distinct,
+    "q97_aes_roundtrip": q97_aes_roundtrip,
+    "q98_url_canonicalize": q98_url_canonicalize,
+    "q99_regexp_battery": q99_regexp_battery,
+    "q100_union_by_name": q100_union_by_name,
+    "q101_datetime_battery": q101_datetime_battery,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
