@@ -6921,12 +6921,12 @@ def d11_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Lee et al. 2022), distinct from doc-level MinHash (d02) and
     containment (d07): it finds REPEATED PASSAGES, not similar docs.
 
-    Scale: windows are grouped by their text (at 100 TB: by a 128-bit
-    hash of it) — one hash-agg shuffle to count corpus-wide span
-    occurrences, one equi-join back, one per-doc hash-agg.  Never a
-    doc×doc comparison; shuffle volume is O(total windows), and
-    map-side partial counts collapse the heavy-hitter spans before the
-    exchange.  dup_pct uses the repo's integer half-up rule so both
+    Scale: corpus-wide span occurrence counts come from ONE window
+    count over a span-partitioned shuffle (at 100 TB: partition by a
+    128-bit hash of the span text, never the text) — cheaper than the
+    agg-then-join-back form by a full exchange — then one per-doc
+    hash-agg.  Never a doc×doc comparison; shuffle volume is O(total
+    windows).  dup_pct uses the repo's integer half-up rule so both
     engines round identically."""
     W_SZ, STRIDE = 8, 4
     docs = _t(spark, sf_dir, "documents")
@@ -6946,11 +6946,11 @@ def d11_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat_ws(" ", F.slice("toks", F.col("s"), W_SZ)).alias("span"),
     )
-    counted = wins.groupBy("span").agg(
-        F.count(F.lit(1)).alias("nocc")
+    with_occ = wins.withColumn(
+        "nocc", F.count(F.lit(1)).over(W.partitionBy("span"))
     )
     return (
-        wins.join(counted, "span")
+        with_occ
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
