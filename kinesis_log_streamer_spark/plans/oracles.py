@@ -3424,3 +3424,68 @@ FROM orders
 WHERE o_orderkey % 83 = 0
 ORDER BY o_orderkey
 """
+
+ORACLES["d13_semdedup"] = """
+WITH sub AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id % 4 = 0
+), cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+    FROM (SELECT vec_id, v FROM sub ORDER BY vec_id LIMIT 16)
+), scored AS (
+    SELECT s.vec_id, c.cell,
+           round(list_cosine_similarity(s.v, c.v), 4) AS cos
+    FROM sub s CROSS JOIN cents c
+), best AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM scored)
+    WHERE rn = 1
+), dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM best a
+    JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN sub sa ON sa.vec_id = a.vec_id
+    JOIN sub sb ON sb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(sa.v, sb.v), 4) >= 0.2
+)
+SELECT b.vec_id, b.cell, (d.vec_id IS NULL) AS keep
+FROM best b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+ORDER BY b.vec_id
+"""
+
+ORACLES["l15_apdex"] = """
+WITH synth AS (
+    SELECT event_type AS handler,
+           (event_id * 101) % 500000 AS us
+    FROM events
+)
+SELECT handler,
+       CAST(count_if(us <= 100000) AS BIGINT)  AS n_satisfied,
+       CAST(count_if(us > 100000 AND us <= 400000) AS BIGINT)
+                                               AS n_tolerating,
+       CAST(count(*) AS BIGINT)                AS n,
+       CAST((2000 * (2 * count_if(us <= 100000)
+                     + count_if(us > 100000 AND us <= 400000))
+             + 2 * count(*)) // (4 * count(*)) AS BIGINT) AS apdex_pm
+FROM synth
+GROUP BY handler
+ORDER BY handler
+"""
+
+ORACLES["q102_string_pad_battery"] = """
+SELECT p_partkey,
+       lpad(p_brand, 12, '*')                    AS brand_lpad,
+       rpad(p_brand, 12, '.')                    AS brand_rpad,
+       repeat('-', CAST(p_size % 5 AS INT))      AS dashes,
+       reverse(p_name)                           AS name_rev,
+       left(p_name, 3)                           AS name_l3,
+       right(p_name, 3)                          AS name_r3,
+       translate(p_name, 'aeiou', '01234')       AS name_masked,
+       CAST(strpos(p_name, 'e') AS BIGINT)       AS first_e
+FROM part
+WHERE p_partkey % 13 = 0
+ORDER BY p_partkey
+"""

@@ -7165,6 +7165,147 @@ def q101_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def d13_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): SEMANTIC dedup via embedding
+    clusters — assign every vector to its nearest of k=16 fixed
+    centroids, then inside each cluster drop every vector that has a
+    lower-id neighbor with cosine ≥ 0.2; only the cluster bounds the
+    quadratic.  Complements d02 (lexical MinHash) and s04 (LSH
+    near-dup pairs): this is the keep/drop DECISION layer over
+    semantic similarity.
+
+    Determinism: centroids are the 16 lowest vec_ids (no sampling —
+    the oracle must reproduce them), cosines are rounded to 4
+    decimals on both engines before every comparison (s06 precedent),
+    and argmax tie-breaks on cell rank.
+
+    Scale: the n×16 assignment is a broadcast nested loop over a
+    16-row dim (model broadcast, scan-local); the within-cluster pair
+    stage is an EQUI-join on cell — SemDeDup's core trick is that
+    clustering caps the pair blow-up; at 100 TB you raise k so
+    |cluster| stays bounded, and the argmax becomes s05's IVF
+    assignment."""
+    from kinesis_log_streamer_spark.functions.vector import cosine_sim
+
+    sub = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 4 == 0)
+        .select("vec_id", "embedding")
+    )
+    cents = (
+        sub.orderBy("vec_id")
+        .limit(16)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    scored = sub.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 4).alias(
+            "cos"
+        ),
+    )
+    # argmax as a map-side-combinable agg (max over struct(cos,
+    # -cell): highest cosine, ties to the LOWEST cell) — the 16
+    # candidate rows per vector collapse before the exchange, unlike
+    # a window row_number which ships all 16.
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"), (-F.col("cell")).alias("negcell")
+                )
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.negcell")).alias("cell"))
+    )
+    withv = best.join(sub, "vec_id")
+    a = withv.select(
+        F.col("vec_id").alias("id_a"), "cell",
+        F.col("embedding").alias("va"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("id_b"), "cell",
+        F.col("embedding").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 4) >= 0.2
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        best.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("is_dropped").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def l15_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex score per handler (T = 100 ms): satisfied ≤ T,
+    tolerating ≤ 4T, apdex = (satisfied + tolerating/2) / n — the
+    standard user-satisfaction rollup an observability stack derives
+    from the reference's Apache `%D` latency field
+    (httpd.conf:198).  Emitted in integer per-mille via the repo's
+    half-up rational rule, so no fp rounding can diverge."""
+    acc = _access(spark, sf_dir)
+    t_us = 100_000
+    us = F.col("RequestTimeMicroseconds")
+    return (
+        acc.groupBy(F.col("RequestHandler").alias("handler"))
+        .agg(
+            F.count_if(us <= t_us).alias("n_satisfied"),
+            F.count_if((us > t_us) & (us <= 4 * t_us)).alias(
+                "n_tolerating"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "handler",
+            "n_satisfied",
+            "n_tolerating",
+            "n",
+            F.expr(
+                "(2000 * (2 * n_satisfied + n_tolerating) + 2 * n)"
+                " div (4 * n)"
+            ).alias("apdex_pm"),
+        )
+        .orderBy("handler")
+    )
+
+
+def q102_string_pad_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width/positional string surface q18 doesn't touch:
+    ``lpad``/``rpad``, ``repeat``, ``reverse``, ``left``/``right``,
+    ``translate``, ``locate``⇌``strpos`` — the report-formatting and
+    masking family, each against DuckDB's independent implementation."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 13 == 0)
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias(
+            "dashes"
+        ),
+        F.reverse("p_name").alias("name_rev"),
+        F.expr("left(p_name, 3)").alias("name_l3"),
+        F.expr("right(p_name, 3)").alias("name_r3"),
+        F.translate("p_name", "aeiou", "01234").alias("name_masked"),
+        F.instr("p_name", "e").cast("long").alias("first_e"),
+    ).orderBy("p_partkey")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7328,6 +7469,9 @@ REGISTRY = {
     "q99_regexp_battery": q99_regexp_battery,
     "q100_union_by_name": q100_union_by_name,
     "q101_datetime_battery": q101_datetime_battery,
+    "d13_semdedup": d13_semdedup,
+    "l15_apdex": l15_apdex,
+    "q102_string_pad_battery": q102_string_pad_battery,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
