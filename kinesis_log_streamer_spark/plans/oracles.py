@@ -3489,3 +3489,47 @@ FROM part
 WHERE p_partkey % 13 = 0
 ORDER BY p_partkey
 """
+
+ORACLES["f21_nested_schema_pruning"] = """
+SELECT c_custkey, c_nationkey AS nat
+FROM customer
+WHERE c_custkey % 9 = 0
+ORDER BY c_custkey
+"""
+
+ORACLES["q103_try_cast"] = """
+SELECT o_orderkey,
+       TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+                     ELSE CAST(round(o_totalprice, 2) AS VARCHAR)
+                END AS DOUBLE)                       AS num_or_null,
+       TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN 'not-a-date'
+                     ELSE strftime(o_orderdate, '%Y-%m-%d')
+                END AS DATE)                         AS date_or_null,
+       TRY_CAST(o_orderkey * 10000000000 AS INTEGER) AS int_or_null
+FROM orders
+WHERE o_orderkey % 59 = 0
+ORDER BY o_orderkey
+"""
+
+ORACLES["q104_ignore_nulls_window"] = """
+WITH t AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CASE WHEN l_linenumber % 2 = 0 THEN NULL
+                ELSE round(l_quantity, 2) END AS val
+    FROM lineitem
+    WHERE l_orderkey % 31 = 0 AND l_linenumber <= 6
+)
+SELECT l_orderkey, l_linenumber, l_partkey, val,
+       lead(val IGNORE NULLS) OVER w AS next_val,
+       lag(val IGNORE NULLS)  OVER w AS prev_val,
+       first_value(val IGNORE NULLS) OVER
+           (w ROWS BETWEEN UNBOUNDED PRECEDING
+              AND UNBOUNDED FOLLOWING) AS first_val,
+       last_value(val IGNORE NULLS) OVER
+           (w ROWS BETWEEN UNBOUNDED PRECEDING
+              AND UNBOUNDED FOLLOWING) AS last_val
+FROM t
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey)
+ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+"""

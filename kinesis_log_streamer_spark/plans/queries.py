@@ -7306,6 +7306,126 @@ def q102_string_pad_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def f21_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-field schema pruning: a query that touches one leaf of
+    a deep struct must scan ONLY that leaf — the plan's ReadSchema
+    carries the pruned subtree (``info.geo.nat``), never the sibling
+    fields.  At 100 TB of nested event payloads this is the
+    difference between reading a 2-column sliver and deserializing
+    every struct; the code raises if pruning regressed, and the
+    values hash-match an oracle computed from the flat base table."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "klss_f21")
+    shutil.rmtree(base, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+    nested = cust.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_mktsegment").alias("seg"),
+            F.round("c_acctbal", 2).alias("bal"),
+            F.struct(
+                F.col("c_nationkey").alias("nat"),
+                F.length("c_name").alias("name_len"),
+            ).alias("geo"),
+        ).alias("info"),
+    )
+    nested.write.mode("overwrite").parquet(base)
+    out = (
+        spark.read.parquet(base)
+        .select("c_custkey", F.col("info.geo.nat").alias("nat"))
+        .filter(F.col("c_custkey") % 9 == 0)
+        .orderBy("c_custkey")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    rs = m.group(1) if m else ""
+    if "nat" not in rs or "seg" in rs or "bal" in rs:
+        raise RuntimeError(
+            f"nested schema pruning regressed; scan reads {rs!r}"
+        )
+    return out
+
+
+def q103_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``try_cast`` null-on-failure semantics (q75's arithmetic twin):
+    malformed numerics, unparseable dates, and bigint→int overflow
+    all become NULL instead of aborting the job — the ingest-
+    robustness contract a 100 TB pipeline needs when a billion rows
+    contain a handful of garbage values."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 59 == 0
+    )
+    s_num = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority")
+    ).otherwise(F.round("o_totalprice", 2).cast("string"))
+    s_date = F.when(
+        F.col("o_orderkey") % 2 == 0, F.lit("not-a-date")
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+    return (
+        orders.withColumn("s_num", s_num)
+        .withColumn("s_date", s_date)
+        .withColumn("big", F.col("o_orderkey") * F.lit(10_000_000_000))
+        .select(
+            "o_orderkey",
+            F.expr("try_cast(s_num as double)").alias("num_or_null"),
+            F.expr("try_cast(s_date as date)").alias("date_or_null"),
+            F.expr("try_cast(big as int)").alias("int_or_null"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q104_ignore_nulls_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``IGNORE NULLS`` across the full window-function family —
+    lead/lag/first_value/last_value/nth_value skipping NULL gaps
+    (q51's ffill uses last-ignorenulls; this pins the SQL surface
+    for the offset functions, where the skip semantics are
+    subtler)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") % 31 == 0) & (F.col("l_linenumber") <= 6)
+    )
+    li.withColumn(
+        "val",
+        F.when(F.col("l_linenumber") % 2 == 0, None).otherwise(
+            F.round("l_quantity", 2)
+        ),
+    ).createOrReplaceTempView("klss_q104_li")
+    # (l_orderkey, l_linenumber) is NOT unique in this corpus —
+    # (… , l_partkey, l_suppkey) is; the window order must be total
+    # or lead/lag is engine-dependent (house determinism rule).
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_partkey, val,
+               lead(val) IGNORE NULLS OVER
+                   (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey)
+                   AS next_val,
+               lag(val) IGNORE NULLS OVER
+                   (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey)
+                   AS prev_val,
+               first_value(val) IGNORE NULLS OVER
+                   (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)  AS first_val,
+               last_value(val) IGNORE NULLS OVER
+                   (PARTITION BY l_orderkey
+                    ORDER BY l_linenumber, l_partkey, l_suppkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)  AS last_val
+        FROM klss_q104_li
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7472,6 +7592,9 @@ REGISTRY = {
     "d13_semdedup": d13_semdedup,
     "l15_apdex": l15_apdex,
     "q102_string_pad_battery": q102_string_pad_battery,
+    "f21_nested_schema_pruning": f21_nested_schema_pruning,
+    "q103_try_cast": q103_try_cast,
+    "q104_ignore_nulls_window": q104_ignore_nulls_window,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
