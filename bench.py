@@ -155,6 +155,18 @@ HEADLINE = [
     "f17_failfast_json",
     "f18_path_glob_recursive",
     "p05_pipeline_reconciliation",
+    # round-3 batches d/e/f: curation + SQL-surface additions.  The
+    # >8s or file-writing members (d11 span stats, d13 SemDeDup, f21
+    # nested-pruning write) are selfcheck-covered, not headline.
+    "q96_bitmap_distinct",
+    "q98_url_canonicalize",
+    "q99_regexp_battery",
+    "q100_union_by_name",
+    "q101_datetime_battery",
+    "q102_string_pad_battery",
+    "q103_try_cast",
+    "q104_ignore_nulls_window",
+    "l15_apdex",
 ]
 
 

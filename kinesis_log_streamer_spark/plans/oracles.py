@@ -3533,3 +3533,47 @@ WINDOW w AS (PARTITION BY l_orderkey
              ORDER BY l_linenumber, l_partkey, l_suppkey)
 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
 """
+
+ORACLES["q105_timestamp_arith"] = """
+SELECT event_id,
+       ts + INTERVAL 6 HOUR                                AS plus6h,
+       -- Spark's timestampdiff counts COMPLETE minutes (truncation);
+       -- DuckDB's date_diff counts minute-boundary crossings — use
+       -- epoch arithmetic to reproduce the truncation semantics.
+       CAST(floor((epoch(TIMESTAMP '2024-02-01 00:00:00')
+                   - epoch(ts)) / 60.0) AS BIGINT)         AS min_to_feb,
+       make_timestamp(year(ts), month(ts), day(ts),
+                      hour(ts), 0, 0)                      AS hour_floor
+FROM events
+WHERE user_id % 37 = 0
+ORDER BY event_id
+"""
+
+ORACLES["q106_lateral_alias"] = """
+WITH t AS (
+    SELECT o_orderkey,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(0.90 AS DECIMAL(3,2)), 2)
+                AS DECIMAL(18,2)) AS disc
+    FROM orders
+    WHERE o_orderkey % 71 = 0
+), t2 AS (
+    SELECT o_orderkey, disc,
+           CAST(round(disc * CAST(0.07 AS DECIMAL(3,2)), 2)
+                AS DECIMAL(18,2)) AS tax
+    FROM t
+)
+SELECT o_orderkey, disc, tax,
+       CAST(disc + tax AS DECIMAL(18,2)) AS net
+FROM t2
+ORDER BY o_orderkey
+"""
+
+ORACLES["q107_crosstab"] = """
+SELECT l_returnflag                        AS l_returnflag_l_linestatus,
+       CAST(count_if(l_linestatus = 'F') AS BIGINT) AS F,
+       CAST(count_if(l_linestatus = 'O') AS BIGINT) AS O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -7426,6 +7426,66 @@ def q104_ignore_nulls_window(
     )
 
 
+def q105_timestamp_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp arithmetic surface: ``timestampadd`` /
+    ``timestampdiff`` / ``make_timestamp`` (rebuild truncated-to-hour
+    from extracted parts) — the event-time math layer under every
+    windowed rollup, against DuckDB's interval engine."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 37 == 0)
+    return ev.select(
+        "event_id",
+        F.expr("timestampadd(HOUR, 6, ts)").alias("plus6h"),
+        F.expr(
+            "timestampdiff(MINUTE, ts,"
+            " timestamp'2024-02-01 00:00:00')"
+        ).alias("min_to_feb"),
+        F.expr(
+            "make_timestamp(year(ts), month(ts), day(ts),"
+            " hour(ts), 0, 0)"
+        ).alias("hour_floor"),
+    ).orderBy("event_id")
+
+
+def q106_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIAS (Spark 3.4+): a SELECT-list expression
+    referencing an alias defined earlier in the SAME select —
+    ``disc`` feeds ``tax`` feeds ``net`` without a subquery.  The
+    oracle expands the chain, proving the sugar resolves to the same
+    values.  The chain runs in exact DECIMAL (house rule: rounding
+    that decides output never happens in binary double — double
+    ``round(x*0.9, 2)`` flips at half-even boundaries between
+    engines, surfaced by the sf0.1 sweep)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 71 == 0
+    )
+    orders.createOrReplaceTempView("klss_q106_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST(0.90 AS DECIMAL(3,2)), 2)
+                    AS DECIMAL(18,2))                    AS disc,
+               CAST(round(disc * CAST(0.07 AS DECIMAL(3,2)), 2)
+                    AS DECIMAL(18,2))                    AS tax,
+               CAST(disc + tax AS DECIMAL(18,2))         AS net
+        FROM klss_q106_orders
+        ORDER BY o_orderkey
+        """
+    )
+
+
+def q107_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.stat.crosstab`` — the contingency-table API
+    (pair-frequency counts, one output column per distinct value of
+    the second key).  Oracle: conditional counts pivoted by hand.
+    Scale: crosstab is a single hash-agg on the pair plus a driver
+    pivot of |distinct right values| columns — safe as long as the
+    right side's cardinality is bounded (here: 2 line statuses)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ct = li.stat.crosstab("l_returnflag", "l_linestatus")
+    return ct.orderBy("l_returnflag_l_linestatus")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7440,12 +7500,15 @@ REGISTRY = {
     # (4) then the already-green tail.  When adding a query, insert it
     # at the end of block (3), never below it.
     #
-    # ROUND-4 REORDER (mechanical): after the r03 driver run verifies
-    # the current first 50, the never-verified pool is exactly the 45
-    # r03b additions parked between t17 and block 4 (q64…q83 incl.
-    # the f/g/l/s/t/u/w/d/k/p/st families added after the window
-    # filled).  Move those 45 to the front as r04's block 1; any r03
-    # FAIL/ERR re-checks follow; then r04's new queries.
+    # ROUND-4 REORDER (mechanical): the r03 driver run verifies the
+    # current first 50 (all of blocks 1+2 plus block 3 through
+    # t17_minhash_estimate_gate).  The never-verified pool for r04 is
+    # the 87 block-3 entries AFTER t17 (q64 … q104 incl. the
+    # d/f/g/k/l/p/s/st/t/u/w families).  Move those 87 to the front
+    # as r04's block 1 (two driver rounds' budget — order them
+    # highest-value first: the curation/dedup d/t/s families, then
+    # SQL surface); any r03 FAIL/ERR re-checks follow; then r04's
+    # new queries.
     #
     # -- block 1: 34 queries with no driver verdict after r01+r02 ----
     # reference ingest surface (linestreamer.go:89-99,
@@ -7595,6 +7658,9 @@ REGISTRY = {
     "f21_nested_schema_pruning": f21_nested_schema_pruning,
     "q103_try_cast": q103_try_cast,
     "q104_ignore_nulls_window": q104_ignore_nulls_window,
+    "q105_timestamp_arith": q105_timestamp_arith,
+    "q106_lateral_alias": q106_lateral_alias,
+    "q107_crosstab": q107_crosstab,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
