@@ -7033,17 +7033,14 @@ def q97_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ciphertext length (PKCS pads to the next 16-byte block), so a
     wrong mode/padding cannot sneak through on row counts."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
-    key = F.lit("0123456789abcdef")
     enc = F.expr(
         "aes_encrypt(p_name, '0123456789abcdef', 'ECB', 'PKCS')"
     )
-    b64 = F.base64(enc)
     dec = F.expr(
         "cast(aes_decrypt(unbase64(base64(aes_encrypt("
         "p_name, '0123456789abcdef', 'ECB', 'PKCS'))), "
         "'0123456789abcdef', 'ECB', 'PKCS') as string)"
     )
-    _ = key, b64
     return part.select(
         "p_partkey",
         dec.alias("p_name_rt"),
