@@ -3577,3 +3577,44 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+ORACLES["d14_hash_prefilter_dedup"] = """
+WITH base AS (
+    SELECT ('0x' || substr(md5(text), 1, 4))::BIGINT AS bkt, text
+    FROM documents WHERE doc_id % 2 = 0
+), delta AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 4))::BIGINT AS bkt, text
+    FROM documents WHERE doc_id % 3 = 0
+), flagged AS (
+    SELECT d.doc_id FROM delta d
+    WHERE EXISTS (SELECT 1 FROM base b WHERE b.bkt = d.bkt)
+), true_dups AS (
+    SELECT d.doc_id FROM delta d
+    WHERE EXISTS (SELECT 1 FROM base b WHERE b.text = d.text)
+)
+SELECT CAST((SELECT count(*) FROM delta) AS BIGINT)     AS n_delta,
+       CAST((SELECT count(*) FROM flagged) AS BIGINT)   AS n_flagged,
+       CAST((SELECT count(*) FROM true_dups) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM true_dups t
+             WHERE t.doc_id NOT IN (SELECT doc_id FROM flagged))
+            AS BIGINT)                                  AS fn_count
+"""
+
+ORACLES["w03_epoch_shuffle"] = """
+WITH ranked AS (
+    SELECT e.epoch, d.doc_id,
+           md5(e.epoch || ':' || d.doc_id) AS pos,
+           row_number() OVER (PARTITION BY e.epoch
+                              ORDER BY md5(e.epoch || ':' || d.doc_id))
+               AS rank
+    FROM documents d
+    CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       CAST(rank AS BIGINT) AS rank,
+       doc_id, pos
+FROM ranked
+WHERE rank <= 10
+ORDER BY epoch, rank
+"""

@@ -7483,6 +7483,88 @@ def q107_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct.orderBy("l_returnflag_l_linestatus")
 
 
+def d14_hash_prefilter_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate-membership dedup PRE-FILTER (the Bloom-filter
+    pattern with an oracle-replicable sketch): the base corpus is
+    summarized as its set of 16-bit truncated-md5 content buckets
+    (≤65 536 values — broadcastable at ANY corpus size, like a Bloom
+    bitset), the delta batch is probed by broadcast semi-join, and
+    only flagged rows would reach the exact dedup join.  False
+    negatives are impossible (equal text ⇒ equal bucket); false
+    positives are bucket collisions.  Spark's real ``bloom_filter_agg``
+    is Catalyst-internal (q65 asserts its injected form); this
+    exposes the same contract as a first-class primitive whose
+    flagged/missed/collision counts DuckDB reproduces EXACTLY.
+
+    Scale: summary build is one distinct-agg capped at 65 536 rows;
+    the probe is a broadcast semi-join (scan-local, no shuffle of the
+    delta)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast(
+        "long"
+    )
+    base = docs.filter(F.col("doc_id") % 2 == 0).select(
+        bucket.alias("bkt"), "text"
+    )
+    delta = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", bucket.alias("bkt"), "text"
+    )
+    base_buckets = base.select("bkt").distinct()
+    flagged = delta.join(
+        F.broadcast(base_buckets), "bkt", "left_semi"
+    )
+    true_dups = delta.join(
+        base.select("text").distinct(), "text", "left_semi"
+    )
+    missed = true_dups.join(
+        flagged.select("doc_id"), "doc_id", "left_anti"
+    )
+    return (
+        delta.agg(F.count(F.lit(1)).alias("n_delta"))
+        .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_flagged")))
+        .crossJoin(true_dups.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(missed.agg(F.count(F.lit(1)).alias("fn_count")))
+    )
+
+
+def w03_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH-WISE corpus shuffle — the training-loader
+    contract: each epoch visits the same corpus in a different but
+    fully reproducible order (``md5(epoch:doc_id)`` rank), so a
+    resumed or re-run job replays byte-identical batches.  Emits the
+    first 10 docs of epochs 0–2.
+
+    Scale: the per-epoch order is a sort by hash — at 100 TB it runs
+    as shard-local sorts after hash-partitioning, never a global
+    sort; top-10 here is a bounded rank window."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.crossJoin(
+        F.broadcast(
+            spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+        )
+    )
+    ranked = epochs.select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("pos"),
+    )
+    w = W.partitionBy("epoch").orderBy("pos")
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("epoch", "rank", "doc_id", "pos")
+        .orderBy("epoch", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7658,6 +7740,8 @@ REGISTRY = {
     "q105_timestamp_arith": q105_timestamp_arith,
     "q106_lateral_alias": q106_lateral_alias,
     "q107_crosstab": q107_crosstab,
+    "d14_hash_prefilter_dedup": d14_hash_prefilter_dedup,
+    "w03_epoch_shuffle": w03_epoch_shuffle,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
