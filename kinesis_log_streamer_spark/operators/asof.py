@@ -44,6 +44,15 @@ def asof_join(
     equal timestamps so a simultaneous right row is still visible.
     Output columns: all left columns + right value columns.
 
+    ``direction="nearest"``: whichever of the backward/forward
+    candidates is closer in time, ties to BACKWARD (pandas
+    ``merge_asof(direction="nearest")``) — computed in the SAME
+    single pass (both fills share one sort; Catalyst reuses the
+    window exchange).  With duplicate right rows at one (key, ts)
+    the two fills would pick different members (max vs min struct),
+    so pre-aggregate the right side to unique (key, ts) first — the
+    nearest-direction queries do.
+
     ``tolerance_seconds`` bounds the lookback/lookahead (pandas
     ``merge_asof(tolerance=...)`` semantics): a match farther than
     the tolerance is nulled out, not replaced by another in-range
@@ -53,9 +62,10 @@ def asof_join(
     fill struct and is compared against the left timestamp in the
     final select.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown as-of direction: {direction!r}")
     forward = direction == "forward"
+    nearest = direction == "nearest"
     from pyspark.sql.types import StructField, StructType
 
     rcols = [c for c in right.columns if c not in (key, right_ts)]
@@ -70,16 +80,17 @@ def asof_join(
     # fill to be compared against the left row's timestamp — it rides
     # as a trailing struct field (trailing so the deterministic
     # tie-break order over the value fields is unchanged).
+    need_rts = tolerance_seconds is not None or nearest
     struct_fields = [
         StructField(c, right.schema[c].dataType, True) for c in rcols
     ]
-    if tolerance_seconds is not None:
+    if need_rts:
         struct_fields.append(
             StructField("__rts", right.schema[right_ts].dataType, True)
         )
     r_struct_type = StructType(struct_fields)
     r_struct_cols = [F.col(c) for c in rcols]
-    if tolerance_seconds is not None:
+    if need_rts:
         r_struct_cols.append(F.col(right_ts).alias("__rts"))
     # Side ordering at equal ts: the right row must be VISIBLE to the
     # left row's frame — backward (preceding frame): right first
@@ -109,7 +120,34 @@ def asof_join(
     # Maps are not orderable — fall back to the ts-only ordering then.
     orderable = "map" not in r_struct_type.simpleString()
     order = ["__ts", "__side"] + (["__r"] if orderable else [])
-    if forward:
+    if nearest:
+        # Backward-style side order (right before left at equal ts):
+        # an exactly-simultaneous right row reaches the PRECEDING
+        # frame at distance 0, which wins the tie anyway, so the
+        # following frame not seeing it is immaterial.
+        wb = (
+            W.partitionBy(key)
+            .orderBy(*order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        wf = (
+            W.partitionBy(key)
+            .orderBy(*order)
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        rb = F.last("__r", ignorenulls=True).over(wb)
+        rf = F.first("__r", ignorenulls=True).over(wf)
+        ts_d = F.col("__ts").cast("timestamp").cast("double")
+        back_gap = ts_d - rb["__rts"].cast("timestamp").cast("double")
+        fwd_gap = rf["__rts"].cast("timestamp").cast("double") - ts_d
+        filled = unioned.withColumn(
+            "__r",
+            F.when(rf.isNull(), rb)
+            .when(rb.isNull(), rf)
+            .when(back_gap <= fwd_gap, rb)
+            .otherwise(rf),
+        )
+    elif forward:
         w = (
             W.partitionBy(key)
             .orderBy(*order)
@@ -132,9 +170,11 @@ def asof_join(
             F.col("__ts").cast("timestamp").cast("double")
             - F.col("__r.__rts").cast("timestamp").cast("double")
         )
-        in_range = (-gap if forward else gap) <= F.lit(
-            float(tolerance_seconds)
-        )
+        if nearest:
+            bounded = F.abs(gap)
+        else:
+            bounded = -gap if forward else gap
+        in_range = bounded <= F.lit(float(tolerance_seconds))
         filled = filled.withColumn(
             "__r", F.when(in_range, F.col("__r"))
         )

@@ -3618,3 +3618,60 @@ FROM ranked
 WHERE rank <= 10
 ORDER BY epoch, rank
 """
+
+ORACLES["t25_oov_rate"] = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+), dfs AS (
+    SELECT term, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM toks)
+    GROUP BY term
+), vocab AS (
+    SELECT term FROM dfs ORDER BY df DESC, term LIMIT 100
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT)  AS n_tokens,
+       CAST(count_if(v.term IS NULL) AS BIGINT) AS n_oov,
+       CAST((2000 * count_if(v.term IS NULL) + count(*))
+            // (2 * count(*)) AS BIGINT)        AS oov_pm
+FROM toks t LEFT JOIN vocab v ON t.term = v.term
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+ORACLES["q108_equiheight_histogram"] = """
+WITH t AS (
+    SELECT round(l_extendedprice, 2) AS price,
+           ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                          l_linenumber, l_partkey, l_suppkey)
+               AS bucket
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(price) AS lo,
+       max(price) AS hi
+FROM t
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+ORACLES["q109_asof_nearest"] = """
+WITH near AS (
+    SELECT o_custkey AS user_id, o_orderdate AS odate,
+           max(o_orderkey) AS k
+    FROM orders
+    GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       (SELECT r.k FROM near r
+        WHERE r.user_id = e.user_id
+          AND abs(epoch(e.ts) - epoch(r.odate)) <= 3 * 86400
+        ORDER BY abs(epoch(e.ts) - epoch(r.odate)), r.odate
+        LIMIT 1) AS nearest_order_key
+FROM events e
+ORDER BY e.event_id
+"""

@@ -7565,6 +7565,119 @@ def w03_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t25_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate scoring: build the top-100
+    corpus vocabulary by document frequency (ties → term asc), then
+    score every doc by the fraction of its TOKEN OCCURRENCES outside
+    the vocab — the tokenizer-fit metric that decides whether a
+    corpus needs vocab retraining.  Integer per-mille (half-up) so
+    both engines round identically.
+
+    Scale: df counts are one hash-agg over distinct (doc, term)
+    pairs; the vocab is 100 rows → broadcast; per-doc scoring is a
+    broadcast left-semi-ish join on the token then one hash-agg —
+    the t06 tf-idf shape without the log weights."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    df_counts = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = (
+        df_counts.orderBy(F.desc("df"), "term")
+        .limit(100)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr(
+                "(2000 * n_oov + n_tokens) div (2 * n_tokens)"
+            ).alias("oov_pm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q108_equiheight_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-HEIGHT histogram (q41's equi-width sibling): ``ntile(8)``
+    buckets over a totally-ordered price column, per-bucket count +
+    exact bounds — the distribution summary query optimizers and
+    drift monitors keep.
+
+    Scale note: exact global ntile is a single-partition sort — fine
+    on the bounded sample here; the production path at 100 TB swaps
+    in approx-quantile boundaries (q61 pins that sketch's accuracy)
+    and keeps this exact form as its oracle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 7 == 0
+    )
+    w = W.orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey",
+    )
+    return (
+        li.select(
+            F.round("l_extendedprice", 2).alias("price"),
+            F.ntile(8).over(w).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q109_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (`operators/asof.py`,
+    ``direction="nearest"``): each event annotated with the user's
+    CLOSEST order in time — backward and forward candidates computed
+    in one pass over one sort (two frames on the shared window
+    exchange), ties to backward (pandas ``merge_asof`` semantics),
+    3-day tolerance.  Completes the q23 (backward) / q68 (forward)
+    family."""
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    near = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("odate"),
+    ).agg(F.max("o_orderkey").alias("nearest_order_key"))
+    return (
+        asof_join(
+            events,
+            near,
+            key="user_id",
+            left_ts="ts",
+            right_ts="odate",
+            tolerance_seconds=3 * 86400.0,
+            direction="nearest",
+        )
+        .select("event_id", "user_id", "nearest_order_key")
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7742,6 +7855,9 @@ REGISTRY = {
     "q107_crosstab": q107_crosstab,
     "d14_hash_prefilter_dedup": d14_hash_prefilter_dedup,
     "w03_epoch_shuffle": w03_epoch_shuffle,
+    "t25_oov_rate": t25_oov_rate,
+    "q108_equiheight_histogram": q108_equiheight_histogram,
+    "q109_asof_nearest": q109_asof_nearest,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
