@@ -3675,3 +3675,47 @@ SELECT e.event_id, e.user_id,
 FROM events e
 ORDER BY e.event_id
 """
+
+ORACLES["st13_update_mode_counts"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+"""
+
+ORACLES["q110_pivot_multi_agg"] = """
+SELECT l_returnflag,
+       CAST(count_if(l_linestatus = 'F') AS BIGINT)           AS F_cnt,
+       round(sum(CASE WHEN l_linestatus = 'F'
+                      THEN l_quantity END), 2)                 AS F_qty,
+       CAST(count_if(l_linestatus = 'O') AS BIGINT)           AS O_cnt,
+       round(sum(CASE WHEN l_linestatus = 'O'
+                      THEN l_quantity END), 2)                 AS O_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["l16_slo_burn_rate"] = """
+WITH synth AS (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+           CASE WHEN (event_id % 10) IN (8, 9) THEN 1 ELSE 0 END
+               AS is_err
+    FROM events
+), hourly AS (
+    SELECT hour_idx,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(is_err) AS BIGINT) AS n_err
+    FROM synth GROUP BY hour_idx
+)
+SELECT hour_idx, n, n_err,
+       (n_err * 1000 >= n * 144) AS fast_burn,
+       (sum(n_err) OVER w6 * 1000 >= sum(n) OVER w6 * 60) AS slow_burn
+FROM hourly
+WINDOW w6 AS (ORDER BY hour_idx RANGE BETWEEN 5 PRECEDING
+              AND CURRENT ROW)
+ORDER BY hour_idx
+"""

@@ -7678,6 +7678,110 @@ def q109_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def st13_update_mode_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UPDATE output mode (st01's complete-mode sibling): the sink
+    receives only CHANGED window rows per micro-batch; the final
+    state per key is the last update.  Counts are monotone across
+    updates of one key, so ``max(struct(n, sum))`` per key recovers
+    the final row, which must equal the batch aggregate — pinning
+    update-mode's deliver-changes contract (the mode incremental
+    dashboards consume).  A far-future watermark exercises the
+    watermark+update plumbing without any drop risk."""
+    from kinesis_log_streamer_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 days")
+        .groupBy(
+            F.window("ts", "1 hour").start.alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    _drain_stream_to_table(agg, "st13_out", mode="update")
+    return (
+        spark.table("st13_out")
+        .groupBy("bucket_start", "event_type")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("m"))
+        .select(
+            "bucket_start",
+            "event_type",
+            F.col("m.n_events").alias("n_events"),
+            F.col("m.sum_value").alias("sum_value"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+def q110_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted value (q26 pivots
+    one measure): count + quantity sum per line status, producing the
+    ``{value}_{agg}`` column matrix."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def l16_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget BURN-RATE alerting (the SRE multiwindow
+    rule): with a 99 % success SLO, flag hours whose 1-hour burn
+    rate ≥ 14.4× and whose trailing-6-hour burn ≥ 6× — the
+    fast+slow pairing that pages on real incidents but not blips.
+    All comparisons are integer cross-multiplications (burn =
+    err/n/0.01 ≥ k  ⇔  1000·err ≥ 10·k·n), so no fp rounding can
+    diverge.
+
+    Scale: one hash-agg to hourly grains, then a RANGE window over
+    the integer hour index — O(|hours|) state, no self-join."""
+    acc = _access(spark, sf_dir)
+    hourly = (
+        acc.select(
+            (F.unix_timestamp(F.to_timestamp("StartTime")) / 3600)
+            .cast("long")
+            .alias("hour_idx"),
+            (F.col("Status") >= 500).cast("long").alias("is_err"),
+        )
+        .groupBy("hour_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_err").alias("n_err"),
+        )
+    )
+    w6 = (
+        W.orderBy("hour_idx").rangeBetween(-5, 0)
+    )
+    return (
+        hourly.withColumn("n6", F.sum("n").over(w6))
+        .withColumn("err6", F.sum("n_err").over(w6))
+        .select(
+            "hour_idx",
+            "n",
+            "n_err",
+            (F.col("n_err") * 1000 >= F.col("n") * 144).alias(
+                "fast_burn"
+            ),
+            (F.col("err6") * 1000 >= F.col("n6") * 60).alias(
+                "slow_burn"
+            ),
+        )
+        .orderBy("hour_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7858,6 +7962,9 @@ REGISTRY = {
     "t25_oov_rate": t25_oov_rate,
     "q108_equiheight_histogram": q108_equiheight_histogram,
     "q109_asof_nearest": q109_asof_nearest,
+    "st13_update_mode_counts": st13_update_mode_counts,
+    "q110_pivot_multi_agg": q110_pivot_multi_agg,
+    "l16_slo_burn_rate": l16_slo_burn_rate,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
