@@ -372,3 +372,75 @@ def bfs_levels(
         if changed == 0:
             return levels
     raise RuntimeError(f"bfs_levels did not converge in {max_iter} rounds")
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 200,
+) -> DataFrame:
+    """Single-source shortest paths over non-negative INTEGER edge
+    weights (undirected) — distributed Bellman-Ford, the weighted
+    sibling of :func:`bfs_levels`.
+
+    Each round relaxes every arc out of the current frontier set:
+    one join + one min-agg, convergence check riding the aggregate
+    (a round with no distance improvement terminates).  Rounds
+    needed ≤ |V|−1; parallel arcs collapse to their min weight up
+    front.  Unreached nodes are absent (distance ∞), matching the
+    recursive-CTE oracle.
+    """
+    fwd = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).alias("w"),
+    )
+    rev = edges.select(
+        F.col(dst).alias("u"), F.col(src).alias("v"),
+        F.col(weight).alias("w"),
+    )
+    arcs = (
+        fwd.union(rev)
+        .na.drop()
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+
+    dists = spark.createDataFrame(
+        [(int(source), 0)], "node long, dist long"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor = arcs.join(
+            dists, arcs["u"] == dists["node"]
+        ).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+            F.lit(False).alias("own"),
+        )
+        own = dists.select("node", "dist", F.lit(True).alias("own"))
+        stepped = (
+            own.unionByName(neighbor)
+            .groupBy("node")
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("own"), F.col("dist"))).alias(
+                    "old_dist"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(
+            F.col("old_dist").isNull()
+            | (F.col("dist") != F.col("old_dist"))
+        ).count()
+        dists = stepped.select("node", "dist")
+        if changed == 0:
+            return dists
+    raise RuntimeError(
+        f"sssp_weighted did not converge in {max_iter} rounds"
+    )

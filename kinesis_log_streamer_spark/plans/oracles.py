@@ -3719,3 +3719,88 @@ WINDOW w6 AS (ORDER BY hour_idx RANGE BETWEEN 5 PRECEDING
               AND CURRENT ROW)
 ORDER BY hour_idx
 """
+
+ORACLES["g04_weighted_sssp"] = """
+WITH RECURSIVE ev AS (
+    SELECT user_id % 100 AS src,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS dst
+    FROM events
+), base AS (
+    SELECT src, dst, 1 + (src + dst) % 5 AS w FROM ev
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+), arcs AS (
+    SELECT u, v, min(w) AS w FROM (
+        SELECT src AS u, dst AS v, w FROM base
+        UNION ALL
+        SELECT dst, src, w FROM base
+    ) GROUP BY u, v
+), reach(node, d) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION
+    SELECT a.v, r.d + a.w
+    FROM reach r JOIN arcs a ON a.u = r.node
+    WHERE r.d + a.w < 600
+)
+SELECT node, CAST(min(d) AS BIGINT) AS dist
+FROM reach
+GROUP BY node
+ORDER BY node
+"""
+
+ORACLES["k03_kinesis_reshard_discovery"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id % 3 IN (0, 1)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["s15_ivf_index_persist"] = """
+WITH corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v
+    FROM embeddings WHERE vec_id % 2 = 0
+), cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+    FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 16)
+), idx AS (
+    SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ce.cell,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY round(list_cosine_similarity(c.v, ce.v), 4)
+                       DESC, ce.cell) AS rn
+        FROM corpus c CROSS JOIN cents ce)
+    WHERE rn = 1
+), q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id IN (1, 3, 5)
+), qcell AS (
+    SELECT query_id, cell FROM (
+        SELECT q.query_id, ce.cell,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qv, ce.v), 4)
+                       DESC, ce.cell) AS rn
+        FROM q CROSS JOIN cents ce)
+    WHERE rn = 1
+), cand AS (
+    SELECT q.query_id, i.vec_id,
+           round(list_cosine_similarity(q.qv, c.v), 4) AS cos
+    FROM q
+    JOIN qcell qc ON qc.query_id = q.query_id
+    JOIN idx i ON i.cell = qc.cell
+    JOIN corpus c ON c.vec_id = i.vec_id
+)
+SELECT query_id,
+       CAST(rank AS INT) AS rank,
+       vec_id, cos
+FROM (
+    SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id) AS rank
+    FROM cand)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""

@@ -7782,6 +7782,227 @@ def l16_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g04_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths
+    (`operators/graph.py:sssp_weighted`, distributed Bellman-Ford)
+    over the q56/g02/g03 interaction graph with deterministic integer
+    weights ``1 + (src+dst) % 5`` — the weighted completion of the
+    iterative-graph family (CC, PageRank, BFS).  Oracle: DuckDB
+    recursive CTE relaxing paths under a cost guard, min distance per
+    node."""
+    from kinesis_log_streamer_spark.operators.graph import sssp_weighted
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("src"),
+        (F.get_json_object("props", "$.k").cast("long") % 100).alias(
+            "dst"
+        ),
+    )
+    edges = (
+        ev.na.drop()
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "w", 1 + (F.col("src") + F.col("dst")) % 5
+        )
+    )
+    return sssp_weighted(edges, source=0).orderBy("node")
+
+
+def k03_kinesis_reshard_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shard SPLIT mid-stream through the custom Kinesis source: phase
+    1 produces into a 2-shard stream and drains; phase 2 produces the
+    next payload through a 4-SHARD client into the same stream (two
+    NEW shard files appear — the dir: analog of a reshard) and
+    resumes from the same checkpoint.  The source must (a) resume the
+    surviving shards past their offsets with zero re-emission and (b)
+    DISCOVER the new shards and read them from the start — k02's
+    resume contract extended to a changing shard set, which is what
+    production Kinesis consumers actually face."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.sources.kinesis_source import (
+        DirKinesisClient,
+        KinesisDataSource,
+    )
+    from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+        KinesisSink,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ep = os.path.join(tempfile.gettempdir(), "klss_k03_stream")
+    ckpt = os.path.join(tempfile.gettempdir(), "klss_k03_ckpt")
+    outp = os.path.join(tempfile.gettempdir(), "klss_k03_out")
+    for d in (ep, ckpt, outp):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(outp)
+
+    ev = _t(spark, sf_dir, "events")
+
+    def payload(mod3: int) -> DataFrame:
+        return ev.filter(F.col("event_id") % 3 == mod3).select(
+            F.to_json(
+                F.struct("event_id", "event_type", "value")
+            ).alias("data"),
+            F.concat(
+                F.lit("host-"), (F.col("user_id") % 8).cast("string")
+            ).alias("partitionKey"),
+        )
+
+    spark.dataSource.register(KinesisDataSource)
+
+    def append_partial(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.from_json(
+                    "data",
+                    "event_id long, event_type string, value double",
+                ).alias("r")
+            )
+            .groupBy(F.col("r.event_type").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_partial"),
+                F.sum("r.value").alias("v_partial"),
+            )
+            .write.mode("append")
+            .parquet(outp)
+        )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("kinesis_py")
+            .option("endpoint", f"dir:{ep}")
+            .load()
+            .writeStream.foreachBatch(append_partial)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    sink2 = KinesisSink(
+        "k03", client_factory=lambda: DirKinesisClient(ep, num_shards=2)
+    )
+    sink4 = KinesisSink(
+        "k03", client_factory=lambda: DirKinesisClient(ep, num_shards=4)
+    )
+    sink2.write_batch(payload(0).coalesce(2), epoch_id=0)
+    drain()  # phase 1: two shards
+    sink4.write_batch(payload(1).coalesce(2), epoch_id=1)
+    drain()  # phase 2: reshard to four — new shards discovered
+    return (
+        spark.read.parquet(outp)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_partial").cast("long").alias("n_events"),
+            F.round(F.sum("v_partial"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def s15_ivf_index_persist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN index LIFECYCLE: build the IVF assignment once (d13's
+    deterministic 16-centroid quantizer), PERSIST it as a parquet
+    index table, then answer queries from the persisted index —
+    probe the query's cell, exact-rerank inside it, top-5.  The
+    build-once/query-many split is how a production vector store
+    runs; every stage is deterministic (rounded cosines, rank
+    tie-breaks), so DuckDB replays the whole lifecycle exactly.
+
+    Scale: the index build is the d13 broadcast assignment; queries
+    touch 1/16 of the corpus (their cell), and the rerank is a
+    per-query rank window."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.functions.vector import cosine_sim
+
+    idx_path = os.path.join(tempfile.gettempdir(), "klss_s15_index")
+    shutil.rmtree(idx_path, ignore_errors=True)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding"
+    )
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(16)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias(
+                "cell"
+            ),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cell",
+            F.round(
+                cosine_sim(F.col("embedding"), F.col("cvec")), 4
+            ).alias("cos"),
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cos"), (-F.col("cell")).alias("negcell")
+                    )
+                ).alias("m")
+            )
+            .select("vec_id", (-F.col("m.negcell")).alias("cell"))
+        )
+
+    assign(corpus).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    queries = emb.filter(F.col("vec_id").isin(1, 3, 5)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    q_cells = assign(
+        queries.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("qvec").alias("embedding"),
+        )
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        queries.join(F.broadcast(q_cells), "query_id")
+        .join(index, "cell")
+        .join(
+            corpus.select(
+                F.col("vec_id"), F.col("embedding").alias("cvec2")
+            ),
+            "vec_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("qvec"), F.col("cvec2")), 4
+            ).alias("cos"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.desc("cos"), "vec_id"
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "cos")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7965,6 +8186,9 @@ REGISTRY = {
     "st13_update_mode_counts": st13_update_mode_counts,
     "q110_pivot_multi_agg": q110_pivot_multi_agg,
     "l16_slo_burn_rate": l16_slo_burn_rate,
+    "g04_weighted_sssp": g04_weighted_sssp,
+    "k03_kinesis_reshard_discovery": k03_kinesis_reshard_discovery,
+    "s15_ivf_index_persist": s15_ivf_index_persist,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
