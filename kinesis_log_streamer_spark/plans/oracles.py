@@ -3804,3 +3804,20 @@ FROM (
 WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+ORACLES["q111_interval_overlap_join"] = """
+WITH iv AS (
+    SELECT user_id, event_id,
+           ts AS ivs, ts + INTERVAL 2 HOUR AS ive
+    FROM events
+    WHERE user_id % 13 = 0
+)
+SELECT a.user_id,
+       CAST(count(*) AS BIGINT) AS n_overlapping_pairs
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND a.ivs < b.ive AND b.ivs < a.ive
+GROUP BY a.user_id
+ORDER BY a.user_id
+"""

@@ -8003,6 +8003,60 @@ def s15_ivf_index_persist(
     )
 
 
+def q111_interval_overlap_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERVAL-overlap self-join (both sides are intervals — the
+    theta-join shape q10/q36's point-in-interval forms don't cover):
+    each event occupies [ts, ts+2h); count overlapping same-user
+    event pairs.  Scale path: each interval explodes into its hour
+    bins, candidates come from an EQUI-join on (user, bin) — never a
+    per-user cartesian — then the exact overlap predicate verifies
+    and pairs dedup (an interval pair can share several bins).
+    Oracle: the quadratic overlap join written directly."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id") % 13 == 0
+    )
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("ivs"),
+        F.expr("ts + INTERVAL 2 HOURS").alias("ive"),
+    )
+    binned = iv.withColumn(
+        "hbin",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "ivs"),
+                F.date_trunc("hour", "ive"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    a = binned.select(
+        "user_id", "hbin",
+        F.col("event_id").alias("id_a"),
+        F.col("ivs").alias("as_"), F.col("ive").alias("ae"),
+    )
+    b = binned.select(
+        "user_id", "hbin",
+        F.col("event_id").alias("id_b"),
+        F.col("ivs").alias("bs"), F.col("ive").alias("be"),
+    )
+    pairs = (
+        a.join(b, ["user_id", "hbin"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("as_") < F.col("be")) & (F.col("bs") < F.col("ae")))
+        .select("user_id", "id_a", "id_b")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_overlapping_pairs"))
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8189,6 +8243,7 @@ REGISTRY = {
     "g04_weighted_sssp": g04_weighted_sssp,
     "k03_kinesis_reshard_discovery": k03_kinesis_reshard_discovery,
     "s15_ivf_index_persist": s15_ivf_index_persist,
+    "q111_interval_overlap_join": q111_interval_overlap_join,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,

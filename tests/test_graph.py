@@ -137,3 +137,35 @@ class TestPageRank:
         ranks = self._ranks(G.pagerank(df))
         assert abs(sum(ranks.values()) - 1.0) < 1e-9
         assert ranks[1] > ranks[0]
+
+
+class TestSsspWeighted:
+    def test_matches_hand_dijkstra(self, spark):
+        from kinesis_log_streamer_spark.operators.graph import sssp_weighted
+
+        # 0 -5- 1 -1- 2 ; 0 -1- 3 -1- 2  => 2 via 0-3-2 (2), 1 via
+        # 0-3-2-1 (3), never the direct w=5 edge
+        edges = spark.createDataFrame(
+            [(0, 1, 5), (1, 2, 1), (0, 3, 1), (3, 2, 1)],
+            "src long, dst long, w long",
+        )
+        out = {r.node: r.dist for r in sssp_weighted(edges, 0).collect()}
+        assert out == {0: 0, 1: 3, 2: 2, 3: 1}
+
+    def test_parallel_arcs_take_min(self, spark):
+        from kinesis_log_streamer_spark.operators.graph import sssp_weighted
+
+        edges = spark.createDataFrame(
+            [(0, 1, 9), (0, 1, 2)], "src long, dst long, w long"
+        )
+        out = {r.node: r.dist for r in sssp_weighted(edges, 0).collect()}
+        assert out == {0: 0, 1: 2}
+
+    def test_unreached_absent(self, spark):
+        from kinesis_log_streamer_spark.operators.graph import sssp_weighted
+
+        edges = spark.createDataFrame(
+            [(0, 1, 1), (5, 6, 1)], "src long, dst long, w long"
+        )
+        out = {r.node: r.dist for r in sssp_weighted(edges, 0).collect()}
+        assert set(out) == {0, 1}

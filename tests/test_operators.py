@@ -239,3 +239,67 @@ class TestAsofTolerance:
             left, right, "key", "ts", "rts", tolerance_seconds=None
         ).collect()))
         assert a == b
+
+
+class TestAsofNearest:
+    """direction="nearest": closest in time, ties to backward,
+    tolerance bounds the absolute gap (pandas merge_asof)."""
+
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, 10, _ts("2024-01-01T10:00:00")),  # back 30m, fwd 60m
+                (2, 10, _ts("2024-01-01T10:45:00")),  # back 75m, fwd 15m
+                (3, 10, _ts("2024-01-01T10:15:00")),  # back 45m, fwd 45m: tie
+                (4, 20, _ts("2024-01-01T09:00:00")),  # simultaneous right
+                (5, 30, _ts("2024-01-01T09:00:00")),  # no right at all
+            ],
+            "event_id long, key long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, _ts("2024-01-01T09:30:00"), 100),
+                (10, _ts("2024-01-01T11:00:00"), 200),
+                (20, _ts("2024-01-01T09:00:00"), 300),
+            ],
+            "key long, rts timestamp, val long",
+        )
+        return left, right
+
+    def _vals(self, df):
+        return {r.event_id: r.val for r in df.collect()}
+
+    def test_picks_closer_side(self, spark):
+        left, right = self._frames(spark)
+        out = self._vals(
+            asof_join(left, right, "key", "ts", "rts", direction="nearest")
+        )
+        assert out[1] == 100  # backward closer
+        assert out[2] == 200  # forward closer
+
+    def test_tie_goes_backward(self, spark):
+        left, right = self._frames(spark)
+        out = self._vals(
+            asof_join(left, right, "key", "ts", "rts", direction="nearest")
+        )
+        assert out[3] == 100  # 45m both ways -> backward
+
+    def test_simultaneous_and_missing(self, spark):
+        left, right = self._frames(spark)
+        out = self._vals(
+            asof_join(left, right, "key", "ts", "rts", direction="nearest")
+        )
+        assert out[4] == 300  # distance 0
+        assert out[5] is None  # key 30 has no right rows
+
+    def test_tolerance_bounds_abs_gap(self, spark):
+        left, right = self._frames(spark)
+        out = self._vals(
+            asof_join(
+                left, right, "key", "ts", "rts",
+                direction="nearest", tolerance_seconds=20 * 60,
+            )
+        )
+        assert out[1] is None   # nearest is 30m away > 20m
+        assert out[2] == 200    # 15m within tolerance
+        assert out[4] == 300    # 0m
