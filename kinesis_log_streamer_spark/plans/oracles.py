@@ -3821,3 +3821,43 @@ FROM iv a JOIN iv b
 GROUP BY a.user_id
 ORDER BY a.user_id
 """
+
+ORACLES["f22_ignore_corrupt_files"] = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS bal
+FROM customer
+WHERE c_mktsegment <> 'BUILDING'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLES["u09_pandas_udaf_window"] = """
+WITH means AS (
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity)
+                 / sum(l_quantity), 2) AS flag_wavg
+    FROM lineitem
+    WHERE l_orderkey % 41 = 0
+    GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+       l.l_returnflag, m.flag_wavg
+FROM lineitem l JOIN means m ON l.l_returnflag = m.l_returnflag
+WHERE l.l_orderkey % 41 = 0
+ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey
+"""
+
+ORACLES["q112_values_inline_join"] = """
+SELECT w.weight,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+             ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+     AS w(priority, weight)
+  ON o.o_orderpriority = w.priority
+WHERE o.o_orderkey % 43 = 0
+GROUP BY w.weight
+ORDER BY w.weight
+"""

@@ -8057,6 +8057,120 @@ def q111_interval_overlap_join(
     )
 
 
+def f22_ignore_corrupt_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILE-level corruption resilience (the row-level quarantine
+    family f08/f10/f17 can't cover): a partitioned parquet dataset
+    with ONE partition's data file truncated to garbage, read back
+    under ``spark.sql.files.ignoreCorruptFiles=true`` — the corrupted
+    partition contributes nothing, every other partition stays exact,
+    and the job completes instead of dying.  At 100 TB a single bad
+    object must never kill the scan.  The corruption is constructed
+    (the 'BUILDING' segment's file), so the oracle knows exactly
+    which rows vanish."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "klss_f22")
+    shutil.rmtree(base, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer")
+    (
+        cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+        .coalesce(1)
+        .write.partitionBy("c_mktsegment")
+        .parquet(base)
+    )
+    for f in glob.glob(
+        os.path.join(base, "c_mktsegment=BUILDING", "*.parquet")
+    ):
+        with open(f, "wb") as fh:
+            fh.write(b"not a parquet file")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        # Materialize INSIDE the conf window: the driver re-collects
+        # the returned DataFrame after this function restores the
+        # conf, and the scan must not re-run with the flag off.
+        rows = (
+            spark.read.parquet(base)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("c_acctbal"), 2).alias("bal"),
+            )
+            .orderBy("c_mktsegment")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n long, bal double"
+    ).orderBy("c_mktsegment")
+
+
+def u09_pandas_udaf_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped-agg pandas UDAF used as a WINDOW function (the u01
+    UDAF over an unbounded frame instead of a groupBy) — every row
+    carries its partition's quantity-weighted mean price.  The Arrow
+    batch per frame is the API surface this pins; the oracle is the
+    algebraic identity computed per partition and joined back."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 41 == 0
+    )
+    w = W.partitionBy("l_returnflag")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_returnflag",
+            F.round(
+                wavg("l_extendedprice", "l_quantity").over(w), 2
+            ).alias("flag_wavg"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    )
+
+
+def q112_values_inline_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inline ``VALUES`` table as a first-class relation: a literal
+    priority→weight mapping joined against orders — the SQL-surface
+    idiom for small lookup tables that never touch storage (Catalyst
+    folds it into a LocalRelation broadcast)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 43 == 0
+    )
+    orders.createOrReplaceTempView("klss_q112_orders")
+    return spark.sql(
+        """
+        SELECT w.weight,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM klss_q112_orders o
+        JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                     ('4-NOT SPECIFIED', 2), ('5-LOW', 1))
+             AS w(priority, weight)
+          ON o.o_orderpriority = w.priority
+        GROUP BY w.weight
+        ORDER BY w.weight
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8244,6 +8358,9 @@ REGISTRY = {
     "k03_kinesis_reshard_discovery": k03_kinesis_reshard_discovery,
     "s15_ivf_index_persist": s15_ivf_index_persist,
     "q111_interval_overlap_join": q111_interval_overlap_join,
+    "f22_ignore_corrupt_files": f22_ignore_corrupt_files,
+    "u09_pandas_udaf_window": u09_pandas_udaf_window,
+    "q112_values_inline_join": q112_values_inline_join,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
