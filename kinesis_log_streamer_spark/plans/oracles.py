@@ -3861,3 +3861,30 @@ WHERE o.o_orderkey % 43 = 0
 GROUP BY w.weight
 ORDER BY w.weight
 """
+
+ORACLES["q113_sql_udf"] = """
+SELECT o_orderkey,
+       CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(0.07 AS DECIMAL(3,2)), 2)
+            AS DECIMAL(18,2)) AS tax,
+       o_orderpriority
+FROM orders
+WHERE o_orderkey % 89 = 0
+ORDER BY o_orderkey
+"""
+
+ORACLES["q114_column_defaults"] = """
+WITH ins AS (
+    SELECT c_custkey AS k, 'unknown' AS seg, 50 AS score
+    FROM customer WHERE c_custkey % 31 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 50
+    FROM customer WHERE c_custkey % 37 = 0
+)
+SELECT seg, CAST(score AS BIGINT) AS score,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM ins
+GROUP BY seg, score
+ORDER BY seg, score
+"""

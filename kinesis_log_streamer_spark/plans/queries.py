@@ -8171,6 +8171,97 @@ def q112_values_inline_join(
     )
 
 
+def q113_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-language surface in one chain: a declarative SQL
+    UDF (``CREATE FUNCTION … RETURN``, no Python in the hot path —
+    the body inlines into the plan and stays in codegen), a session
+    VARIABLE consumed by the query, and the final SELECT dispatched
+    through ``EXECUTE IMMEDIATE`` with a positional parameter.  Money
+    math runs in exact DECIMAL per the house rule."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("klss_q113_orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION klss_q113_tax(p DOUBLE)
+        RETURNS DECIMAL(18,2)
+        RETURN CAST(round(CAST(p AS DECIMAL(18,2))
+                          * CAST(0.07 AS DECIMAL(3,2)), 2)
+                    AS DECIMAL(18,2))
+        """
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE klss_q113_mod BIGINT DEFAULT 89"
+    )
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT o_orderkey,
+                klss_q113_tax(o_totalprice) AS tax,
+                o_orderpriority
+         FROM klss_q113_orders
+         WHERE o_orderkey % klss_q113_mod = ?
+         ORDER BY o_orderkey'
+        USING 0
+        """
+    )
+
+
+def q114_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DEFAULT`` column values on a catalog table: rows inserted
+    without the column take the declared default at WRITE time (the
+    ingest-contract feature that lets producers evolve independently
+    of the schema).  Two inserts — one omitting both defaulted
+    columns, one supplying one of them — then an aggregate proves
+    which rows got which value."""
+    import os
+    import shutil
+
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("klss_q114_cust")
+    spark.sql("DROP TABLE IF EXISTS klss_q114_defaults")
+    # A FRESH session's catalog does not know a table a previous
+    # session created, so DROP IF EXISTS leaves the managed location
+    # behind and CREATE fails with LOCATION_ALREADY_EXISTS — clear it.
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(
+        os.path.join(wh, "klss_q114_defaults"), ignore_errors=True
+    )
+    spark.sql(
+        """
+        CREATE TABLE klss_q114_defaults (
+            k BIGINT,
+            seg STRING DEFAULT 'unknown',
+            score BIGINT DEFAULT 50
+        ) USING parquet
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO klss_q114_defaults (k)
+        SELECT c_custkey FROM klss_q114_cust WHERE c_custkey % 31 = 0
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO klss_q114_defaults (k, seg)
+        SELECT c_custkey, c_mktsegment
+        FROM klss_q114_cust WHERE c_custkey % 37 = 0
+        """
+    )
+    return spark.sql(
+        """
+        SELECT seg, score,
+               count(*) AS n,
+               sum(k) AS sum_k
+        FROM klss_q114_defaults
+        GROUP BY seg, score
+        ORDER BY seg, score
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8361,6 +8452,8 @@ REGISTRY = {
     "f22_ignore_corrupt_files": f22_ignore_corrupt_files,
     "u09_pandas_udaf_window": u09_pandas_udaf_window,
     "q112_values_inline_join": q112_values_inline_join,
+    "q113_sql_udf": q113_sql_udf,
+    "q114_column_defaults": q114_column_defaults,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
