@@ -3888,3 +3888,18 @@ FROM ins
 GROUP BY seg, score
 ORDER BY seg, score
 """
+
+ORACLES["q115_window_group_limit"] = """
+SELECT o_orderpriority,
+       CAST(rn AS INT) AS rn,
+       o_orderkey,
+       round(o_totalprice, 2) AS price
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey)
+               AS rn
+    FROM orders)
+WHERE rn <= 3
+ORDER BY o_orderpriority, rn
+"""

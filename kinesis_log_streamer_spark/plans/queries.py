@@ -8262,6 +8262,39 @@ def q114_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q115_window_group_limit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WindowGroupLimit optimization gate: a ``row_number() ≤ k``
+    filter must compile to the group-limit physical operator (Spark
+    3.5+), which keeps only k rows per partition key DURING the sort
+    instead of ranking every row and discarding the rest — at 100 TB
+    the difference between a bounded per-group heap and a full
+    window materialization.  The code raises if the operator is
+    missing; values hash-match the oracle's QUALIFY-style top-3."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    out = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "rn",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderpriority", "rn")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "WindowGroupLimit" not in plan:
+        raise RuntimeError(
+            "rank<=k filter did not compile to WindowGroupLimit"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8454,6 +8487,7 @@ REGISTRY = {
     "q112_values_inline_join": q112_values_inline_join,
     "q113_sql_udf": q113_sql_udf,
     "q114_column_defaults": q114_column_defaults,
+    "q115_window_group_limit": q115_window_group_limit,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
