@@ -3903,3 +3903,44 @@ FROM (
 WHERE rn <= 3
 ORDER BY o_orderpriority, rn
 """
+
+ORACLES["q116_safe_array_access"] = """
+WITH t AS (
+    SELECT p_partkey, string_split(p_name, ' ') AS arr
+    FROM part WHERE p_partkey % 17 = 0
+)
+SELECT p_partkey,
+       arr[1]                       AS first_word,
+       arr[-1]                      AS last_word,
+       arr[99]                      AS oob_null,
+       arr[1]                       AS get0,
+       arr[100]                     AS get_oob,
+       CAST(len(arr) AS INT)        AS n_words
+FROM t
+ORDER BY p_partkey
+"""
+
+ORACLES["w04_largest_remainder_quota"] = """
+WITH counts AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY lang
+), tot AS (
+    SELECT sum(c) AS t FROM counts
+), quoted AS (
+    SELECT lang, c,
+           (c * 1000) // t            AS floor_q,
+           (c * 1000) % t             AS rem
+    FROM counts, tot
+), ranked AS (
+    SELECT lang, c, floor_q,
+           row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+           1000 - sum(floor_q) OVER () AS leftover
+    FROM quoted
+)
+SELECT lang, c,
+       CAST(floor_q AS BIGINT) AS floor_q,
+       CAST(floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM ranked
+ORDER BY lang
+"""

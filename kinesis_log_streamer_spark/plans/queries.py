@@ -8295,6 +8295,77 @@ def q115_window_group_limit(
     return out
 
 
+def q116_safe_array_access(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boundary-safe array access: ``try_element_at`` past the end
+    (NULL, not an ANSI error), negative indices counting from the
+    end, ``element_at`` on the valid range, and ``get()``'s 0-based
+    NULL-on-miss contract — the defensive-access battery an ingest
+    job needs when upstream array lengths aren't guaranteed."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 17 == 0)
+    arr = F.split(F.col("p_name"), " ")
+    return part.select(
+        "p_partkey",
+        F.element_at(arr, 1).alias("first_word"),
+        F.element_at(arr, -1).alias("last_word"),
+        F.try_element_at(arr, F.lit(99)).alias("oob_null"),
+        F.get(arr, 0).alias("get0"),
+        F.get(arr, 99).alias("get_oob"),
+        F.size(arr).alias("n_words"),
+    ).orderBy("p_partkey")
+
+
+def w04_largest_remainder_quota(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT sample-budget apportionment via the largest-remainder
+    (Hamilton) method: distribute a budget of 1000 docs across
+    languages proportionally so the quotas sum to EXACTLY the budget
+    — w02's floor quotas leak the residual; mixing recipes and eval
+    splits need the exact total.  Floor quotas first, then the
+    leftover seats go to the largest fractional remainders (ties →
+    lang asc), all in integer arithmetic both engines replay.
+
+    Scale: |languages| rows after one count agg — driver-free, two
+    window functions over a tiny aggregate."""
+    budget = 1000
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("t"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "c",
+        (F.col("c") * budget).alias("num"),
+        "t",
+    )
+    quoted = base.select(
+        "lang",
+        "c",
+        F.expr("num div t").alias("floor_q"),
+        (F.col("num") % F.col("t")).alias("rem"),
+        "t",
+    )
+    wsum = W.partitionBy(F.lit(1))
+    wrank = W.orderBy(F.desc("rem"), "lang")
+    return (
+        quoted.withColumn(
+            "leftover", F.lit(budget) - F.sum("floor_q").over(wsum)
+        )
+        .withColumn("rk", F.row_number().over(wrank))
+        .select(
+            "lang",
+            "c",
+            "floor_q",
+            (
+                F.col("floor_q")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8488,6 +8559,8 @@ REGISTRY = {
     "q113_sql_udf": q113_sql_udf,
     "q114_column_defaults": q114_column_defaults,
     "q115_window_group_limit": q115_window_group_limit,
+    "q116_safe_array_access": q116_safe_array_access,
+    "w04_largest_remainder_quota": w04_largest_remainder_quota,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
