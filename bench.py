@@ -167,6 +167,23 @@ HEADLINE = [
     "q103_try_cast",
     "q104_ignore_nulls_window",
     "l15_apdex",
+    # round-3 batches g-o: the fast, non-file-writing members (the
+    # index/file/stream builders d14, f21, f22, k03, s15, st13, q114
+    # and the >8s g04/t25/q111 runs stay selfcheck-only).
+    "l16_slo_burn_rate",
+    "q105_timestamp_arith",
+    "q106_lateral_alias",
+    "q107_crosstab",
+    "q108_equiheight_histogram",
+    "q109_asof_nearest",
+    "q110_pivot_multi_agg",
+    "q112_values_inline_join",
+    "q113_sql_udf",
+    "q115_window_group_limit",
+    "q116_safe_array_access",
+    "u09_pandas_udaf_window",
+    "w03_epoch_shuffle",
+    "w04_largest_remainder_quota",
 ]
 
 
