@@ -3944,3 +3944,58 @@ SELECT lang, c,
 FROM ranked
 ORDER BY lang
 """
+
+ORACLES["d15_tfidf_cosine_pairs"] = """
+WITH sub AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM sub
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM toks GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+    SELECT count(*) AS n_docs FROM sub
+), w AS (
+    SELECT t.doc_id, t.term,
+           CAST(floor(t.tf * (ln((nd.n_docs + 1.0) / (d.df + 1.0)) + 1.0)
+                      * 10000) AS BIGINT) AS wi,
+           d.df, nd.n_docs
+    FROM tf t JOIN dfreq d ON t.term = d.term, nd
+), kept AS (
+    SELECT doc_id, term, wi FROM w WHERE df * 10 <= 4 * n_docs
+), norms AS (
+    SELECT doc_id, sum(wi * wi) AS n2 FROM kept GROUP BY doc_id
+), dots AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           sum(a.wi * b.wi) AS dot
+    FROM kept a JOIN kept b
+      ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.id_a, d.id_b,
+       round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) AS cos
+FROM dots d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 4) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+ORACLES["l17_json_key_profile"] = """
+WITH shaped AS (
+    SELECT 'event_id|event_type'
+           || CASE WHEN event_id % 3 = 0 THEN '|user_id' ELSE '' END
+           || CASE WHEN event_id % 2 = 0 THEN '|value' ELSE '' END
+               AS key_set
+    FROM events
+    WHERE user_id % 7 = 0
+)
+SELECT key_set, CAST(count(*) AS BIGINT) AS n_records
+FROM shaped
+GROUP BY key_set
+ORDER BY key_set
+"""

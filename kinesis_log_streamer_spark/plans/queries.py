@@ -8366,6 +8366,110 @@ def w04_largest_remainder_quota(
     )
 
 
+def d15_tfidf_cosine_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPARSE-vector similarity join: near-dup doc pairs by tf-idf
+    cosine through an INVERTED INDEX — candidates are pairs sharing
+    at least one term (self-equi-join on term), the dot product sums
+    only over shared terms, and no dense doc×doc stage ever exists.
+    The lexical-weighted middle ground between d04's set Jaccard and
+    s04's dense-embedding cosine.
+
+    Determinism: weights are TRUNCATED to integers (⌊w·10⁴⌋) before
+    any aggregation — integer dot products are associative, so
+    partial-agg order can't shift the result, and the final cosine
+    is computed from identical integers on both engines (IEEE sqrt /
+    divide are correctly rounded).
+
+    Scale: the term self-join is the inverted-index pattern of t13 —
+    heavy-hitter stop terms would dominate, so terms in >40 % of the
+    subset are dropped from the index (standard sparse-join
+    optimization, mirrored in the oracle)."""
+    from kinesis_log_streamer_spark.operators.text import tfidf
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    w = tfidf(docs).select(
+        "doc_id",
+        "term",
+        F.floor(F.col("tfidf") * 10000).cast("long").alias("wi"),
+    )
+    n_docs = docs.count()
+    dfreq = w.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfreq.filter(
+        F.col("df") * 10 <= F.lit(4 * n_docs)
+    ).select("term")
+    w = w.join(F.broadcast(keep), "term")
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wi") * F.col("wi")).alias("n2")
+    )
+    a = w.select(
+        "term", F.col("doc_id").alias("id_a"), F.col("wi").alias("wa")
+    )
+    b = w.select(
+        "term", F.col("doc_id").alias("id_b"), F.col("wi").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("id_a"), F.col("n2").alias("na2")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("id_b"), F.col("n2").alias("nb2")
+    )
+    cos = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        4,
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def l17_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON SCHEMA-DRIFT profile over a log stream: group records by
+    their exact KEY SET (``json_object_keys``, sorted and joined) and
+    count each shape — how an ingest pipeline detects producers
+    adding/dropping fields.  Records are synthesized with
+    deterministically varying shapes (two optional fields keyed off
+    event_id) so the oracle knows the exact shape census."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    rec = F.to_json(
+        F.struct(
+            "event_id",
+            "event_type",
+            F.when(F.col("event_id") % 2 == 0, F.col("value")).alias(
+                "value"
+            ),
+            F.when(F.col("event_id") % 3 == 0, F.col("user_id")).alias(
+                "user_id"
+            ),
+        )
+    )
+    return (
+        ev.select(rec.alias("rec"))
+        .select(
+            F.concat_ws(
+                "|", F.sort_array(F.json_object_keys("rec"))
+            ).alias("key_set")
+        )
+        .groupBy("key_set")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy("key_set")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8561,6 +8665,8 @@ REGISTRY = {
     "q115_window_group_limit": q115_window_group_limit,
     "q116_safe_array_access": q116_safe_array_access,
     "w04_largest_remainder_quota": w04_largest_remainder_quota,
+    "d15_tfidf_cosine_pairs": d15_tfidf_cosine_pairs,
+    "l17_json_key_profile": l17_json_key_profile,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
