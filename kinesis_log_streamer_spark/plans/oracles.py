@@ -3999,3 +3999,41 @@ FROM shaped
 GROUP BY key_set
 ORDER BY key_set
 """
+
+ORACLES["q117_take_ordered_gate"] = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       round(l_extendedprice, 2) AS price
+FROM lineitem
+ORDER BY price DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey
+LIMIT 25
+"""
+
+ORACLES["p06_benford_profile"] = """
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            AS VARCHAR), 1, 1) AS BIGINT) AS d
+    FROM orders WHERE o_totalprice > 0
+), counts AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY d
+)
+SELECT d, n,
+       CAST((2000 * n + sum(n) OVER ())
+            // (2 * sum(n) OVER ()) AS BIGINT) AS share_pm
+FROM counts
+ORDER BY d
+"""
+
+ORACLES["q118_complex_type_ordering"] = """
+WITH t AS (
+    SELECT p_partkey,
+           list_slice(string_split(p_name, ' '), 1, 2) AS akey,
+           struct_pack(t := p_type, s := p_size) AS skey
+    FROM part WHERE p_partkey % 23 = 0
+)
+SELECT p_partkey,
+       array_to_string(akey, '|') AS akey,
+       CAST(row_number() OVER (ORDER BY akey, skey, p_partkey)
+            AS INT) AS rk
+FROM t
+ORDER BY rk
+"""

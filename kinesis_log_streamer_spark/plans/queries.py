@@ -8470,6 +8470,85 @@ def l17_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_take_ordered_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TakeOrderedAndProject gate: ``ORDER BY … LIMIT k`` must
+    compile to the per-partition top-k + merge operator, NOT a full
+    global sort — at 100 TB the difference between each task keeping
+    a k-row heap and a whole-table exchange-and-sort.  Raises if the
+    operator is missing; values hash-match the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy(
+            F.desc("price"), "l_orderkey", "l_linenumber",
+            "l_partkey", "l_suppkey",
+        )
+        .limit(25)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "TakeOrderedAndProject" not in plan:
+        raise RuntimeError(
+            "ORDER BY + LIMIT did not compile to TakeOrderedAndProject"
+        )
+    return out
+
+
+def p06_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile — the fraud/anomaly
+    screen auditors run over money columns: observed count per
+    leading digit of ``o_totalprice`` plus its per-mille share
+    (integer half-up) to compare against the Benford expectation
+    (log10(1+1/d)).  One narrow projection + a 9-group hash-agg."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("long")
+    counts = orders.select(digit.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = W.partitionBy(F.lit(1))
+    return (
+        counts.withColumn("tot", F.sum("n").over(wtot))
+        .select(
+            "d",
+            "n",
+            F.expr("(2000 * n + tot) div (2 * tot)").alias("share_pm"),
+        )
+        .orderBy("d")
+    )
+
+
+def q118_complex_type_ordering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORDERING over COMPLEX types: rows ranked by an ARRAY key
+    (lexicographic element-wise, shorter-prefix-first) and a STRUCT
+    key (field-order comparison) — the semantics every
+    sort/window/join on nested data inherits.  DuckDB lists and
+    structs compare the same way, making the contract checkable."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 23 == 0)
+    arr_key = F.slice(F.split(F.col("p_name"), " "), 1, 2)
+    struct_key = F.struct(
+        F.col("p_type").alias("t"), F.col("p_size").alias("s")
+    )
+    w = W.orderBy(arr_key, struct_key, "p_partkey")
+    return part.select(
+        "p_partkey",
+        F.concat_ws("|", arr_key).alias("akey"),
+        F.row_number().over(w).alias("rk"),
+    ).orderBy("rk")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8667,6 +8746,9 @@ REGISTRY = {
     "w04_largest_remainder_quota": w04_largest_remainder_quota,
     "d15_tfidf_cosine_pairs": d15_tfidf_cosine_pairs,
     "l17_json_key_profile": l17_json_key_profile,
+    "q117_take_ordered_gate": q117_take_ordered_gate,
+    "p06_benford_profile": p06_benford_profile,
+    "q118_complex_type_ordering": q118_complex_type_ordering,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
