@@ -4037,3 +4037,22 @@ SELECT p_partkey,
 FROM t
 ORDER BY rk
 """
+
+ORACLES["st14_chained_window_rollup"] = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2)     AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY bucket_start
+"""
+
+ORACLES["u10_table_arg_udtf"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT)
+           AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -8549,6 +8549,115 @@ def q118_complex_type_ordering(
     ).orderBy("rk")
 
 
+def st14_chained_window_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED stateful streaming (Spark 3.5+ multiple stateful
+    operators): hourly windowed aggregation feeding a SECOND
+    event-time window aggregation (6-hour rollup over
+    ``window_time``) in ONE streaming query — the
+    coarse-over-fine rollup a metrics pipeline runs without a
+    second job.  st06's far-future sentinel batch pushes the
+    watermark past every real window so BOTH stateful layers flush
+    in append mode; the sentinel's own far-future bucket is cut by
+    the driver-known max timestamp.  Final counts/sums must match
+    the batch 6-hour aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tmp = os.path.join(tempfile.gettempdir(), "klss_st14_src")
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    ev = _t(spark, sf_dir, "events")
+    _write_single_parquet(ev, os.path.join(tmp, "b1"))
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    _write_sentinel_parquet(
+        os.path.join(tmp, "b2"), -2, max_us + 86_400_000_000
+    )
+    now = os.path.getmtime(os.path.join(tmp, "b1"))
+    for i, d in enumerate(("b1", "b2"), start=1):
+        os.utime(os.path.join(tmp, d), (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{tmp}/b*")
+    )
+    hourly = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.sum("value").alias("v1"),
+        )
+    )
+    six = (
+        hourly.groupBy(
+            F.window(F.window_time("window"), "6 hours").alias("w6")
+        )
+        .agg(
+            F.sum("n1").alias("n_events"),
+            F.round(F.sum("v1"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w6.start").alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    _drain_stream_to_table(six, "st14_out", mode="append")
+    return (
+        spark.table("st14_out")
+        .filter(F.unix_micros("bucket_start") <= max_us)
+        .orderBy("bucket_start")
+    )
+
+
+def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE ARGUMENT (Spark 3.5 table-valued function
+    input): ``PARTITION BY`` routes each event-type partition through
+    one UDTF instance, which aggregates in ``eval`` and emits its
+    summary from ``terminate`` — the Python escape hatch for
+    whole-partition logic the SQL aggregate surface can't express
+    (here deliberately an oracle-checkable count/sum)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n long, sum_k long")
+    class TypeStats:
+        def __init__(self) -> None:
+            self._n = 0
+            self._s = 0
+            self._t = None
+
+        def eval(self, row) -> None:
+            self._t = row["event_type"]
+            self._n += 1
+            if row["k"] is not None:
+                self._s += int(row["k"])
+
+        def terminate(self):
+            if self._t is not None:
+                yield (self._t, self._n, self._s)
+
+    spark.udtf.register("klss_u10_stats", TypeStats)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    ev.createOrReplaceTempView("klss_u10_events")
+    return spark.sql(
+        """
+        SELECT event_type, n, sum_k
+        FROM klss_u10_stats(TABLE(klss_u10_events)
+                            PARTITION BY event_type)
+        ORDER BY event_type
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8749,6 +8858,8 @@ REGISTRY = {
     "q117_take_ordered_gate": q117_take_ordered_gate,
     "p06_benford_profile": p06_benford_profile,
     "q118_complex_type_ordering": q118_complex_type_ordering,
+    "st14_chained_window_rollup": st14_chained_window_rollup,
+    "u10_table_arg_udtf": u10_table_arg_udtf,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
