@@ -184,6 +184,12 @@ HEADLINE = [
     "u09_pandas_udaf_window",
     "w03_epoch_shuffle",
     "w04_largest_remainder_quota",
+    # round-3 batches p-r fast members (d15/st14/u10 are multi-stage
+    # or streaming drains — selfcheck-covered).
+    "l17_json_key_profile",
+    "p06_benford_profile",
+    "q117_take_ordered_gate",
+    "q118_complex_type_ordering",
 ]
 
 
