@@ -4056,3 +4056,62 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLES["m06_audio_frame_energy"] = """
+WITH src AS (
+    SELECT doc_id, md5(text) AS h
+    FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id,
+       CAST(fno AS INT) AS frame_no,
+       CAST(8 AS INT)   AS n_samples,
+       CAST(sum(ascii(substr(h, fno * 8 + i, 1))
+                * ascii(substr(h, fno * 8 + i, 1))) AS BIGINT)
+           AS energy
+FROM src,
+     LATERAL (SELECT unnest(generate_series(0, 3)) AS fno) f,
+     LATERAL (SELECT unnest(generate_series(1, 8)) AS i) g
+GROUP BY doc_id, fno
+ORDER BY doc_id, frame_no
+"""
+
+ORACLES["s17_random_projection_gate"] = """
+WITH vq AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+    FROM embeddings WHERE vec_id % 40 = 0
+), signs AS (
+    SELECT j, k,
+           1 - 2 * (('0x' || substr(md5(j || ':' || k), 32, 1))::BIGINT
+                    % 2) AS s
+    FROM (SELECT unnest(generate_series(0, 63)) AS j),
+         (SELECT unnest(generate_series(0, 15)) AS k)
+), longv AS (
+    SELECT vec_id, j, v[j + 1] AS x
+    FROM vq, (SELECT unnest(generate_series(0, 63)) AS j)
+), proj AS (
+    SELECT vec_id, k, sum(x * s) AS y
+    FROM longv JOIN signs USING (j)
+    GROUP BY vec_id, k
+), dproj AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           sum((a.y - b.y) * (a.y - b.y)) AS dproj2
+    FROM proj a JOIN proj b ON a.k = b.k AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+), dorig AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(generate_series(1, 64),
+                    i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))
+               AS dorig2
+    FROM vq a JOIN vq b ON a.vec_id < b.vec_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(o.dorig2 AS BIGINT) AS dorig2,
+       CAST(p.dproj2 AS BIGINT) AS dproj2,
+       CAST((2000 * p.dproj2 + 16 * o.dorig2)
+            // (32 * o.dorig2) AS BIGINT) AS ratio_pm
+FROM dproj p JOIN dorig o
+  ON p.id_a = o.id_a AND p.id_b = o.id_b
+ORDER BY p.id_a, p.id_b
+"""

@@ -8658,6 +8658,142 @@ def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m06_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal pass: per-FRAME energy
+    (`operators/multimodal.py:audio_frame_energy`, Arrow
+    ``mapInPandas``) over binary payloads — 8-sample frames, integer
+    sum-of-squares.  The payload is the md5-digest fake (m01–m05
+    convention), so the oracle recomputes every frame energy from
+    the ASCII codes of the digest text — the full binary→Python→
+    Arrow→rows plumbing is exercised with hash-exact output."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).withColumn("payload_src", F.md5(F.col("text")))
+    media = M.attach_binary_payload(
+        docs, text_col="payload_src", kind="digest"
+    )
+    return M.audio_frame_energy(media, frame_bytes=8).orderBy(
+        "doc_id", "frame_no"
+    )
+
+
+def s17_random_projection_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Random-projection DIMENSIONALITY REDUCTION (64→16) with a
+    Johnson-Lindenstrauss distortion gate — the cheap dim-reduce an
+    embedding pipeline runs before ANN indexing.  The projection
+    matrix is ±1 entries derived from md5 parity (both engines build
+    the SAME matrix), vectors are quantized to integers (⌊x·1000⌋),
+    so projections, squared distances, and the per-pair distortion
+    ratio (per-mille of d²proj/(16·d²orig)) are EXACT integers —
+    no fp can diverge.
+
+    Scale: the sign matrix is 64×16 = 1024 rows broadcast; the
+    projection is posexplode + equi-join + hash-agg (never a
+    driver-side matrix op); pairs come from a bounded id sample."""
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 40 == 0
+    )
+    vq = emb.select(
+        "vec_id",
+        # float→double FIRST (exact), then ×1000 in double — float
+        # arithmetic would round differently from DuckDB's doubles.
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("v"),
+    )
+    signs = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(
+            spark.range(16).select(F.col("id").cast("int").alias("k"))
+        )
+        .select(
+            "j",
+            "k",
+            (
+                1
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.col("j").cast("string"),
+                                    F.col("k").cast("string"),
+                                )
+                            ),
+                            32,
+                            1,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+            ).alias("s"),
+        )
+    )
+    long_v = vq.select(
+        "vec_id", F.posexplode("v").alias("j", "x")
+    )
+    proj = (
+        long_v.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("y"))
+    )
+    pa = proj.select(
+        F.col("vec_id").alias("id_a"), "k", F.col("y").alias("ya")
+    )
+    pb = proj.select(
+        F.col("vec_id").alias("id_b"), "k", F.col("y").alias("yb")
+    )
+    dproj = (
+        pa.join(pb, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (F.col("ya") - F.col("yb"))
+                * (F.col("ya") - F.col("yb"))
+            ).alias("dproj2")
+        )
+    )
+    va = vq.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vq.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dorig = (
+        va.crossJoin(vb)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    "va", "vb", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dorig2"),
+        )
+    )
+    return (
+        dproj.join(dorig, ["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "dorig2",
+            "dproj2",
+            F.expr(
+                "(2000 * dproj2 + 16 * dorig2) div (32 * dorig2)"
+            ).alias("ratio_pm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8860,6 +8996,8 @@ REGISTRY = {
     "q118_complex_type_ordering": q118_complex_type_ordering,
     "st14_chained_window_rollup": st14_chained_window_rollup,
     "u10_table_arg_udtf": u10_table_arg_udtf,
+    "m06_audio_frame_energy": m06_audio_frame_energy,
+    "s17_random_projection_gate": s17_random_projection_gate,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
