@@ -4115,3 +4115,16 @@ FROM dproj p JOIN dorig o
   ON p.id_a = o.id_a AND p.id_b = o.id_b
 ORDER BY p.id_a, p.id_b
 """
+
+ORACLES["d16_cluster_size_histogram"] = f"""
+WITH RECURSIVE {_CLUSTER_EDGES},
+sizes AS (
+    SELECT cluster_id, count(*) AS cluster_size
+    FROM clusters GROUP BY cluster_id
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT)     AS n_clusters
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""

@@ -8794,6 +8794,29 @@ def s17_random_projection_gate(
     )
 
 
+def d16_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the dedup-run telemetry
+    a corpus build publishes (how much of the corpus sits in
+    2-member families vs large boilerplate blobs): d05's full
+    LSH→verify→connected-components pipeline, rolled up to
+    |clusters| per size.  Two extra |clusters|-sized hash-aggs on
+    top of the verified pipeline; the oracle reuses the identical
+    recursive-CTE clustering."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.portable_minhash_pairs(docs)
+    clusters = G.dedup_clusters(pairs, docs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8998,6 +9021,7 @@ REGISTRY = {
     "u10_table_arg_udtf": u10_table_arg_udtf,
     "m06_audio_frame_energy": m06_audio_frame_energy,
     "s17_random_projection_gate": s17_random_projection_gate,
+    "d16_cluster_size_histogram": d16_cluster_size_histogram,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
