@@ -190,6 +190,7 @@ HEADLINE = [
     "p06_benford_profile",
     "q117_take_ordered_gate",
     "q118_complex_type_ordering",
+    "s17_random_projection_gate",
 ]
 
 
