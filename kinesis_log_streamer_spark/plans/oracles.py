@@ -4128,3 +4128,15 @@ FROM sizes
 GROUP BY cluster_size
 ORDER BY cluster_size
 """
+
+ORACLES["q119_regression_aggregates"] = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+           AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -8817,6 +8817,35 @@ def d16_cluster_size_histogram(
     )
 
 
+def q119_regression_aggregates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear-regression aggregate family (q40's second half):
+    ``regr_slope`` / ``regr_intercept`` / ``regr_r2`` /
+    ``regr_count`` of price on quantity per return flag — the
+    one-pass OLS the SQL standard ships, against DuckDB's
+    independent implementation (rounded like q40's moments)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 4
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 4
+            ).alias("intercept"),
+            F.round(
+                F.regr_r2("l_extendedprice", "l_quantity"), 6
+            ).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias(
+                "n_pairs"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9022,6 +9051,7 @@ REGISTRY = {
     "m06_audio_frame_energy": m06_audio_frame_energy,
     "s17_random_projection_gate": s17_random_projection_gate,
     "d16_cluster_size_histogram": d16_cluster_size_histogram,
+    "q119_regression_aggregates": q119_regression_aggregates,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
