@@ -4140,3 +4140,13 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+ORACLES["q120_sql_pipe_syntax"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT)      AS n,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -8846,6 +8846,26 @@ def q119_regression_aggregates(
     )
 
 
+def q120_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4.0 ``|>`` operators): the linear
+    FROM → WHERE → AGGREGATE → ORDER BY chain — the
+    dataflow-reading-order dialect.  Must produce exactly what the
+    classic nested form (the oracle) produces: the sugar parses to
+    the same plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("klss_q120_li")
+    return spark.sql(
+        """
+        FROM klss_q120_li
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice), 2) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9052,6 +9072,7 @@ REGISTRY = {
     "s17_random_projection_gate": s17_random_projection_gate,
     "d16_cluster_size_histogram": d16_cluster_size_histogram,
     "q119_regression_aggregates": q119_regression_aggregates,
+    "q120_sql_pipe_syntax": q120_sql_pipe_syntax,
     # -- block 4: green tail (verified in r01/r02) -------------------
     "q54_scd2_join": q54_scd2_join,
     "q56_pagerank": q56_pagerank,
