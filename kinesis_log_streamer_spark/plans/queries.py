@@ -8883,8 +8883,8 @@ REGISTRY = {
     # ROUND-4 REORDER (mechanical): the r03 driver run verifies the
     # current first 50 (all of blocks 1+2 plus block 3 through
     # t17_minhash_estimate_gate).  The never-verified pool for r04 is
-    # the 120 block-3 entries AFTER t17 (q64 … d16 incl. the
-    # d/f/g/k/l/p/s/st/t/u/w families).  Move those 120 to the front
+    # the 122 block-3 entries AFTER t17 (q64 … q120 incl. the
+    # d/f/g/k/l/p/s/st/t/u/w families).  Move those 122 to the front
     # as r04's block 1 (more than two driver rounds' budget — order
     # them highest-value first: the curation/dedup d/t/s families,
     # then streaming/graph, then SQL surface); any r03 FAIL/ERR
