@@ -1528,11 +1528,11 @@ ORDER BY o_orderpriority
 
 ORACLES["q53_decimal_exact"] = """
 SELECT l_returnflag,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-            AS DECIMAL(38,2)) AS gross,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(1 - l_discount AS DECIMAL(8,4)))
-            AS DECIMAL(38,6)) AS net,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS gross,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - l_discount AS DECIMAL(8,4)))
+                 AS DECIMAL(38,6)) AS VARCHAR) AS net,
        count(*) AS n_items
 FROM lineitem
 GROUP BY l_returnflag
@@ -3563,8 +3563,10 @@ WITH t AS (
                 AS DECIMAL(18,2)) AS tax
     FROM t
 )
-SELECT o_orderkey, disc, tax,
-       CAST(disc + tax AS DECIMAL(18,2)) AS net
+SELECT o_orderkey,
+       CAST(disc AS DOUBLE) AS disc,
+       CAST(tax AS DOUBLE) AS tax,
+       CAST(disc + tax AS DOUBLE) AS net
 FROM t2
 ORDER BY o_orderkey
 """
@@ -3864,9 +3866,9 @@ ORDER BY w.weight
 
 ORACLES["q113_sql_udf"] = """
 SELECT o_orderkey,
-       CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
-                  * CAST(0.07 AS DECIMAL(3,2)), 2)
-            AS DECIMAL(18,2)) AS tax,
+       CAST(CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                       * CAST(0.07 AS DECIMAL(3,2)), 2)
+                 AS DECIMAL(18,2)) AS DOUBLE) AS tax,
        o_orderpriority
 FROM orders
 WHERE o_orderkey % 89 = 0
