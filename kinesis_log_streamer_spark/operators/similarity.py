@@ -157,14 +157,36 @@ def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _band_keys(
-    sigs: DataFrame, bits: int, bands: int, id_col: str = "vec_id"
+    sigs: DataFrame,
+    bits: int,
+    bands: int,
+    id_col: str = "vec_id",
+    portable_keys: bool = False,
 ) -> DataFrame:
     """(id, band_id, band_hash) — NARROW banding rows.  Only ids and two
     ints travel through the bucket self-join and distinct; vectors are
     joined back after candidates are deduped.  At 100 TB this is the
     difference between shuffling ids and shuffling the embedding
-    matrix."""
+    matrix.
+
+    ``portable_keys=True`` swaps the xxhash64 band hash (JVM-only)
+    for the literal bit string of the band ('01011010'), which any
+    SQL engine reproduces exactly — same buckets, same candidate
+    set, so the WHOLE pipeline becomes oracle-hashable (the dedup
+    twin is portable_minhash_pairs vs the xxhash64 d02).  Key width
+    grows from 8 bytes to rows_per_band bytes; bucketing behavior is
+    identical because the hash was only ever an equality key."""
     rows_per_band = bits // bands
+
+    def _key(b: int):
+        cols = [
+            F.col("sig_bits")[b * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        if portable_keys:
+            return F.concat_ws("", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     return sigs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -172,12 +194,7 @@ def _band_keys(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig_bits")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                        _key(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -412,6 +429,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable_keys: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
     verify (the embedding twin of MinHash text dedup).
@@ -427,7 +445,11 @@ def embedding_near_dup_pairs(
     blowup measured at sf0.1), while true near-dups at the default
     0.95 threshold still collide in some band with p ≈ 0.9."""
     banded = _band_keys(
-        lsh_sig_bits(df, dim, bits, seed, id_col, vec_col), bits, bands, id_col
+        lsh_sig_bits(df, dim, bits, seed, id_col, vec_col),
+        bits,
+        bands,
+        id_col,
+        portable_keys=portable_keys,
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -884,6 +884,58 @@ WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.2
 ORDER BY id_a, id_b
 """
 
+# s04: full-pipeline replay of the portable-key hyperplane LSH
+# (operators/similarity.py:embedding_near_dup_pairs with
+# portable_keys=True).  The 32 seeded hyperplanes (numpy
+# default_rng(42), the exact float64 values Spark broadcasts) are
+# embedded as literal arrays; signature bit i = sign(v · plane_i),
+# band keys are the raw 8-bit strings, candidates come from the
+# band-bucket self-join, and exact round-4 cosine >= 0.3 verifies —
+# identical candidate set and output pairs by construction.
+def _s04_oracle() -> str:
+    from kinesis_log_streamer_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 32, 42)  # bits x dim
+    bit_exprs = ",\n           ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(w)) for w in planes[i])
+        + "]) >= 0 THEN '1' ELSE '0' END AS b" + str(i)
+        for i in range(32)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, "
+        + " || ".join(f"b{b * 8 + r}" for r in range(8))
+        + " AS bkey FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+    SELECT vec_id,
+           {bit_exprs}
+    FROM v
+),
+bands AS (
+    {band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey
+                AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
+FROM cand
+JOIN v va ON va.vec_id = id_a
+JOIN v vb ON vb.vec_id = id_b
+WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["s04_embedding_near_dups"] = _s04_oracle()
+
 ORACLES["m02_multimodal_decode"] = """
 WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
 SELECT doc_id,

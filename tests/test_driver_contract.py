@@ -77,9 +77,10 @@ class TestBareSessionContract:
         os_ = entry.oracle_sql()
         assert set(os_) <= set(qs)
         # every oracle-less query is a documented rows-only contract
+        # (r04: s04 gained a full-pipeline oracle; only the xxhash64/
+        # sketch-internal ops stay rows-only)
         rows_only = sorted(set(qs) - set(os_))
         assert all(
-            k.split("_")[0]
-            in {"q28", "d02", "d03", "t03", "s03", "s04", "s05", "s08"}
+            k.split("_")[0] in {"q28", "d02", "d03", "t03"}
             for k in rows_only
         ), rows_only
