@@ -374,17 +374,28 @@ def portable_minhash_pairs(
     """MinHash-LSH near-dup pairs with an ENGINE-PORTABLE hash family.
 
     Same banded-bucket design as :func:`minhash_dedup_pairs`, but the
-    min-hash is ``min(md5(seed ':' shingle))`` over the *string*
-    shingle set — md5 produces identical lowercase hex in Spark and
-    DuckDB and hex strings order lexicographically the same way, so
-    the candidate set (not just the verified output) is reproducible
-    across engines and the whole pipeline is oracle-checkable.  The
-    xxhash64 variant (d02) stays the production default: one 64-bit
-    JVM hash per shingle vs ``n_bands·rows_per_band`` md5 string
-    digests here.
+    hash family is ONE md5 per shingle split into hex-substring LANES
+    — md5 produces identical lowercase hex in Spark and DuckDB and
+    fixed-width hex substrings order lexicographically the same way,
+    so the candidate set (not just the verified output) is
+    reproducible across engines and the whole pipeline is
+    oracle-checkable.  Lane j of a shingle is
+    ``substr(md5(shingle), 1 + w*j, w)`` with
+    ``w = 32 // (n_bands*rows_per_band)`` hex chars; disjoint
+    substrings of one digest are independent uniform bits, so each
+    lane behaves as its own hash function.  (r03 shipped
+    ``min(md5(seed ':' shingle))`` per lane — 6 full digests per
+    shingle made this the most CPU-per-byte operator in the repo and
+    the dominant bench-variance term; the lane split keeps the exact
+    same banding semantics at one digest per shingle.)  A lane
+    collision between two shingles needs 16^w ≈ 1M (w=5) agreement
+    and only matters if it lands at the min — a ≲1e-3 perturbation of
+    the J^rows_per_band band-collision rate.  The xxhash64 variant
+    (d02) stays the production default: one 64-bit integer JVM hash
+    vs a 32-char string digest here.
 
     Shape per doc: ``n_bands`` (band, band-key) rows, where a band key
-    concatenates ``rows_per_band`` independent min-hashes (P[key
+    concatenates ``rows_per_band`` independent min-hash lanes (P[key
     collision] = J^rows_per_band, so J=0.98 dups survive while J≈0.02
     background pairs almost never collide).  Candidates come from an
     equi-join on (band, key); exact Jaccard ≥ ``threshold`` verifies
@@ -395,9 +406,7 @@ def portable_minhash_pairs(
     from kinesis_log_streamer_spark.operators.parallelize import spread_for_compute
 
     tok = tokens_col(F.col(text_col))
-    # n_bands·rows_per_band md5 digests per shingle is the most
-    # CPU-per-byte operator in the repo — a single-split input (one
-    # small parquet file) would serialize it on one core.
+    lane_w = 32 // (n_bands * rows_per_band)
     with_sh = (
         spread_for_compute(df.select(id_col, text_col))
         .filter(F.size(tok) >= shingle_n)
@@ -406,11 +415,19 @@ def portable_minhash_pairs(
             F.array_distinct(shingles_col(tok, shingle_n)).alias("sh"),
         )
     )
+    # The digest array is materialized in its OWN projection: the six
+    # lane mins below each reference it, and CollapseProject refuses
+    # to inline a non-cheap multi-referenced alias, so md5 runs once
+    # per shingle (verified against a fused-projection variant, which
+    # recomputes it per lane).
+    with_dig = with_sh.select(
+        "id", "sh", F.transform("sh", lambda x: F.md5(x)).alias("dig")
+    )
 
-    def _minhash(seed: int) -> Column:
+    def _minhash(lane: int) -> Column:
         return F.array_min(
             F.transform(
-                "sh", lambda x: F.md5(F.concat_ws(":", F.lit(str(seed)), x))
+                "dig", lambda d: F.substring(d, 1 + lane_w * lane, lane_w)
             )
         )
 
@@ -426,7 +443,7 @@ def portable_minhash_pairs(
         )
         for i in range(n_bands)
     ]
-    bands = with_sh.select(
+    bands = with_dig.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
@@ -465,10 +482,12 @@ def portable_minhash_sweep(
     the dedup twin of the ANN nprobe sweep: per band count n ∈
     ``levels``, how many candidate pairs LSH surfaces and how many
     survive exact-Jaccard verification.  Band sets are NESTED (level
-    n uses bands 0..n−1 with the same seeds), so both counts are
-    monotone non-decreasing in n — and because the md5 hash family
-    is engine-portable, the COUNTS themselves (not just gates) are
-    reproducible by an external engine.
+    n uses bands 0..n−1 with the same lanes), so both counts are
+    monotone non-decreasing in n — and because the md5 hex-lane hash
+    family is engine-portable (one digest per shingle split into
+    ``32 // (max_bands*rows_per_band)``-char lanes; see
+    :func:`portable_minhash_pairs`), the COUNTS themselves (not just
+    gates) are reproducible by an external engine.
 
     Cost: the banding/verification pipeline runs ONCE at max(levels);
     each pair carries its FIRST matching band, and level counts are
@@ -482,6 +501,7 @@ def portable_minhash_sweep(
 
     max_bands = max(levels)
     tok = tokens_col(F.col(text_col))
+    lane_w = 32 // (max_bands * rows_per_band)
     with_sh = (
         spread_for_compute(df.select(id_col, text_col))
         .filter(F.size(tok) >= shingle_n)
@@ -490,11 +510,14 @@ def portable_minhash_sweep(
             F.array_distinct(shingles_col(tok, shingle_n)).alias("sh"),
         )
     )
+    with_dig = with_sh.select(
+        "id", "sh", F.transform("sh", lambda x: F.md5(x)).alias("dig")
+    )
 
-    def _minhash(seed: int) -> Column:
+    def _minhash(lane: int) -> Column:
         return F.array_min(
             F.transform(
-                "sh", lambda x: F.md5(F.concat_ws(":", F.lit(str(seed)), x))
+                "dig", lambda d: F.substring(d, 1 + lane_w * lane, lane_w)
             )
         )
 
@@ -510,7 +533,7 @@ def portable_minhash_sweep(
         )
         for i in range(max_bands)
     ]
-    bands = with_sh.select(
+    bands = with_dig.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")

@@ -1063,8 +1063,9 @@ ORDER BY n_regionkey
 """
 
 # Shared edge construction for the dedup-clustering oracles: the
-# portable-MinHash banding (md5 hash family — identical hex in both
-# engines) of operators/dedup.portable_minhash_pairs, exact-Jaccard
+# portable-MinHash banding (one md5 per shingle split into six 5-char
+# hex LANES — identical hex and lexicographic order in both engines;
+# mirrors operators/dedup.portable_minhash_pairs), exact-Jaccard
 # verify >= 0.5, then min-label connected components as a recursive
 # CTE over the full corpus.
 _CLUSTER_EDGES = """
@@ -1077,12 +1078,15 @@ sh AS (
           FROM documents)
     WHERE len(t) >= 3
 ),
+dig AS (
+    SELECT doc_id, s, list_transform(s, x -> md5(x)) AS dg FROM sh
+),
 bands AS (
     SELECT doc_id, b.i AS band,
-           list_min(list_transform(s, x -> md5((2*b.i)::VARCHAR || ':' || x)))
-           || list_min(list_transform(s, x -> md5((2*b.i+1)::VARCHAR || ':' || x)))
+           list_min(list_transform(dg, d -> substr(d, 1 + 5*(2*b.i), 5)))
+           || list_min(list_transform(dg, d -> substr(d, 1 + 5*(2*b.i+1), 5)))
            AS bkey
-    FROM sh, (SELECT unnest(generate_series(0, 2)) AS i) b
+    FROM dig, (SELECT unnest(generate_series(0, 2)) AS i) b
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2526,10 +2530,11 @@ WITH sh AS (
 ),
 bands AS (
     SELECT doc_id, b.i AS band,
-           list_min(list_transform(s, x -> md5((2*b.i)::VARCHAR || ':' || x)))
-           || list_min(list_transform(s, x -> md5((2*b.i+1)::VARCHAR || ':' || x)))
+           list_min(list_transform(dg, d -> substr(d, 1 + 4*(2*b.i), 4)))
+           || list_min(list_transform(dg, d -> substr(d, 1 + 4*(2*b.i+1), 4)))
            AS bkey
-    FROM sh, (SELECT unnest(generate_series(0, 3)) AS i) b
+    FROM (SELECT doc_id, s, list_transform(s, x -> md5(x)) AS dg FROM sh) dig,
+         (SELECT unnest(generate_series(0, 3)) AS i) b
 ),
 cand AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, min(a.band) AS first_band

@@ -846,8 +846,9 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d05_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS: portable-MinHash LSH
-    candidates (`operators/dedup.portable_minhash_pairs`, md5 hash
-    family so the candidate set is engine-reproducible) → exact-
+    candidates (`operators/dedup.portable_minhash_pairs`, one md5 per
+    shingle split into hex lanes so the candidate set is
+    engine-reproducible at one digest of CPU) → exact-
     Jaccard-verified edges → distributed connected components
     (`operators/graph.connected_components`, transitive closure with
     min-id labels) over the FULL corpus; singletons kept by left join
