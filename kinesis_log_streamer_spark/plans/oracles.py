@@ -2572,6 +2572,21 @@ GROUP BY n_regionkey
 ORDER BY n_regionkey
 """
 
+# k04: the at-most-once survivor set is exact — the %5 payload minus
+# the deterministically throttled %10 records leaves event_id%10==5;
+# equal n_events/n_distinct additionally pins zero duplication (a
+# retrying sink would double-write throttled-then-accepted records).
+ORACLES["k04_at_most_once_drops"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id % 10 = 5
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES["k02_kinesis_checkpoint_resume"] = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -7932,6 +7932,73 @@ def k03_kinesis_reshard_discovery(
     )
 
 
+def k04_at_most_once_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's AT-MOST-ONCE delivery under the oracle: the
+    strict-parity sink mode (`streaming/kinesis_sink.py:
+    put_records_at_most_once` — one PutRecords call, zero retries,
+    log-and-drop, basestreamer.go:64-87) pushed through a client that
+    deterministically throttles every ``event_id % 10 == 0`` record
+    (`sources/kinesis_source.py:ThrottlingDirKinesisClient`).  The
+    stream is read back and aggregated; the oracle states the
+    SURVIVOR set exactly (``event_id % 10 == 5`` of the %5 payload),
+    so the hash fails if the mode retries (duplicates), drops more
+    than the throttled records, or raises instead of dropping.
+    ``n_events == n_distinct`` per group additionally pins
+    no-duplication inside the surviving set."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.sources.kinesis_source import (
+        KinesisDataSource,
+        ThrottlingDirKinesisClient,
+    )
+    from kinesis_log_streamer_spark.streaming.kinesis_sink import KinesisSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ep = os.path.join(tempfile.gettempdir(), "klss_k04_stream")
+    shutil.rmtree(ep, ignore_errors=True)
+
+    payload = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 5 == 0
+    ).select(
+        F.to_json(
+            F.struct("event_id", "event_type", "value")
+        ).alias("data"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 8).cast("string")).alias(
+            "partitionKey"
+        ),
+    )
+    sink = KinesisSink(
+        "k04",
+        client_factory=lambda: ThrottlingDirKinesisClient(ep, reject_mod=10),
+        delivery="at_most_once",
+    )
+    sink.write_batch(payload.coalesce(2), epoch_id=0)
+
+    spark.dataSource.register(KinesisDataSource)
+    raw = (
+        spark.readStream.format("kinesis_py")
+        .option("endpoint", f"dir:{ep}")
+        .load()
+    )
+    _drain_stream_to_table(raw, "k04_out", mode="append")
+    parsed = spark.table("k04_out").select(
+        F.from_json(
+            "data", "event_id long, event_type string, value double"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("r.event_id").alias("n_distinct"),
+            F.round(F.sum("r.value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def s15_ivf_index_persist(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9049,6 +9116,7 @@ REGISTRY = {
     "q119_regression_aggregates": q119_regression_aggregates,
     "q120_sql_pipe_syntax": q120_sql_pipe_syntax,
     # -- block 3: new queries added in r04 (insert here) -------------
+    "k04_at_most_once_drops": k04_at_most_once_drops,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,

@@ -354,6 +354,55 @@ class DirKinesisClient:
         return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
 
 
+class ThrottlingDirKinesisClient(DirKinesisClient):
+    """:class:`DirKinesisClient` that deterministically REJECTS records
+    — the partial-failure shape of a throttled ``PutRecords`` call
+    (``FailedRecordCount > 0`` with per-record ``ErrorCode``, the
+    branch at basestreamer.go:76-83).  A record whose JSON payload
+    carries ``event_id % reject_mod == 0`` fails; everything else is
+    durably routed to the shard files.  Deterministic by construction,
+    so an at-most-once pipeline's drop accounting is exactly
+    predictable — which is what lets k04 put the reference's
+    log-and-drop semantics under an SQL oracle."""
+
+    def __init__(
+        self, endpoint_dir: str, num_shards: int = 2, reject_mod: int = 10
+    ) -> None:
+        super().__init__(endpoint_dir, num_shards)
+        self._reject_mod = reject_mod
+
+    def put_records(self, StreamName: str, Records: list[dict]) -> dict:  # noqa: N803
+        results: list[dict] = []
+        accepted: list[dict] = []
+        for rec in Records:
+            data = rec["Data"]
+            text = (
+                data.decode("utf-8")
+                if isinstance(data, (bytes, bytearray))
+                else str(data)
+            )
+            try:
+                eid = json.loads(text).get("event_id")
+            except ValueError:
+                eid = None
+            if eid is not None and eid % self._reject_mod == 0:
+                results.append(
+                    {
+                        "ErrorCode": "ProvisionedThroughputExceededException",
+                        "ErrorMessage": "simulated per-record throttle",
+                    }
+                )
+            else:
+                accepted.append(rec)
+                results.append({})
+        if accepted:
+            super().put_records(StreamName=StreamName, Records=accepted)
+        return {
+            "FailedRecordCount": sum(1 for r in results if "ErrorCode" in r),
+            "Records": results,
+        }
+
+
 def write_fake_shard(endpoint_dir: str, shard_id: str, records: list[tuple[str, str]]) -> None:
     """Append (data, partitionKey) records to a fake shard file — the
     test-side producer matching the reference's sink contract."""

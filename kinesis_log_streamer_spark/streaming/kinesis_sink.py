@@ -10,6 +10,9 @@ basestreamer.go:73-83).  The engine upgrades this deliberately:
 * **At-least-once** — failed records are retried with exponential
   backoff; Structured Streaming checkpointing replays the batch on
   task failure.  (Documented delta from the reference's at-most-once.)
+  ``KinesisSink(delivery="at_most_once")`` restores STRICT reference
+  parity — one call, no retry, log-and-drop, never raise
+  (:func:`put_records_at_most_once`).
 * **Partition-key affinity** — rows carry a ``partitionKey`` column
   (E1); ``df.repartition("partitionKey")`` before the write reproduces
   the reference's per-key ordering into shards.
@@ -108,12 +111,71 @@ def put_records_with_retry(
     return len(batch)
 
 
+def put_records_at_most_once(
+    client,
+    stream_name: str,
+    batch: list[tuple[bytes, str]],
+    on_drop: Callable[[list[tuple[bytes, str]]], None] | None = None,
+) -> int:
+    """STRICT-PARITY delivery: one PutRecords call, zero retries, log
+    and drop — exactly the reference's Flush (basestreamer.go:64-87):
+    a failed CALL drops the whole buffer after one stderr line, a
+    partial failure logs each failed record and drops only those, and
+    the pipeline NEVER raises (so Structured Streaming never replays
+    the batch — at-most-once end to end).  Returns records accepted.
+
+    Exists as a flag-selectable mode because the retrying
+    at-least-once path (:func:`put_records_with_retry`) is a
+    documented behavioral upgrade over the reference; this closes the
+    parity delta for users who depend on drop-on-pressure semantics
+    (e.g. best-effort log shipping where duplicates are worse than
+    loss)."""
+    log = logging.getLogger(__name__)
+    try:
+        resp = client.put_records(
+            StreamName=stream_name,
+            Records=[
+                {"Data": data, "PartitionKey": key} for data, key in batch
+            ],
+        )
+    except Exception as exc:  # noqa: BLE001 - parity: any call error drops
+        log.error("Failed to call Kinesis.PutRecords: %s", exc)
+        if on_drop is not None:
+            on_drop(batch)
+        return 0
+    if resp.get("FailedRecordCount", 0) == 0:
+        return len(batch)
+    failed = [
+        rec
+        for rec, result in zip(batch, resp["Records"])
+        if "ErrorCode" in result
+    ]
+    for (_, key), result in zip(batch, resp["Records"]):
+        if "ErrorCode" in result:
+            log.error(
+                "Failed to write a Kinesis record: %s (PartitionKey=%s)",
+                result.get("ErrorMessage", result["ErrorCode"]),
+                key,
+            )
+    if on_drop is not None:
+        on_drop(failed)
+    return len(batch) - len(failed)
+
+
 class KinesisSink:
     """foreachBatch writer shipping (data, partitionKey) rows to Kinesis.
 
     ``client_factory`` is called once per executor partition (boto3
     clients are not picklable); defaults to a boto3 factory that
     raises a clear error when boto3 is absent.
+
+    ``delivery`` selects the end-to-end guarantee:
+
+    * ``"at_least_once"`` (default) — retry with backoff, raise on
+      exhaustion so the micro-batch replays from the checkpoint.
+    * ``"at_most_once"`` — strict reference parity
+      (:func:`put_records_at_most_once`): one call, no retry, log and
+      drop, never raise.
     """
 
     def __init__(
@@ -123,7 +185,13 @@ class KinesisSink:
         region: str | None = None,
         profile: str | None = None,
         on_drop: Callable[[list[tuple[bytes, str]]], None] | None = None,
+        delivery: str = "at_least_once",
     ) -> None:
+        if delivery not in ("at_least_once", "at_most_once"):
+            raise ValueError(
+                f"delivery must be 'at_least_once' or 'at_most_once', "
+                f"got {delivery!r}"
+            )
         self.stream_name = stream_name
         self.region = region
         self.profile = profile
@@ -131,6 +199,7 @@ class KinesisSink:
         # Dead-letter hook for records that exhaust retries; None means
         # raise → task retry → micro-batch replay (at-least-once).
         self.on_drop = on_drop
+        self.delivery = delivery
 
     def _boto3_factory(self):
         try:
@@ -151,6 +220,7 @@ class KinesisSink:
         stream_name = self.stream_name
         factory = self.client_factory
         on_drop = self.on_drop
+        at_most_once = self.delivery == "at_most_once"
         accepted = df.sparkSession.sparkContext.accumulator(0)
 
         def write_partition(rows) -> None:
@@ -163,11 +233,18 @@ class KinesisSink:
                 for r in rows
             )
             for batch in chunk_records(pairs):
-                accepted.add(
-                    put_records_with_retry(
-                        client, stream_name, batch, on_drop=on_drop
+                if at_most_once:
+                    accepted.add(
+                        put_records_at_most_once(
+                            client, stream_name, batch, on_drop=on_drop
+                        )
                     )
-                )
+                else:
+                    accepted.add(
+                        put_records_with_retry(
+                            client, stream_name, batch, on_drop=on_drop
+                        )
+                    )
 
         df.select("data", "partitionKey").repartition("partitionKey").foreachPartition(
             write_partition

@@ -94,6 +94,65 @@ class TestPutRecordsRetry:
         assert dropped == [(b"b", "k2")]
 
 
+class _ErroringClient:
+    """put_records stub whose call itself raises (API/transport error —
+    the reference's ``err != nil`` branch, basestreamer.go:73-75)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def put_records(self, StreamName, Records):
+        self.calls += 1
+        raise ConnectionError("simulated transport failure")
+
+
+class TestAtMostOnceParity:
+    """Strict-parity delivery mode vs basestreamer.go:64-87: one call,
+    no retry, log-and-drop, never raise."""
+
+    def test_partial_failure_drops_failed_only_no_retry(self):
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            put_records_at_most_once,
+        )
+
+        client = _AlwaysFailingClient()
+        dropped: list = []
+        batch = [(b"a", "k1"), (b"b", "k2")]
+        n = put_records_at_most_once(
+            client, "s", batch, on_drop=dropped.extend
+        )
+        assert n == 1  # only the failed record is lost
+        assert client.calls == 1  # the reference NEVER retries
+        assert dropped == [(b"b", "k2")]
+
+    def test_call_error_drops_whole_batch_without_raising(self):
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            put_records_at_most_once,
+        )
+
+        client = _ErroringClient()
+        dropped: list = []
+        batch = [(b"a", "k1"), (b"b", "k2")]
+        n = put_records_at_most_once(
+            client, "s", batch, on_drop=dropped.extend
+        )
+        assert n == 0  # whole buffer dropped (stderr log is the only trace)
+        assert client.calls == 1
+        assert dropped == batch
+
+    def test_sink_delivery_flag_validated_and_dispatched(self):
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            KinesisSink,
+        )
+
+        sink = KinesisSink(
+            "s", client_factory=_ErroringClient, delivery="at_most_once"
+        )
+        assert sink.delivery == "at_most_once"
+        with pytest.raises(ValueError, match="delivery"):
+            KinesisSink("s", delivery="exactly_once")
+
+
 class TestAvailableNowDrain:
     def test_stream_drains_and_flushes(self, spark, tmp_path):
         # EOF drain: all pending input processed, tail flushed
