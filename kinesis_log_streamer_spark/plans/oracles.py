@@ -2856,13 +2856,15 @@ ORACLES["w02_temperature_mix"] = """
 WITH counts AS (
     SELECT source, CAST(count(*) AS BIGINT) AS c
     FROM documents GROUP BY source
-), tot AS (
-    SELECT sum(sqrt(CAST(c AS DOUBLE))) AS sw FROM counts
-), quotas AS (
+), scaled AS (
     SELECT source, c,
-           CAST(floor(400.0 * sqrt(CAST(c AS DOUBLE)) / sw) AS INT)
-               AS quota
-    FROM counts, tot
+           CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000.0) AS BIGINT) AS s
+    FROM counts
+), tot AS (
+    SELECT CAST(sum(s) AS BIGINT) AS sw FROM scaled
+), quotas AS (
+    SELECT source, c, CAST((400 * s) // sw AS INT) AS quota
+    FROM scaled, tot
 ), ranked AS (
     SELECT doc_id, source,
            row_number() OVER (

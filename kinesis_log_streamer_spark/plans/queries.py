@@ -5836,24 +5836,33 @@ def w02_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (the multilingual-LM recipe:
     sample probability ∝ count^α, α = 0.5, flattening head sources
     and boosting the tail): per-source quotas are ⌊400·w_s⌋ with
-    w_s = √c_s / Σ√c, then each source contributes its top-quota
-    docs by md5 rank (t18's deterministic selection).  The √ and the
-    quota floor are computed from exact integers identically on both
-    engines; output is the per-source quota table plus realized
-    counts — the mixing audit a training-data build publishes."""
+    w_s = s_c / Σs_c where s_c = ⌊1000·√c_s⌋, then each source
+    contributes its top-quota docs by md5 rank (t18's deterministic
+    selection).  The fixed-point weight is the determinism fix for a
+    bug the sf0.1 sweep caught in r04: with w_s = √c / Σ√c the
+    denominator is a FLOAT SUM whose value depends on association
+    order — a quota landing on an integer knife-edge then flips
+    between two evaluations of the same CTE (DuckDB reported
+    quota=20 with n_sampled=19) and between engines.  ⌊1000·√c⌋ is a
+    per-scalar correctly-rounded op (identical everywhere), its sum
+    is exact integer (associative), and the final quota is integer
+    division — zero order-dependent arithmetic anywhere.  Output is
+    the per-source quota table plus realized counts — the mixing
+    audit a training-data build publishes."""
     docs = _t(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    tot = counts.agg(
-        F.sum(F.sqrt(F.col("c").cast("double"))).alias("sw")
-    )
-    quotas = counts.crossJoin(F.broadcast(tot)).select(
+    scaled = counts.select(
         "source",
         "c",
-        F.floor(
-            400.0 * F.sqrt(F.col("c").cast("double")) / F.col("sw")
-        )
-        .cast("int")
-        .alias("quota"),
+        F.floor(F.sqrt(F.col("c").cast("double")) * 1000.0)
+        .cast("long")
+        .alias("s"),
+    )
+    tot = scaled.agg(F.sum("s").alias("sw"))
+    quotas = scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c",
+        F.expr("CAST((400 * s) DIV sw AS INT)").alias("quota"),
     )
     ranked = docs.select(
         "doc_id",
