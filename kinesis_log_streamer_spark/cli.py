@@ -48,6 +48,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", "--region", default=None)
     p.add_argument("-p", "--profile", default=None)
     p.add_argument("--dry-run", action="store_true", help="print records instead of Kinesis")
+    p.add_argument(
+        "--delivery",
+        choices=["at_least_once", "at_most_once"],
+        default="at_least_once",
+        help=(
+            "delivery guarantee: at_least_once retries failed records "
+            "(engine default); at_most_once is strict reference parity "
+            "— one PutRecords call, no retry, log-and-drop "
+            "(basestreamer.go:64-87)"
+        ),
+    )
     p.add_argument("stream_name", nargs="*")
     return p
 
@@ -115,7 +126,10 @@ def main(argv: Sequence[str] | None = None) -> int:
     from kinesis_log_streamer_spark.streaming.kinesis_sink import KinesisSink
 
     sink = KinesisSink(
-        args.stream_name[0], region=args.region, profile=args.profile
+        args.stream_name[0],
+        region=args.region,
+        profile=args.profile,
+        delivery=args.delivery,
     )
     sink.write_batch(records, epoch_id=0)
     return 0

@@ -15,6 +15,15 @@ class TestParsing:
         assert args.format == "line"
         assert args.output_format == "auto"
         assert args.output_key == "LogEntry"
+        assert args.delivery == "at_least_once"
+
+    def test_delivery_flag(self):
+        args = cli.build_parser().parse_args(
+            ["--delivery", "at_most_once", "Stream"]
+        )
+        assert args.delivery == "at_most_once"
+        with pytest.raises(SystemExit):
+            cli.build_parser().parse_args(["--delivery", "exactly_once", "s"])
 
     def test_auto_resolution(self):
         # C2: main.go:93-99
