@@ -191,6 +191,10 @@ HEADLINE = [
     "q117_take_ordered_gate",
     "q118_complex_type_ordering",
     "s17_random_projection_gate",
+    # round-4 additions: transpose + lateralJoin API (k04/st15 are
+    # multi-drain streaming gates — selfcheck-covered, not headline).
+    "q121_transpose",
+    "q123_lateral_join_api",
 ]
 
 
