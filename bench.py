@@ -195,6 +195,8 @@ HEADLINE = [
     # multi-drain streaming gates — selfcheck-covered, not headline).
     "q121_transpose",
     "q123_lateral_join_api",
+    "q124_argminmax_battery",
+    "q125_null_format_battery",
 ]
 
 

@@ -4114,6 +4114,45 @@ FROM t
 ORDER BY rk
 """
 
+# q125: initcap and format_number rebuilt from primitives (DuckDB has
+# neither) — consecutive spaces survive the split/rejoin because empty
+# tokens round-trip, and the money format works in exact integer cents.
+ORACLES["q125_null_format_battery"] = """
+SELECT o_orderkey,
+       CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL
+            THEN 'closed' ELSE 'open' END AS state,
+       nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL AS is_open,
+       array_to_string(
+           list_transform(
+               string_split(lower(o_orderpriority || ' ' || o_orderstatus
+                                  || ' of order'), ' '),
+               x -> upper(x[1:1]) || x[2:]
+           ), ' ') AS comment_title,
+       format('{:,}', CAST(round(o_totalprice * 100) AS BIGINT) // 100)
+           || '.' ||
+           lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                     AS VARCHAR), 2, '0') AS price_fmt
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY o_orderkey
+"""
+
+ORACLES["q124_argminmax_battery"] = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey) AS priciest_order,
+       arg_min(o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+               + o_orderkey) AS cheapest_order,
+       mode(o_orderstatus) AS modal_status,
+       any_value(substr(o_orderpriority, 1, 1)) AS prio_digit,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # st15: each drain feeds exactly one phase, so the union of per-batch
 # emissions equals the per-(key, phase) PREFIX aggregates — only true
 # if ValueState survived the two query restarts from the checkpoint.

@@ -8846,6 +8846,72 @@ def q123_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extrema aggregate surface: ``max_by``/``min_by`` (the
+    SQL:2023 arg-extremum aggregates), ``mode`` and ``any_value`` —
+    the "which row holds the extreme" family the rest of the registry
+    only reaches via ranked windows (q42's max-by-window).  Tie-proof
+    by construction: the extremum key packs (cents, orderkey) into
+    one BIGINT so no two rows compare equal, mode targets
+    o_orderstatus whose per-priority counts are far apart at every
+    scale, and any_value reads an expression constant within the
+    group.  One hash aggregate, no window, no shuffle beyond the
+    group-by."""
+    orders = _t(spark, sf_dir, "orders")
+    # cents < 6e7 at sf0.1 -> cents*1e7 + key < 2^63; unique per row
+    packed = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10_000_000
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", packed).alias("priciest_order"),
+            F.min_by("o_orderkey", packed).alias("cheapest_order"),
+            F.mode("o_orderstatus").alias("modal_status"),
+            F.any_value(F.substring("o_orderpriority", 1, 1)).alias(
+                "prio_digit"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q125_null_format_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-dispatch and locale-format scalar surface the q18/q102
+    batteries don't touch: ``nvl2`` (three-way null dispatch),
+    ``equal_null`` (null-safe equality as a FUNCTION, the expression
+    form of q49's ``<=>`` join), ``initcap`` (word capitalization),
+    and ``format_number`` (grouped thousands + fixed decimals).
+    DuckDB has none of the last two natively, so the oracle states
+    their SEMANTICS from scratch — initcap as a split/upper/lower
+    rebuild, format_number as exact integer cents decomposed into
+    grouped integer part and zero-padded fraction — which makes this
+    a cross-implementation spec test, not a name-for-name alias
+    check."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 101 == 0
+    )
+    opt_status = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return orders.select(
+        "o_orderkey",
+        F.expr("nvl2(nullif(o_orderstatus, 'O'), 'closed', 'open')").alias(
+            "state"
+        ),
+        F.equal_null(opt_status, F.lit(None)).alias("is_open"),
+        F.initcap(
+            F.lower(
+                F.concat_ws(
+                    " ", F.col("o_orderpriority"), F.col("o_orderstatus"),
+                    F.lit("of order"),
+                )
+            )
+        ).alias("comment_title"),
+        F.format_number(F.col("o_totalprice"), 2).alias("price_fmt"),
+    ).orderBy("o_orderkey")
+
+
 def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF with a TABLE ARGUMENT (Spark 3.5 table-valued function
     input): ``PARTITION BY`` routes each event-type partition through
@@ -9254,6 +9320,8 @@ REGISTRY = {
     "st15_state_across_restarts": st15_state_across_restarts,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
+    "q124_argminmax_battery": q124_argminmax_battery,
+    "q125_null_format_battery": q125_null_format_battery,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
