@@ -49,6 +49,10 @@ for name in (
     "f13_variant_shred",          # VARIANT type
     "q83_native_dynamic_session", # dynamic session_window
     "u06_arrow_scalar_udf",       # useArrow UDF transport
+    "st15_state_across_restarts", # applyInPandasWithState x3 restarts
+    "q121_transpose",             # Spark 4 DataFrame.transpose
+    "q123_lateral_join_api",      # Spark 4 lateralJoin + outer()
+    "q124_argminmax_battery",     # max_by/min_by/mode aggregates
 ):
     n = Q.REGISTRY[name](spark, SF).count()
     assert n > 0, f"{{name}} returned 0 rows on bare session"
