@@ -124,6 +124,53 @@ def frame_sample(
     )
 
 
+def resize_media(
+    df: DataFrame, target_w: int = 8, fake: bool = False
+) -> DataFrame:
+    """'Resize' plumbing — the downsample pass an image pipeline runs
+    after decode — via Arrow-batched ``mapInPandas``: the payload is
+    treated as a 1-D pixel row of unsigned bytes and block-averaged
+    into ``target_w`` cells (PIL's BOX filter on a 1×n image).  All
+    math is INTEGER (per-cell byte sum floor-divided by cell width),
+    so the fake path is exactly oracle-recomputable; ``fake=False``
+    raises NotImplementedError from inside the executor batch exactly
+    where a real PIL/opencv resize would run.
+
+    Emits one row per (doc, cell): (doc_id, cell_no, px).  Cell
+    boundaries are ``(j*n)//target_w`` — the standard partition of n
+    source pixels into target_w near-equal blocks; payloads shorter
+    than ``target_w`` emit only their non-empty cells.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image libs (PIL/opencv) not available in this "
+                    "environment — pass fake=True for the deterministic stub"
+                )
+            ids: list = []
+            cells: list[int] = []
+            px: list[int] = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(b)
+                bounds = [(j * n) // target_w for j in range(target_w + 1)]
+                for j in range(target_w):
+                    lo, hi = bounds[j], bounds[j + 1]
+                    if hi <= lo:
+                        continue
+                    ids.append(did)
+                    cells.append(j)
+                    px.append(sum(b[lo:hi]) // (hi - lo))
+            yield pd.DataFrame(
+                {"doc_id": ids, "cell_no": cells, "px": px}
+            )
+
+    return df.mapInPandas(
+        resize, schema="doc_id long, cell_no int, px long"
+    )
+
+
 def audio_frame_energy(
     df: DataFrame,
     frame_bytes: int = 8,

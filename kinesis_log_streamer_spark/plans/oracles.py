@@ -4137,6 +4137,20 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+# m07: the 32-byte md5-hex payload block-averaged to 8 cells of 4
+# bytes — integer floor means, recomputable from ascii() exactly.
+ORACLES["m07_image_resize"] = """
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+cells AS (SELECT unnest(range(0, 8)) AS j)
+SELECT doc_id,
+       CAST(j AS INT) AS cell_no,
+       CAST((ascii(substr(h, 4*j + 1, 1)) + ascii(substr(h, 4*j + 2, 1))
+             + ascii(substr(h, 4*j + 3, 1)) + ascii(substr(h, 4*j + 4, 1)))
+            // 4 AS BIGINT) AS px
+FROM m, cells
+ORDER BY doc_id, cell_no
+"""
+
 ORACLES["q124_argminmax_battery"] = """
 SELECT o_orderpriority,
        arg_max(o_orderkey,

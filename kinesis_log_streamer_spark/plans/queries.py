@@ -1321,6 +1321,23 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_no")
 
 
+def m07_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE pass of the multimodal pipeline
+    (`operators/multimodal.py:resize_media` — Arrow-batched block
+    averaging, the BOX-filter downsample) under the oracle: the ASCII
+    md5 payload (32 bytes) shrinks to 8 cells of exact integer means,
+    which DuckDB recomputes byte-for-byte with ascii()/substr.
+    Completes the decode / feature-extract / RESIZE / frame-sample
+    quartet (m02/m06/m07/m03); swapping the stub for a real PIL
+    resize changes only the inner batch function."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "payload_src", F.md5(F.col("text"))
+    )
+    media = M.attach_binary_payload(docs, text_col="payload_src", kind="digest")
+    cells = M.resize_media(media, target_w=8, fake=True)
+    return cells.orderBy("doc_id", "cell_no")
+
+
 def l01_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache access-log analytics end to end: synthesize FIXTURES §A1
     JSON records from events, parse with the declared schema
@@ -9322,6 +9339,7 @@ REGISTRY = {
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
     "q125_null_format_battery": q125_null_format_battery,
+    "m07_image_resize": m07_image_resize,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,

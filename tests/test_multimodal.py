@@ -48,3 +48,22 @@ class TestBinaryPlumbing:
         f0 = sorted(by_doc[0], key=lambda r: r.frame_no)
         assert [r.frame_offset for r in f0] == [0, 2]
         assert f0[0].frame_token == "a" and f0[1].frame_token == "c"
+
+    def test_resize_block_averages(self, media):
+        # doc 0 payload "abcd" (97,98,99,100) -> 2 cells of 2 bytes:
+        # (97+98)//2 = 97, (99+100)//2 = 99
+        out = {
+            (r.doc_id, r.cell_no): r.px
+            for r in M.resize_media(media, target_w=2, fake=True).collect()
+        }
+        assert out[(0, 0)] == 97 and out[(0, 1)] == 99
+        # doc 1 payload "xyz" (120,121,122): bounds 0,1,3 ->
+        # cell0 = 120, cell1 = (121+122)//2 = 121
+        assert out[(1, 0)] == 120 and out[(1, 1)] == 121
+
+    def test_resize_real_path_raises(self, media):
+        with pytest.raises(Exception) as exc_info:
+            M.resize_media(media, fake=False).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
