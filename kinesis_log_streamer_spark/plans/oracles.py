@@ -4137,6 +4137,25 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+# q126: closed form of the doubling loop — smallest k in
+# thr = 1000*2^k with exceed-count under 100 (k=0 when already under,
+# matching the script's no-iteration path).
+ORACLES["q126_sql_scripting"] = """
+WITH ks AS (SELECT unnest(range(0, 40)) AS k),
+counts AS (
+    SELECT k,
+           CAST(count(*) FILTER (WHERE o_totalprice > 1000.0 * power(2, k))
+                AS BIGINT) AS n_above
+    FROM orders CROSS JOIN ks
+    GROUP BY k
+)
+SELECT 1000.0 * power(2, k) AS threshold, n_above
+FROM counts
+WHERE n_above < 100
+ORDER BY k
+LIMIT 1
+"""
+
 # m07: the 32-byte md5-hex payload block-averaged to 8 cells of 4
 # bytes — integer floor means, recomputable from ascii() exactly.
 ORACLES["m07_image_resize"] = """

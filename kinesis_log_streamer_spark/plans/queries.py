@@ -8929,6 +8929,42 @@ def q125_null_format_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q126_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4.0 ``BEGIN … END`` compound statements:
+    session variables, WHILE control flow, scalar-subquery SET) doing
+    real iterative work: double a price threshold until fewer than
+    100 orders exceed it — the adaptive-cutoff search a report
+    auto-scaler runs.  Every iterate is thr = 1000·2^k (exact float
+    doubling), so the DuckDB oracle states the closed form: the
+    smallest k whose exceed-count drops under 100, computed in one
+    grouped FILTER aggregate.  The script's loop body runs whole
+    Spark SQL statements — control flow on the driver, data flow
+    distributed — which is the right split at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("klss_q126_orders")
+    prev = spark.conf.get("spark.sql.scripting.enabled", "false")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr DOUBLE DEFAULT 1000.0;
+              DECLARE n BIGINT DEFAULT -1;
+              SET n = (SELECT count(*) FROM klss_q126_orders
+                       WHERE o_totalprice > thr);
+              WHILE n >= 100 DO
+                SET thr = thr * 2;
+                SET n = (SELECT count(*) FROM klss_q126_orders
+                         WHERE o_totalprice > thr);
+              END WHILE;
+              SELECT thr AS threshold, n AS n_above;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
 def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF with a TABLE ARGUMENT (Spark 3.5 table-valued function
     input): ``PARTITION BY`` routes each event-type partition through
@@ -9340,6 +9376,7 @@ REGISTRY = {
     "q124_argminmax_battery": q124_argminmax_battery,
     "q125_null_format_battery": q125_null_format_battery,
     "m07_image_resize": m07_image_resize,
+    "q126_sql_scripting": q126_sql_scripting,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
