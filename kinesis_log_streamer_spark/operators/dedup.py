@@ -586,3 +586,105 @@ def portable_minhash_sweep(
         )
         .orderBy("n_bands")
     )
+
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def portable_simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with an ENGINE-PORTABLE hash family —
+    the d03→d17 twin of the d02→d05 MinHash relationship.
+
+    Production :func:`simhash_pairs` uses xxhash64 (JVM-only, rows-
+    only check); here signature bit i is the MAJORITY VOTE of the
+    PARITY of hex char i across one md5 per DISTINCT token (ties →
+    set, ``2·cnt ≥ n``), packed into a 32-bit integer — md5 hex is
+    identical in Spark and DuckDB and all downstream math is integer
+    (shift/mask banding, ``bit_count(xor)`` hamming), so the ENTIRE
+    pipeline replays in SQL and the exact pair set is oracle-hashed.
+
+    Candidates via the pigeonhole principle: 4 × 8-bit chunks of the
+    signature; any pair within hamming ≤ 3 must agree on ≥ 1 chunk,
+    so four equi-joins reach EXACT recall (not LSH-probabilistic) at
+    shuffle O(docs × 4).  Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    from functools import reduce
+    from operator import add
+
+    from kinesis_log_streamer_spark.operators.parallelize import (
+        spread_for_compute,
+    )
+
+    tok = tokens_col(F.col(text_col))
+    base = (
+        spread_for_compute(df.select(id_col, text_col))
+        .filter(F.size(tok) >= 1)
+        .select(
+            F.col(id_col).alias("id"), F.array_distinct(tok).alias("t")
+        )
+    )
+    dig = base.select(
+        "id",
+        F.transform("t", lambda x: F.md5(x)).alias("dig"),
+        F.size("t").alias("n"),
+    )
+
+    def cnt(i: int) -> Column:
+        return F.aggregate(
+            "dig",
+            F.lit(0),
+            lambda a, d: a
+            + F.when(F.substring(d, i + 1, 1).isin(*_ODD_HEX), 1).otherwise(
+                0
+            ),
+        )
+
+    sig = reduce(
+        add,
+        [
+            (2 * cnt(i) >= F.col("n")).cast("long") * F.lit(1 << i)
+            for i in range(32)
+        ],
+    )
+    sigs = dig.select("id", sig.alias("sig"))
+
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright("sig", 8 * b).bitwiseAND(F.lit(255))
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.expr("bit_count(a.sig ^ b.sig)")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -4137,6 +4137,54 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+# d17: full replay of the portable 32-bit SimHash pipeline
+# (operators/dedup.py:portable_simhash_pairs) — signature bit i is the
+# majority vote of hex-char-i parity over one md5 per distinct token,
+# banding is integer shift/mask, verification bit_count(xor) <= 3.
+def _d17_oracle() -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    bit_terms = "\n         + ".join(
+        f"CASE WHEN 2 * len(list_filter(dg, d -> substr(d, {i + 1}, 1) "
+        f"IN {odd})) >= n THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(32)
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents
+),
+dig AS (
+    SELECT doc_id, list_transform(t, x -> md5(x)) AS dg,
+           CAST(len(t) AS BIGINT) AS n
+    FROM base WHERE len(t) >= 1
+),
+sigs AS (
+    SELECT doc_id,
+           ({bit_terms}) AS sig
+    FROM dig
+),
+chunks AS (
+    SELECT doc_id, sig, b.i AS band, (sig >> (8 * b.i)) & 255 AS key
+    FROM sigs, (SELECT unnest(range(0, 4)) AS i) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM chunks a
+    JOIN chunks b ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["d17_portable_simhash_pairs"] = _d17_oracle()
+
 # q126: closed form of the doubling loop — smallest k in
 # thr = 1000*2^k with exceed-count under 100 (k=0 when already under,
 # matching the script's no-iteration path).

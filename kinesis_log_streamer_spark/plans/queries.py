@@ -931,6 +931,23 @@ def t02_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def d17_portable_simhash_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SimHash dedup FULLY under the oracle — the d03→d17 twin of the
+    d02→d05 MinHash relationship (every rows-only hash family now has
+    an exact-hash-gated sibling): 32-bit majority-vote signature from
+    hex-char parities of one md5 per distinct token
+    (`operators/dedup.portable_simhash_pairs`), pigeonhole 4×8-bit
+    chunk banding (EXACT recall at hamming ≤ 3, not LSH-
+    probabilistic), integer ``bit_count(xor)`` verify.  DuckDB
+    replays signature, banding, and verification bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.portable_simhash_pairs(docs, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def t03_langid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted language (argmax heuristic) confusion counts vs the
     labeled lang. Struct-argmax is engine-specific on ties → rows-only."""
@@ -9377,6 +9394,7 @@ REGISTRY = {
     "q125_null_format_battery": q125_null_format_battery,
     "m07_image_resize": m07_image_resize,
     "q126_sql_scripting": q126_sql_scripting,
+    "d17_portable_simhash_pairs": d17_portable_simhash_pairs,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
