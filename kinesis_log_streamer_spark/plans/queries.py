@@ -9258,6 +9258,15 @@ REGISTRY = {
     # families (dedup/text/similarity/multimodal) first, then
     # streaming/graph/kinesis/UDF/formats, then the SQL surface.
     #
+    # ROUND-5 REORDER (mechanical): the r04 driver window verifies the
+    # first ~50 entries — blocks 1+2 through ≈f17/f18.  Round 5 must
+    # move to the front: (1) any r04 FAIL/ERR re-checks from
+    # CORRECTNESS_r04.json, (2) the remaining never-verified block-2
+    # tail (f19…f22, w01…w04, p04…p06, l11…l17, then q64…q120), (3)
+    # the r04 block-3 additions (k04, st15, q121, q123, q124, q125,
+    # m07, q126, d17) — ~75 entries pending in total, which still
+    # exceeds one window; keep the same family-value ordering.
+    #
     # -- block 1: re-checks (fresh verdict needed) -------------------
     "q53_decimal_exact": q53_decimal_exact,
     "s08_pq_topk": s08_pq_topk,
