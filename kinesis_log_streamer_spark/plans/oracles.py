@@ -4137,6 +4137,62 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+# q127: the outer explode rebuilt as a ranked left join — childless
+# orders keep their single all-null row, pos = 0-based rank within
+# the (linenumber, quantity) sort the Spark side applies pre-explode.
+ORACLES["q127_generator_outer"] = """
+WITH sel AS (
+    SELECT o_orderkey FROM orders WHERE o_orderkey % 89 = 0
+),
+heavy AS (
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 48
+)
+SELECT s.o_orderkey,
+       CASE WHEN h.l_linenumber IS NULL THEN NULL
+            ELSE CAST(row_number() OVER (
+                     PARTITION BY s.o_orderkey
+                     ORDER BY h.l_linenumber, h.l_quantity) - 1 AS INT)
+       END AS pos,
+       h.l_linenumber,
+       round(h.l_quantity, 2) AS qty
+FROM sel s LEFT JOIN heavy h ON h.l_orderkey = s.o_orderkey
+ORDER BY o_orderkey, pos
+"""
+
+# p07: PSI over the observed (event_type, bin) set with Laplace
+# smoothing (cnt+1)/(n+10); both engines group over the same observed
+# bins so the sums align term-for-term.
+ORACLES["p07_psi_drift"] = """
+WITH binned AS (
+    SELECT event_type,
+           event_id % 2 = 0 AS is_base,
+           least(CAST(floor(value / 50) AS INT), 9) AS bin
+    FROM events
+),
+cnts AS (
+    SELECT event_type, bin,
+           CAST(count(*) FILTER (WHERE is_base) AS BIGINT) AS nb,
+           CAST(count(*) FILTER (WHERE NOT is_base) AS BIGINT) AS nc
+    FROM binned GROUP BY event_type, bin
+),
+tots AS (
+    SELECT event_type,
+           CAST(sum(nb) AS BIGINT) AS tb,
+           CAST(sum(nc) AS BIGINT) AS tc
+    FROM cnts GROUP BY event_type
+)
+SELECT c.event_type,
+       round(sum( ((c.nb + 1.0) / (t.tb + 10) - (c.nc + 1.0) / (t.tc + 10))
+                  * ln( ((c.nb + 1.0) / (t.tb + 10))
+                        / ((c.nc + 1.0) / (t.tc + 10)) ) ), 4) AS psi,
+       CAST(sum(c.nb) AS BIGINT) AS n_base,
+       CAST(sum(c.nc) AS BIGINT) AS n_cur
+FROM cnts c JOIN tots t USING (event_type)
+GROUP BY c.event_type
+ORDER BY c.event_type
+"""
+
 # d17: full replay of the portable 32-bit SimHash pipeline
 # (operators/dedup.py:portable_simhash_pairs) — signature bit i is the
 # majority vote of hex-char-i parity over one md5 per distinct token,

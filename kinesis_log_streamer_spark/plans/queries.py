@@ -8982,6 +8982,85 @@ def q126_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.scripting.enabled", prev)
 
 
+def q127_generator_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER generator semantics (``posexplode_outer``): orders whose
+    heavy-lineitem array is EMPTY must still emit one all-null row —
+    the left-join-shaped explode an enrichment pipeline needs so
+    parents without children survive the fan-out.  The array is
+    ``array_sort``-ed before exploding (collect_list order is
+    partition-dependent; sorting is what makes pos deterministic),
+    and the oracle rebuilds pos with a ranked left join."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 89 == 0
+    ).select("o_orderkey")
+    heavy = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 48
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+    # collect_list skips NULL elements but NOT structs of nulls — the
+    # left join's no-match rows must collapse to a true NULL so
+    # childless orders end with an EMPTY array (the outer case).
+    item = F.when(
+        F.col("l_orderkey").isNotNull(),
+        F.struct("l_linenumber", "l_quantity"),
+    )
+    arr = (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.array_sort(F.collect_list(item)).alias("items"))
+    )
+    return (
+        arr.select(
+            "o_orderkey", F.posexplode_outer("items").alias("pos", "it")
+        )
+        .select(
+            "o_orderkey",
+            "pos",
+            F.col("it.l_linenumber").alias("l_linenumber"),
+            F.round("it.l_quantity", 2).alias("qty"),
+        )
+        .orderBy("o_orderkey", "pos")
+    )
+
+
+def p07_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor — the distribution-
+    shift check a training-data pipeline runs between a baseline and
+    a current batch before trusting new data: events split by id
+    parity into baseline/current, values binned into 10 fixed-width
+    buckets, PSI = Σ (p−q)·ln(p/q) over Laplace-smoothed shares
+    ((cnt+1)/(n+10) — no zero bins, fully deterministic).  One
+    grouped aggregate per half plus a 10-row join; at 100 TB the
+    shuffle carries |event_types|·10 rows.  Rounded to 4 decimals
+    (10-term float sum association — ACCEPTED-FP-RISK, see u04)."""
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("is_base"),
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+    )
+    cnts = binned.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("is_base")).alias("nb"),
+        F.count_if(~F.col("is_base")).alias("nc"),
+    )
+    tots = cnts.groupBy("event_type").agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc")
+    )
+    p = (F.col("nb") + 1) / (F.col("tb") + 10)
+    q = (F.col("nc") + 1) / (F.col("tc") + 10)
+    return (
+        cnts.join(tots, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+            F.sum("nb").alias("n_base"),
+            F.sum("nc").alias("n_cur"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF with a TABLE ARGUMENT (Spark 3.5 table-valued function
     input): ``PARTITION BY`` routes each event-type partition through
@@ -9404,6 +9483,8 @@ REGISTRY = {
     "m07_image_resize": m07_image_resize,
     "q126_sql_scripting": q126_sql_scripting,
     "d17_portable_simhash_pairs": d17_portable_simhash_pairs,
+    "q127_generator_outer": q127_generator_outer,
+    "p07_psi_drift": p07_psi_drift,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
