@@ -4137,6 +4137,28 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+ORACLES["s18_mips_topk"] = """
+WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+    SELECT q.qid, e.vec_id,
+           round(list_dot_product(e.embedding::DOUBLE[], q.qv), 4) AS ip
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid
+),
+ranked AS (
+    SELECT qid, vec_id, ip,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY ip DESC, vec_id) AS rnk
+    FROM scored
+)
+SELECT qid, vec_id, ip, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
 # q127: the outer explode rebuilt as a ranked left join — childless
 # orders keep their single all-null row, pos = 0-based rank within
 # the (linenumber, quantity) sort the Spark side applies pre-explode.

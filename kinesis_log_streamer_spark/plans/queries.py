@@ -1133,6 +1133,42 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=10).orderBy("qid", "rnk")
 
 
+def s18_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-INNER-PRODUCT top-5 (the recommendation/retrieval
+    scoring objective): rank by RAW dot product, not cosine — the two
+    orders genuinely diverge when corpus norms vary, which is why
+    MIPS is its own retrieval mode.  Exact brute force over the
+    broadcast query set (s01's shape), sequential-fold dot so the
+    score is bit-comparable with DuckDB's ``list_dot_product``.
+
+    Scale path: the norm-augmentation reduction
+    ``[v; sqrt(M² − |v|²)]`` (Bachrach et al.) turns MIPS into
+    cosine search, so the s03/s05 LSH/IVF machinery applies
+    unchanged; this exact twin is the gate those approximate runs
+    would be scored against."""
+    from kinesis_log_streamer_spark.functions.vector import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid", "vec_id", F.round(dot(F.col("v"), F.col("qv")), 4).alias("ip")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("ip"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("qid", "rnk")
+    )
+
+
 def s02_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norm statistics (array math via
     zip_with/aggregate — no UDF)."""
@@ -9485,6 +9521,7 @@ REGISTRY = {
     "d17_portable_simhash_pairs": d17_portable_simhash_pairs,
     "q127_generator_outer": q127_generator_outer,
     "p07_psi_drift": p07_psi_drift,
+    "s18_mips_topk": s18_mips_topk,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
