@@ -4137,6 +4137,54 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+ORACLES["t26_zipf_fit"] = """
+WITH terms AS (
+    SELECT source, t.term
+    FROM (SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          FROM documents) t
+    WHERE t.term <> ''
+),
+freqs AS (
+    SELECT source, term, CAST(count(*) AS BIGINT) AS freq
+    FROM terms GROUP BY source, term
+),
+head AS (
+    SELECT source, freq,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY freq DESC, term) AS rk
+    FROM freqs
+    QUALIFY rk <= 100
+)
+SELECT source,
+       round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                        ln(CAST(rk AS DOUBLE))), 3) AS zipf_slope,
+       round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                     ln(CAST(rk AS DOUBLE))), 3) AS fit_r2,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM head
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLES["w06_decay_weighted"] = """
+WITH anchor AS (SELECT max(epoch_us(ts)) AS amax FROM events),
+aged AS (
+    SELECT event_type, value,
+           (a.amax - epoch_us(ts)) // 86400000000 AS age_d
+    FROM events, anchor a
+)
+SELECT event_type,
+       round(sum(value * power(2.0, -CAST(age_d AS DOUBLE) / 30.0)), 2)
+           AS weighted_sum,
+       round(sum(power(2.0, -CAST(age_d AS DOUBLE) / 30.0)), 2)
+           AS effective_n,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM aged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES["s18_mips_topk"] = """
 WITH q AS (
     SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

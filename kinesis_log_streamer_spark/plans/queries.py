@@ -9097,6 +9097,67 @@ def p07_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t26_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source — the corpus-health diagnostic a
+    text-pipeline audit runs (natural language tracks slope ≈ −1 in
+    log-log rank/frequency; generated or corrupted text drifts): term
+    frequencies ranked (freq desc, term asc — deterministic at tie
+    boundaries), top-100 head, then ``regr_slope``/``regr_r2`` of
+    ln(freq) on ln(rank).  One explode-count shuffle + one tiny
+    window; the regression runs over ≤100 rows per source.  Rounded
+    to 3 (regression sums reassociate across engines — q119's
+    ACCEPTED-FP-RISK)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(D.tokens_col(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    freqs = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = W.partitionBy("source").orderBy(F.desc("freq"), F.asc("term"))
+    head = freqs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 100
+    )
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return (
+        head.groupBy("source")
+        .agg(
+            F.round(F.regr_slope(y, x), 3).alias("zipf_slope"),
+            F.round(F.regr_r2(y, x), 3).alias("fit_r2"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy("source")
+    )
+
+
+def w06_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decay weighted aggregates — the freshness weighting a
+    training-data mixer applies (half-life 30 days): weight =
+    2^(−age_days/30) with age in EXACT integer days from the corpus
+    max timestamp (integer µs arithmetic — no float date math), so
+    the only cross-engine float work is one exp2 per distinct age and
+    the rounded weighted sums.  Shape: a broadcast scalar anchor + one
+    hash aggregate; identical at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.unix_micros("ts")).alias("amax"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "value",
+        F.expr("(amax - unix_micros(ts)) DIV 86400000000").alias("age_d"),
+    )
+    wgt = F.pow(F.lit(2.0), -F.col("age_d").cast("double") / 30.0)
+    return (
+        aged.groupBy("event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * wgt), 2).alias("weighted_sum"),
+            F.round(F.sum(wgt), 2).alias("effective_n"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF with a TABLE ARGUMENT (Spark 3.5 table-valued function
     input): ``PARTITION BY`` routes each event-type partition through
@@ -9522,6 +9583,8 @@ REGISTRY = {
     "q127_generator_outer": q127_generator_outer,
     "p07_psi_drift": p07_psi_drift,
     "s18_mips_topk": s18_mips_topk,
+    "t26_zipf_fit": t26_zipf_fit,
+    "w06_decay_weighted": w06_decay_weighted,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
