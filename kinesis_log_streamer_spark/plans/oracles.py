@@ -4137,6 +4137,57 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+ORACLES["q128_try_parse_battery"] = """
+WITH src AS (
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN '99/99/' || strftime(o_orderdate, '%Y')
+                ELSE strftime(o_orderdate, '%d/%m/%Y') END AS s_date,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'x' ELSE '' END
+           || format('{:,}',
+                     CAST(round(o_totalprice * 100) AS BIGINT) // 100)
+           || '.'
+           || lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                        AS VARCHAR), 2, '0') AS s_num
+    FROM orders WHERE o_orderkey % 17 = 0
+)
+SELECT o_orderkey,
+       try_strptime(s_date, '%d/%m/%Y') AS parsed_date,
+       TRY_CAST(replace(s_num, ',', '') AS DOUBLE) AS amount,
+       CAST(try_strptime(s_date, '%d/%m/%Y') IS NOT NULL AS INT) AS ok_date,
+       CAST(TRY_CAST(replace(s_num, ',', '') AS DOUBLE) IS NOT NULL AS INT)
+           AS ok_num
+FROM src
+ORDER BY o_orderkey
+"""
+
+ORACLES["g05_degree_stats"] = """
+WITH raw AS (
+    SELECT user_id % 100 AS src,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS dst
+    FROM events
+),
+edges AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM raw
+    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+endpoints AS (
+    SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+),
+degrees AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM endpoints GROUP BY node
+)
+SELECT degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS min_node,
+       max(node) AS max_node
+FROM degrees
+GROUP BY degree
+ORDER BY degree
+"""
+
 ORACLES["t26_zipf_fit"] = """
 WITH terms AS (
     SELECT source, t.term

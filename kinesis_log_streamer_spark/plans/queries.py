@@ -5902,6 +5902,43 @@ def g03_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges, source=0).orderBy("node")
 
 
+def g05_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph PROFILING over the q56/g02 interaction graph: undirected
+    degree per node rolled into a degree histogram plus per-bucket
+    min/max node ids — the structure audit (hubs? isolates? skew?)
+    run before committing to an iterative algorithm, and the
+    degree-skew signal that decides salting for g01-style joins.
+    Shape: distinct-edge dedup, one explode to endpoint rows, two
+    hash aggregates — no iteration, no windows over the full node
+    set."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("src"),
+        (F.get_json_object("props", "$.k").cast("long") % 100).alias("dst"),
+    )
+    edges = (
+        ev.na.drop()
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    endpoints = edges.select(F.explode(F.array("a", "b")).alias("node"))
+    degrees = endpoints.groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        degrees.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("degree")
+    )
+
+
 def w02_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (the multilingual-LM recipe:
     sample probability ∝ count^α, α = 0.5, flattening head sources
@@ -9158,6 +9195,38 @@ def w06_decay_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q128_try_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant PARSING (the ingest face of q75/q103's
+    error-tolerant arithmetic): ``try_to_timestamp`` with an explicit
+    pattern and ``try_to_number`` with a grouped money format, each
+    fed a deterministic mix of valid and corrupted strings built from
+    the data itself — invalid inputs must yield NULL, never raise.
+    The oracle parses with DuckDB's independent implementations
+    (``try_strptime``; comma-strip + TRY_CAST), so the two engines'
+    notions of 'parseable' are pinned against each other on every
+    row."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 17 == 0
+    )
+    s_date = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.concat(F.lit("99/99/"), F.date_format("o_orderdate", "yyyy")),
+    ).otherwise(F.date_format("o_orderdate", "dd/MM/yyyy"))
+    s_num = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        F.concat(F.lit("x"), F.format_number(F.col("o_totalprice"), 2)),
+    ).otherwise(F.format_number(F.col("o_totalprice"), 2))
+    parsed = F.try_to_timestamp(s_date, F.lit("dd/MM/yyyy"))
+    amount = F.try_to_number(s_num, F.lit("999,999,999.99")).cast("double")
+    return orders.select(
+        "o_orderkey",
+        parsed.alias("parsed_date"),
+        amount.alias("amount"),
+        parsed.isNotNull().cast("int").alias("ok_date"),
+        amount.isNotNull().cast("int").alias("ok_num"),
+    ).orderBy("o_orderkey")
+
+
 def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF with a TABLE ARGUMENT (Spark 3.5 table-valued function
     input): ``PARTITION BY`` routes each event-type partition through
@@ -9586,6 +9655,8 @@ REGISTRY = {
     "s18_mips_topk": s18_mips_topk,
     "t26_zipf_fit": t26_zipf_fit,
     "w06_decay_weighted": w06_decay_weighted,
+    "g05_degree_stats": g05_degree_stats,
+    "q128_try_parse_battery": q128_try_parse_battery,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
