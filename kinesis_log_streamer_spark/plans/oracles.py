@@ -4137,6 +4137,26 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+# w07: the frequency form replayed as its multiset definition — each
+# row expanded w times, then plain continuous quantiles.
+ORACLES["w07_weighted_percentile"] = """
+WITH e AS (
+    SELECT event_type, value, CAST(event_id % 3 + 1 AS INT) AS w
+    FROM events
+),
+x AS (
+    SELECT event_type, value, w FROM e, unnest(range(e.w)) AS t(i)
+)
+SELECT event_type,
+       round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90,
+       round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 4) AS p99,
+       CAST(count(*) AS BIGINT) AS total_weight
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES["q128_try_parse_battery"] = """
 WITH src AS (
     SELECT o_orderkey, o_orderdate, o_totalprice,

@@ -9227,6 +9227,35 @@ def q128_try_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def w07_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED percentiles — the quantile a pipeline needs once
+    rows carry importance weights (sampling corrections, duplication
+    counts): ``percentile(value, p, frequency)`` with a deterministic
+    integer weight, per event type.  Spark computes it directly from
+    (value, weight) pairs; the oracle EXPANDS each row ``w`` times and
+    takes plain ``quantile_cont`` — the two formulations are
+    definitionally equal, so the hash match pins Spark's frequency
+    semantics against the multiset definition rather than against a
+    re-implementation of itself.  Scale: the direct form shuffles one
+    (value, weight) pair per row; the expansion exists only on the
+    oracle side."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        ((F.col("event_id") % 3) + 1).cast("int").alias("w"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5, w)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9, w)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99, w)"), 4).alias("p99"),
+            F.sum("w").alias("total_weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF with a TABLE ARGUMENT (Spark 3.5 table-valued function
     input): ``PARTITION BY`` routes each event-type partition through
@@ -9657,6 +9686,7 @@ REGISTRY = {
     "w06_decay_weighted": w06_decay_weighted,
     "g05_degree_stats": g05_degree_stats,
     "q128_try_parse_battery": q128_try_parse_battery,
+    "w07_weighted_percentile": w07_weighted_percentile,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
