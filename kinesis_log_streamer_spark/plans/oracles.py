@@ -4137,6 +4137,17 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+ORACLES["i06_json_seq_roundtrip"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id % 97 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 # w07: the frequency form replayed as its multiset definition — each
 # row expanded w times, then plain continuous quantiles.
 ORACLES["w07_weighted_percentile"] = """

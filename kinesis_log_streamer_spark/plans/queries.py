@@ -2766,6 +2766,49 @@ def i05_concat_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_concatenated_json(spark, path).orderBy("value")
 
 
+def i06_json_seq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 7464 JSON text sequences (record-separator-delimited JSON,
+    ``application/json-seq``) — the reference's line-splitting
+    contract (S2, linestreamer.go:59-84) generalized to a
+    non-newline delimiter: records are written AND read with the text
+    source's ``lineSep`` option set to RS (0x1E), so multi-line or
+    newline-bearing payloads survive where plain JSON-lines breaks.
+    Both legs stay distributed (the text WRITER takes lineSep too —
+    no driver-side fixture loop); the parsed rollup must hash-match
+    the direct aggregate, proving zero records lost, duplicated, or
+    torn at separator boundaries."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "klss_i06_jsonseq")
+    shutil.rmtree(path, ignore_errors=True)
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    payload = ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias(
+            "value"
+        )
+    )
+    payload.coalesce(2).write.option("lineSep", "\x1e").text(path)
+
+    raw = spark.read.option("lineSep", "\x1e").text(path)
+    parsed = raw.filter(F.length(F.trim("value")) > 0).select(
+        F.from_json(
+            "value", "event_id long, event_type string, value double"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("r.event_id").alias("n_distinct"),
+            F.round(F.sum("r.value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def u02_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas UDF surface inside the correctness gate
     (`functions/udfs.py:vec_norm_pd`): Arrow-batched L2 norms over the
@@ -9687,6 +9730,7 @@ REGISTRY = {
     "g05_degree_stats": g05_degree_stats,
     "q128_try_parse_battery": q128_try_parse_battery,
     "w07_weighted_percentile": w07_weighted_percentile,
+    "i06_json_seq_roundtrip": i06_json_seq_roundtrip,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
