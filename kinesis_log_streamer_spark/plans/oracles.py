@@ -4137,6 +4137,45 @@ WHERE o_orderkey % 101 = 0
 ORDER BY o_orderkey
 """
 
+ORACLES["d18_normalized_dedup"] = """
+WITH docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000,
+           regexp_replace(upper(text), ' ', '  ', 'g') || ' .'
+    FROM documents WHERE doc_id % 10 = 0
+),
+n AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[.,!?;:''\"]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS fp,
+           md5(text) AS raw_fp
+    FROM docs
+)
+SELECT fp,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT raw_fp) AS BIGINT) AS raw_variants,
+       min(doc_id) AS keeper
+FROM n
+GROUP BY fp
+HAVING count(*) >= 2
+ORDER BY fp
+"""
+
+# f23: the layout contract in closed form — one write task under
+# maxRecordsPerFile=400 yields ceil(n/400) files, each <= 400 rows.
+ORACLES["f23_max_records_per_file"] = """
+WITH c AS (
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT n AS n_rows,
+       CAST((n + 399) // 400 AS BIGINT) AS n_files,
+       1 AS size_ok
+FROM c
+"""
+
 ORACLES["i06_json_seq_roundtrip"] = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_records,

@@ -948,6 +948,53 @@ def d17_portable_simhash_pairs(
     )
 
 
+def d18_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-BEFORE-dedup — the normalization pass that
+    makes exact dedup (d01) catch trivially-reformatted copies: text
+    lowercased, punctuation stripped, whitespace collapsed and
+    trimmed, THEN md5-grouped.  Reported per group: copies under the
+    normalized key vs distinct RAW texts it merged (raw_variants > 1
+    is exactly the set d01 would have missed).  The corpus carries no
+    byte-exact duplicates, so every tenth document is unioned back as
+    a deterministically REFORMATTED copy (uppercased, doubled spaces,
+    trailing punctuation) — the query must merge each copy with its
+    original and nothing else.  Same scale shape as d01 — only the
+    16-byte fingerprint shuffles.  Regex semantics are engine-pinned
+    the t14 way (plain character classes, no engine-specific
+    escapes)."""
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    reformatted = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.regexp_replace(F.upper(F.col("text")), " ", "  "),
+            F.lit(" ."),
+        ).alias("text"),
+    )
+    docs = base.unionByName(reformatted)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[.,!?;:'\"]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            F.md5(norm).alias("fp"),
+            F.md5(F.col("text")).alias("raw_fp"),
+            "doc_id",
+        )
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("raw_fp").alias("raw_variants"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy("fp")
+    )
+
+
 def t03_langid_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted language (argmax heuristic) confusion counts vs the
     labeled lang. Struct-argmax is engine-specific on ties → rows-only."""
@@ -2806,6 +2853,40 @@ def i06_json_seq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("r.value"), 2).alias("sum_value"),
         )
         .orderBy("event_type")
+    )
+
+
+def f23_max_records_per_file(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """File-size governance at write time: ``maxRecordsPerFile`` must
+    split a single write task's output into ⌈n/limit⌉ files of at
+    most ``limit`` rows — the knob that bounds file sizes when a
+    task's partition is huge (the write-side complement of f07's
+    small-file compaction).  The gate reads the layout back through
+    ``input_file_name()`` and asserts the file count, the per-file
+    cap, and zero lost rows against the closed-form expectation the
+    oracle states from the row count alone."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "klss_f23_maxrec")
+    shutil.rmtree(path, ignore_errors=True)
+
+    sub = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    ).select("o_orderkey", "o_totalprice")
+    sub.repartition(1).write.option("maxRecordsPerFile", 400).parquet(path)
+
+    back = spark.read.parquet(path).withColumn(
+        "_f", F.input_file_name()
+    )
+    per_file = back.groupBy("_f").agg(F.count(F.lit(1)).alias("c"))
+    return per_file.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_files"),
+        (F.max("c") <= 400).cast("int").alias("size_ok"),
     )
 
 
@@ -9731,6 +9812,8 @@ REGISTRY = {
     "q128_try_parse_battery": q128_try_parse_battery,
     "w07_weighted_percentile": w07_weighted_percentile,
     "i06_json_seq_roundtrip": i06_json_seq_roundtrip,
+    "d18_normalized_dedup": d18_normalized_dedup,
+    "f23_max_records_per_file": f23_max_records_per_file,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
