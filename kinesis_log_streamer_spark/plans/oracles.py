@@ -2572,6 +2572,17 @@ GROUP BY n_regionkey
 ORDER BY n_regionkey
 """
 
+ORACLES["k05_python_datasource_writer"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id % 23 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 # k04: the at-most-once survivor set is exact — the %5 payload minus
 # the deterministically throttled %10 records leaves event_id%10==5;
 # equal n_events/n_distinct additionally pins zero duplication (a

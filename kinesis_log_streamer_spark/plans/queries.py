@@ -8239,6 +8239,72 @@ def k04_at_most_once_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k05_python_datasource_writer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WRITE side of the Python Data Source API (Spark 4
+    ``DataSourceWriter``): ``df.write.format("kinesis_py")`` ships
+    (data, partitionKey) rows through the PutRecords contract
+    executor-side — the declarative batch twin of the foreachBatch
+    KinesisSink, completing source/sink symmetry on one DataSource
+    class (`sources/kinesis_source.py:KinesisDataSourceWriter`).  The
+    stream is read back through the SAME class's streaming reader and
+    rolled up; the hash match proves the writer neither lost,
+    duplicated, nor altered a record, and that hash-routing landed
+    every record in exactly one shard."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.sources.kinesis_source import (
+        KinesisDataSource,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ep = os.path.join(tempfile.gettempdir(), "klss_k05_stream")
+    shutil.rmtree(ep, ignore_errors=True)
+
+    payload = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 23 == 0
+    ).select(
+        F.to_json(
+            F.struct("event_id", "event_type", "value")
+        ).alias("data"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 8).cast("string")).alias(
+            "partitionKey"
+        ),
+    )
+    spark.dataSource.register(KinesisDataSource)
+    (
+        payload.coalesce(2)
+        .write.format("kinesis_py")
+        .option("endpoint", f"dir:{ep}")
+        .mode("append")
+        .save()
+    )
+
+    raw = (
+        spark.readStream.format("kinesis_py")
+        .option("endpoint", f"dir:{ep}")
+        .load()
+    )
+    _drain_stream_to_table(raw, "k05_out", mode="append")
+    parsed = spark.table("k05_out").select(
+        F.from_json(
+            "data", "event_id long, event_type string, value double"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("r.event_id").alias("n_distinct"),
+            F.round(F.sum("r.value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def s15_ivf_index_persist(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9814,6 +9880,7 @@ REGISTRY = {
     "i06_json_seq_roundtrip": i06_json_seq_roundtrip,
     "d18_normalized_dedup": d18_normalized_dedup,
     "f23_max_records_per_file": f23_max_records_per_file,
+    "k05_python_datasource_writer": k05_python_datasource_writer,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,

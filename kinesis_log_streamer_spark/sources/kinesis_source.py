@@ -58,7 +58,9 @@ from dataclasses import dataclass, field
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = "data string, partitionKey string, shardId string, sequenceNumber long"
@@ -311,6 +313,64 @@ class KinesisDataSource(DataSource):
         if self.options.get("endpoint", "") == "aws":
             return AwsKinesisStreamReader(self.options)
         return KinesisStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "KinesisDataSourceWriter":
+        # Batch WRITE side of the Python Data Source API (Spark 4):
+        # ``df.write.format("kinesis_py").option("endpoint", "dir:...")
+        # .mode("append").save()`` ships (data, partitionKey) rows
+        # through the PutRecords contract — the declarative twin of
+        # the foreachBatch KinesisSink, closing the source/sink
+        # symmetry on one DataSource class.
+        if overwrite:
+            raise ValueError(
+                "kinesis_py is append-only (a stream has no overwrite)"
+            )
+        return KinesisDataSourceWriter(self.options)
+
+
+class KinesisDataSourceWriter(DataSourceWriter):
+    """Executor-side writer: each partition batches its rows through
+    the API-shaped ``chunk_records`` caps and one DirKinesisClient
+    ``put_records`` call per chunk (basestreamer.go:65-72's contract),
+    returning the accepted count as its commit message.  Only ``dir:``
+    endpoints are supported — the AWS transport stays on the
+    foreachBatch sink where retry policy is configurable."""
+
+    def __init__(self, options: dict) -> None:
+        endpoint = options.get("endpoint", "")
+        if not endpoint.startswith("dir:"):
+            raise ValueError(
+                "kinesis_py writer needs a dir: endpoint "
+                f"(got {endpoint!r}); use KinesisSink for AWS"
+            )
+        self._dir = endpoint[4:]
+        self._num_shards = int(options.get("numshards", "2"))
+
+    def write(self, iterator) -> WriterCommitMessage:
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            chunk_records,
+        )
+
+        client = DirKinesisClient(self._dir, self._num_shards)
+        pairs = (
+            (
+                row.data
+                if isinstance(row.data, (bytes, bytearray))
+                else str(row.data).encode(),
+                row.partitionKey,
+            )
+            for row in iterator
+        )
+        n = 0
+        for batch in chunk_records(pairs):
+            client.put_records(
+                StreamName="kinesis_py",
+                Records=[
+                    {"Data": d, "PartitionKey": k} for d, k in batch
+                ],
+            )
+            n += len(batch)
+        return WriterCommitMessage()
 
 
 class DirKinesisClient:
