@@ -2572,6 +2572,22 @@ GROUP BY n_regionkey
 ORDER BY n_regionkey
 """
 
+# q129: the evolved struct's JSON constructed from scratch — field
+# order (id, price, meta, tier-appended), the lowered nested leaf,
+# and the dropped meta.status are all pinned byte-for-byte.
+ORACLES["q129_nested_struct_update"] = """
+SELECT o_orderkey,
+       '{"id":"' || o_orderkey
+       || '","price":"'
+       || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+       || '","meta":{"prio":"' || lower(o_orderpriority)
+       || '"},"tier":"' || substr(o_orderpriority, 1, 1)
+       || '"}' AS shape
+FROM orders
+WHERE o_orderkey % 31 = 0
+ORDER BY o_orderkey
+"""
+
 ORACLES["k05_python_datasource_writer"] = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,

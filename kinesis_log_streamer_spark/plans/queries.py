@@ -9446,6 +9446,40 @@ def w07_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_nested_struct_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """In-place NESTED-STRUCT evolution (``Column.withField`` /
+    ``dropFields``, incl. dotted paths into sub-structs) — how a
+    pipeline amends one leaf of a deep schema without exploding and
+    rebuilding the whole tree (the rebuild is what breaks nested
+    column pruning at scale, f21's concern).  The evolved struct goes
+    on the wire as ``to_json``, so field ORDER, the appended field,
+    the updated nested leaf, and the DROPPED leaf are all pinned
+    byte-for-byte; every field is a string, so the oracle constructs
+    the exact JSON text from scratch."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 31 == 0
+    )
+    price_str = F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    s = F.struct(
+        F.col("o_orderkey").cast("string").alias("id"),
+        price_str.alias("price"),
+        F.struct(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("meta"),
+    )
+    evolved = (
+        s.withField("meta.prio", F.lower(F.col("o_orderpriority")))
+        .withField("tier", F.substring("o_orderpriority", 1, 1))
+        .dropFields("meta.status")
+    )
+    return orders.select(
+        "o_orderkey", F.to_json(evolved).alias("shape")
+    ).orderBy("o_orderkey")
+
+
 def u10_table_arg_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF with a TABLE ARGUMENT (Spark 3.5 table-valued function
     input): ``PARTITION BY`` routes each event-type partition through
@@ -9881,6 +9915,7 @@ REGISTRY = {
     "d18_normalized_dedup": d18_normalized_dedup,
     "f23_max_records_per_file": f23_max_records_per_file,
     "k05_python_datasource_writer": k05_python_datasource_writer,
+    "q129_nested_struct_update": q129_nested_struct_update,
     # -- block 4: green tail (driver-verified in r01/r02/r03) --------
     "i01_wrap_lines": i01_wrap_lines,
     "i02_enrich_json": i02_enrich_json,
