@@ -9761,8 +9761,8 @@ REGISTRY = {
     # move to the front: (1) any r04 FAIL/ERR re-checks from
     # CORRECTNESS_r04.json, (2) the remaining never-verified block-2
     # tail (f19…f22, w01…w04, p04…p06, l11…l17, then q64…q120), (3)
-    # the r04 block-3 additions (k04, k05, st15, q121, q123–q128,
-    # m07, d17, d18, q127, p07, s18, t26, w06, w07, g05, i06, f23) —
+    # the r04 block-3 additions (k04, k05, st15, q121, q123–q129,
+    # m07, d17, d18, p07, s18, t26, w06, w07, g05, i06, f23) —
     # ~90 entries pending in total, which still exceeds one window;
     # keep the same family-value ordering (curation d/t/s/w/p first).
     #
