@@ -10061,3 +10061,70 @@ REGISTRY = {
     "s01_cosine_topk": s01_cosine_topk,
 }
 
+# ROUND-5 REORDER (mechanical, per VERDICT r04 "Next round" #1): the
+# driver's correctness window verifies only the first ~50 REGISTRY
+# entries.  CORRECTNESS_r01–r04 cumulatively cover 192 of the 289
+# names; the 97 below have NEVER received a driver verdict.  Front-load
+# them — curation families (d/t/s/w/p/m) first, then log-analytics and
+# format edges, then the round-4 kinesis/streaming additions, then the
+# q64–q129 SQL tail.  The ~47 that overflow this round's window stay
+# up front for round 6.  The rebuild below is key-set-preserving by
+# construction (asserted), so the registry content cannot drift.
+_ROUND5_FRONT = [
+    # curation: dedup / text / similarity / weighting / pipeline / multimodal
+    "d17_portable_simhash_pairs", "d18_normalized_dedup",
+    "t26_zipf_fit", "s18_mips_topk",
+    "w01_weighted_sample", "w02_temperature_mix", "w03_epoch_shuffle",
+    "w04_largest_remainder_quota", "w06_decay_weighted",
+    "w07_weighted_percentile",
+    "p04_stream_progress_metrics", "p05_pipeline_reconciliation",
+    "p06_benford_profile", "p07_psi_drift",
+    "m07_image_resize",
+    # log analytics
+    "l11_ip_range_enrich", "l12_alert_transitions", "l13_errorlog_rollup",
+    "l15_apdex", "l16_slo_burn_rate", "l17_json_key_profile",
+    # format edges
+    "f18_path_glob_recursive", "f19_parquet_codec_matrix",
+    "f20_wholetext_scan", "f21_nested_schema_pruning",
+    "f22_ignore_corrupt_files", "f23_max_records_per_file",
+    # kinesis / streaming / ingest / graph (r04 block-3)
+    "k04_at_most_once_drops", "k05_python_datasource_writer",
+    "st15_state_across_restarts", "i06_json_seq_roundtrip",
+    "g05_degree_stats",
+    # SQL tail q64…q129 (never driver-verified)
+    "q64_hll_partial_union", "q65_bloom_filter_join", "q66_snapshot_diff",
+    "q67_max_concurrency", "q68_asof_forward", "q69_cached_branch_reuse",
+    "q70_bitwise_aggs", "q71_null_skew_join", "q72_scd2_build",
+    "q73_dynamic_sessionize", "q74_rank_battery", "q75_try_arithmetic",
+    "q76_multi_distinct_agg", "q77_intersect_all", "q78_json_tuple",
+    "q79_collation_group", "q80_parameterized_sql",
+    "q81_sql_pivot_unpivot", "q82_offset_pagination",
+    "q83_native_dynamic_session", "q84_approx_distinct_gate",
+    "q85_map_hof_battery", "q86_incremental_rollup", "q87_group_by_all",
+    "q88_filter_through_window", "q89_cbo_stats", "q90_mad",
+    "q91_time_rollup", "q92_lag_defaults", "q92b_comparator_sort",
+    "q93_bool_aggregates", "q94_lateral_view_outer", "q96_bitmap_distinct",
+    "q97_aes_roundtrip", "q98_url_canonicalize", "q99_regexp_battery",
+    "q100_union_by_name", "q101_datetime_battery",
+    "q102_string_pad_battery", "q103_try_cast",
+    "q104_ignore_nulls_window", "q105_timestamp_arith",
+    "q106_lateral_alias", "q107_crosstab", "q108_equiheight_histogram",
+    "q109_asof_nearest", "q110_pivot_multi_agg",
+    "q111_interval_overlap_join", "q112_values_inline_join",
+    "q113_sql_udf", "q114_column_defaults", "q115_window_group_limit",
+    "q116_safe_array_access", "q117_take_ordered_gate",
+    "q118_complex_type_ordering", "q119_regression_aggregates",
+    "q120_sql_pipe_syntax", "q121_transpose", "q123_lateral_join_api",
+    "q124_argminmax_battery", "q125_null_format_battery",
+    "q126_sql_scripting", "q127_generator_outer",
+    "q128_try_parse_battery", "q129_nested_struct_update",
+]
+assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 97
+_missing = [n for n in _ROUND5_FRONT if n not in REGISTRY]
+assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _ROUND5_FRONT},
+    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND5_FRONT)},
+}
+assert len(REGISTRY) == 289
+
