@@ -440,8 +440,8 @@ WITH sh AS (
                           for i in range(1, len(t) - 1)]) AS s
     FROM (SELECT doc_id,
                  string_split_regex(lower(trim(text)), '\\s+') AS t
-          FROM documents
-          WHERE doc_id % 50 = 0)
+          FROM (SELECT doc_id, text FROM documents
+                ORDER BY doc_id LIMIT 100))
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.s, b.s))::DOUBLE
@@ -2088,9 +2088,8 @@ FROM t
 ORACLES["t17_minhash_estimate_gate"] = """
 WITH d AS (
     SELECT doc_id
-    FROM documents
-    WHERE doc_id % 50 = 0
-      AND len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100)
+    WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
 )
 SELECT CAST((SELECT (count(*) * (count(*) - 1)) // 2 FROM d) AS BIGINT)
            AS n_pairs,
@@ -2796,7 +2795,7 @@ ORDER BY l_returnflag
 
 ORACLES["s13_truncated_dim_eval"] = """
 WITH v AS (
-    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 200
 ), pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_reduce(list_transform(range(1, 65),
@@ -3319,7 +3318,7 @@ ORDER BY o.o_orderpriority
 ORACLES["s14_knn_accuracy"] = """
 WITH v AS (
     SELECT vec_id, embedding, label FROM embeddings
-    WHERE vec_id % 10 = 0
+    ORDER BY vec_id LIMIT 200
 ), pairs AS (
     SELECT a.vec_id AS id_a, a.label AS label_a, b.label AS label_b,
            b.vec_id AS id_b,
@@ -4620,7 +4619,8 @@ WITH vq AS (
     SELECT vec_id,
            list_transform(embedding::DOUBLE[],
                           x -> CAST(floor(x * 1000) AS BIGINT)) AS v
-    FROM embeddings WHERE vec_id % 40 = 0
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 50)
 ), signs AS (
     SELECT j, k,
            1 - 2 * (('0x' || substr(md5(j || ':' || k), 32, 1))::BIGINT

@@ -820,9 +820,12 @@ def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard similarity over a deterministic document
-    subset (doc_id % 50 == 0) — the SQL-checkable twin of d02."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    """Exact 3-gram Jaccard similarity over a deterministic FIXED-k
+    document cohort (the 100 smallest doc_ids) — the SQL-checkable
+    twin of d02.  Fixed k (not a modulus cohort) keeps the all-pairs
+    verifier O(k²) = 4 950 pairs at ANY corpus scale; a % 50 subset
+    grows linearly and its pair count quadratically."""
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
     sh = D.shingles_col(D.tokens_col(F.col("text")), 3)
     with_sh = docs.select("doc_id", F.array_distinct(sh).alias("sh"))
     a = with_sh.select(
@@ -4386,19 +4389,18 @@ def f11_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def t17_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash ESTIMATOR accuracy gate — the q61/s03-style assertion
-    for the dedup sketch family: over d04's bounded exact-pair subset
-    (doc_id % 50, all pairs), the 32-hash signature's Jaccard estimate
-    (matching-component fraction) must track exact shingle Jaccard
-    within MAE ≤ 0.02 and max error ≤ 0.15 (measured: 0.001 / 0.071
-    at sf0.1 over 4 950 pairs; theoretical stderr √(J(1−J)/32)).
-    With d05 hash-verifying the LSH banding and d04 the exact twin,
-    this closes the last unevidenced link in the MinHash pipeline:
-    the estimator itself.
+    for the dedup sketch family: over d04's fixed-k exact-pair cohort
+    (100 smallest doc_ids, all pairs), the 32-hash signature's Jaccard
+    estimate (matching-component fraction) must track exact shingle
+    Jaccard within MAE ≤ 0.02 and max error ≤ 0.15 (theoretical
+    stderr √(J(1−J)/32)).  With d05 hash-verifying the LSH banding
+    and d04 the exact twin, this closes the last unevidenced link in
+    the MinHash pipeline: the estimator itself.
 
-    Scale: the crossJoin is the same documented bounded verifier as
-    d04 (1/50 id subset); everything else is the production signature
-    pipeline."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    Scale: the crossJoin is capped at k=100 ids → ≤4 950 pairs at ANY
+    corpus size (a modulus cohort would grow quadratically);
+    everything else is the production signature pipeline."""
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(100)
     prof = D.minhash_signatures(docs)  # drops <3-token docs like d04
     a = prof.select(
         F.col("id").alias("id_a"),
@@ -5900,18 +5902,16 @@ def q76_multi_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s13_truncated_dim_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation evaluation: do the FIRST 16 of 64
-    embedding dims preserve the similarity ORDERING?  Over the s06
-    bounded pair subset, ranks pairs by full-dim and by truncated
-    cosine and reports Spearman's footrule ingredients — n_pairs and
-    Σd² are INTEGER-exact (ranks from bit-identical sequential-fold
-    cosines with a total-order tiebreak), so the oracle hash-matches
-    them; the ``rho_ok`` gate pins ρ = 1 − 6Σd²/(n(n²−1)) ≥ 0.4
-    (measured 0.47–0.49 across sf0.001–0.1 on this corpus).
+    embedding dims preserve the similarity ORDERING?  Over a FIXED-k
+    cohort (200 smallest vec_ids → 19 900 pairs at any corpus scale),
+    ranks pairs by full-dim and by truncated cosine and reports
+    Spearman's footrule ingredients — n_pairs and Σd² are
+    INTEGER-exact (ranks from bit-identical sequential-fold cosines
+    with a total-order tiebreak), so the oracle hash-matches them;
+    the ``rho_ok`` gate pins ρ = 1 − 6Σd²/(n(n²−1)) ≥ 0.4.
     This is the acceptance test for serving truncated embeddings at
     a quarter of the storage/compute."""
-    emb = _t(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 5 == 0
-    )
+    emb = _t(spark, sf_dir, "embeddings").orderBy("vec_id").limit(200)
 
     def cos(a, b, dims):
         va = F.slice(F.col(a).cast("array<double>"), 1, dims)
@@ -7033,10 +7033,12 @@ def s14_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-mille.  Ranks come from the s13 sequential-fold cosine that
     DuckDB replays bit-identically, with a total-order tiebreak, so
     the n/correct/accuracy row hash-matches — an EVAL op, the
-    piece that turns the s-family from search into measurement."""
-    emb = _t(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 10 == 0
-    )
+    piece that turns the s-family from search into measurement.
+
+    Scale: fixed-k cohort (200 smallest vec_ids) → ≤39 800 ordered
+    pairs at ANY corpus size; a modulus cohort's pair count would
+    grow quadratically with the table."""
+    emb = _t(spark, sf_dir, "embeddings").orderBy("vec_id").limit(200)
 
     def fold(col):
         return F.aggregate(
@@ -9555,10 +9557,9 @@ def s17_random_projection_gate(
 
     Scale: the sign matrix is 64×16 = 1024 rows broadcast; the
     projection is posexplode + equi-join + hash-agg (never a
-    driver-side matrix op); pairs come from a bounded id sample."""
-    emb = _t(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id") % 40 == 0
-    )
+    driver-side matrix op); the exact-distance verifier leg is capped
+    at a FIXED k=50 ids → 1 225 pairs at ANY corpus scale."""
+    emb = _t(spark, sf_dir, "embeddings").orderBy("vec_id").limit(50)
     vq = emb.select(
         "vec_id",
         # float→double FIRST (exact), then ×1000 in double — float
