@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import logging
 import os
 from dataclasses import dataclass, field
 
@@ -65,6 +66,15 @@ from pyspark.sql.datasource import (
 
 SCHEMA = "data string, partitionKey string, shardId string, sequenceNumber long"
 AWS_SCHEMA = "data string, partitionKey string, shardId string, sequenceNumber string"
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class KinesisWriteCommit(WriterCommitMessage):
+    """Per-task commit message: how many records the task accepted."""
+
+    n_records: int = 0
 
 
 def make_read_client(options: dict):
@@ -334,7 +344,14 @@ class KinesisDataSourceWriter(DataSourceWriter):
     ``put_records`` call per chunk (basestreamer.go:65-72's contract),
     returning the accepted count as its commit message.  Only ``dir:``
     endpoints are supported — the AWS transport stays on the
-    foreachBatch sink where retry policy is configurable."""
+    foreachBatch sink where retry policy is configurable.
+
+    Delivery caveat (mirrors the service + the reference's
+    at-most-once stance, basestreamer.go:76-83): ``put_records``
+    appends are NOT transactional, so a retried or speculative task
+    re-appends its rows.  ``abort`` cannot un-append.  Callers that
+    need exactly-once must disable speculation and treat the write
+    as idempotent downstream (e.g. dedup on partitionKey+data)."""
 
     def __init__(self, options: dict) -> None:
         endpoint = options.get("endpoint", "")
@@ -345,6 +362,7 @@ class KinesisDataSourceWriter(DataSourceWriter):
             )
         self._dir = endpoint[4:]
         self._num_shards = int(options.get("numshards", "2"))
+        self._stream = options.get("streamname", "kinesis_py")
 
     def write(self, iterator) -> WriterCommitMessage:
         from kinesis_log_streamer_spark.streaming.kinesis_sink import (
@@ -364,13 +382,35 @@ class KinesisDataSourceWriter(DataSourceWriter):
         n = 0
         for batch in chunk_records(pairs):
             client.put_records(
-                StreamName="kinesis_py",
+                StreamName=self._stream,
                 Records=[
                     {"Data": d, "PartitionKey": k} for d, k in batch
                 ],
             )
             n += len(batch)
-        return WriterCommitMessage()
+        return KinesisWriteCommit(n_records=n)
+
+    def commit(self, messages) -> None:
+        # Nothing to finalize (appends are already durable); the
+        # per-task accepted counts in the messages are the write's
+        # success accounting, available to callers via the driver log.
+        total = sum(
+            getattr(m, "n_records", 0) for m in messages if m is not None
+        )
+        logger.info(
+            "kinesis_py write committed: %d records across %d tasks",
+            total,
+            len(messages),
+        )
+
+    def abort(self, messages) -> None:
+        # At-most-once contract: already-appended rows cannot be
+        # withdrawn (see class docstring); surface the abort loudly.
+        logger.warning(
+            "kinesis_py write aborted after %d task commits; appended "
+            "rows are NOT rolled back (at-most-once sink)",
+            sum(1 for m in messages if m is not None),
+        )
 
 
 class DirKinesisClient:
@@ -409,8 +449,19 @@ class DirKinesisClient:
             )
         for shard, lines in groups.items():
             path = os.path.join(self._dir, f"shard-{shard}.jsonl")
-            with open(path, "a", encoding="utf-8") as fh:
-                fh.write("\n".join(lines) + "\n")
+            payload = ("\n".join(lines) + "\n").encode("utf-8")
+            # Concurrent writer tasks (one DirKinesisClient per task —
+            # KinesisDataSourceWriter, k04/k05 with coalesce(2)) may
+            # append to the SAME shard file.  A buffered text write is
+            # multiple syscalls and can interleave mid-line; O_APPEND
+            # plus ONE os.write per shard group is atomic on POSIX for
+            # these small batches (chunk_records caps a group at 5
+            # records / 1 MiB), so lines never tear.
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+            try:
+                os.write(fd, payload)
+            finally:
+                os.close(fd)
         return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
 
 
