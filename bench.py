@@ -215,7 +215,7 @@ def main() -> int:
     # MEDIAN-OF-N (VERDICT r03 item 6): a single-shot timing cannot
     # distinguish a real 2x regression from run-to-run noise — on
     # identical code, d05 swung 27.5s -> 3.1s five minutes apart in
-    # r03.  Every query whose first run costs >= 0.5s is re-run to
+    # r03.  Every query whose first run costs >= 1.0s is re-run to
     # SPARK_GRAFT_BENCH_RUNS (default 3) samples and the MEDIAN is
     # reported; sub-1s queries keep one sample (their noise cannot
     # move a ~160s suite total, and 3x-ing ~140 of them would blow the
@@ -233,7 +233,13 @@ def main() -> int:
             if samples[0] < 1.0:
                 break
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        mid = len(samples) // 2
+        med = (
+            samples[mid]
+            if len(samples) % 2
+            else (samples[mid - 1] + samples[mid]) / 2
+        )
+        timings[name] = round(med, 3)
 
     total = round(sum(timings.values()), 3)
     result = {

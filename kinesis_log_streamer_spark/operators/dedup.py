@@ -407,6 +407,13 @@ def portable_minhash_pairs(
 
     tok = tokens_col(F.col(text_col))
     lane_w = 32 // (n_bands * rows_per_band)
+    if lane_w < 1:
+        raise ValueError(
+            f"n_bands * rows_per_band = {n_bands * rows_per_band} exceeds "
+            "the 32 hex chars of one md5 digest: every lane substring "
+            "would be empty, all band keys would collide, and the "
+            "candidate join would degenerate to O(n^2)"
+        )
     with_sh = (
         spread_for_compute(df.select(id_col, text_col))
         .filter(F.size(tok) >= shingle_n)

@@ -4494,11 +4494,11 @@ ORDER BY doc_id, cell_no
 ORACLES["q124_argminmax_battery"] = """
 SELECT o_orderpriority,
        arg_max(o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
-               + o_orderkey) AS priciest_order,
+               CAST(round(o_totalprice * 100) AS DECIMAL(38,0))
+               * 1000000000000000000 + o_orderkey) AS priciest_order,
        arg_min(o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
-               + o_orderkey) AS cheapest_order,
+               CAST(round(o_totalprice * 100) AS DECIMAL(38,0))
+               * 1000000000000000000 + o_orderkey) AS cheapest_order,
        mode(o_orderstatus) AS modal_status,
        any_value(substr(o_orderpriority, 1, 1)) AS prio_digit,
        CAST(count(*) AS BIGINT) AS n_orders

@@ -9157,10 +9157,14 @@ def q124_argminmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     group.  One hash aggregate, no window, no shuffle beyond the
     group-by."""
     orders = _t(spark, sf_dir, "orders")
-    # cents < 6e7 at sf0.1 -> cents*1e7 + key < 2^63; unique per row
-    packed = (
-        F.round(F.col("o_totalprice") * 100).cast("long") * 10_000_000
-        + F.col("o_orderkey")
+    # Pack in DECIMAL(38,0): cents (<= 10 digits, price is not
+    # scale-dependent) * 1e18 + orderkey stays collision-free for any
+    # orderkey < 1e18 — a BIGINT pack with a fixed 1e7 multiplier
+    # breaks once orderkeys pass 10M (sf >= ~2) and ties go
+    # nondeterministic across engines.
+    packed = F.expr(
+        "cast(round(o_totalprice * 100) as decimal(38,0))"
+        " * 1000000000000000000 + o_orderkey"
     )
     return (
         orders.groupBy("o_orderpriority")
