@@ -59,6 +59,32 @@ def build_parser() -> argparse.ArgumentParser:
             "(basestreamer.go:64-87)"
         ),
     )
+    p.add_argument(
+        "--streaming",
+        action="store_true",
+        help=(
+            "tail stdin continuously instead of buffering it: 64 KiB "
+            "chunked reads spooled to a landing dir drive a Structured "
+            "Streaming query with a processingTime trigger — the "
+            "reference's actual loop (bounded reads, flush-on-idle, "
+            "EOF drain; linestreamer.go:34-57, basestreamer.go:27-46)"
+        ),
+    )
+    p.add_argument(
+        "--trigger",
+        default="500 milliseconds",
+        help="processingTime trigger interval for --streaming "
+        "(the flush-on-idle cadence)",
+    )
+    p.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=5,
+        metavar="N",
+        help="per-micro-batch intake cap for --streaming — the "
+        "reference's bounded (cap-5) channel backpressure "
+        "(linestreamer.go:37)",
+    )
     p.add_argument("stream_name", nargs="*")
     return p
 
@@ -85,6 +111,92 @@ def resolve_output_format(fmt: str, output_format: str) -> str:
     return "json" if fmt == "json" else "string"
 
 
+def run_streaming(args, entries, output_format, stream) -> int:
+    """The CLI's streaming data path (C1 parity with the reference's
+    never-EOF pipe deployment): chunked stdin → landing-dir spool →
+    ``readStream`` → line/JSON pipeline → sink, with bounded
+    per-trigger intake and idle-stop on EOF.
+
+    The full input is NEVER held in one string: the spooler carries at
+    most one 64 KiB chunk plus one partial record
+    (`streaming/stdin_spool.py`), and the query pulls at most
+    ``--max-files-per-trigger`` landed files per micro-batch."""
+    import os
+    import tempfile
+
+    from kinesis_log_streamer_spark.session import get_spark
+    from kinesis_log_streamer_spark.streaming.pipeline import (
+        build_json_pipeline,
+        build_line_pipeline,
+        run_stream,
+    )
+    from kinesis_log_streamer_spark.streaming.stdin_spool import (
+        StdinSpooler,
+        drain_and_stop,
+        parse_trigger_seconds,
+    )
+
+    spark = get_spark("kinesis-log-streamer-cli")
+    work = tempfile.mkdtemp(prefix="klss-spool-")
+    landing = os.path.join(work, "landing")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    host_id = get_host_id(probe_network=not args.dry_run)
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .load(landing)
+    )
+    if args.format == "json":
+        # landing files are JSONL: one complete JSON value per line
+        records = build_json_pipeline(raw, entries, host_id)
+    else:
+        records = build_line_pipeline(
+            raw, output_format, args.output_key, entries, host_id
+        )
+
+    if args.dry_run:
+
+        class _StdoutSink:
+            def write_batch(self, df, epoch_id):
+                for row in df.collect():
+                    print(f"{row['partitionKey']}\t{row['data']}")
+
+        sink = _StdoutSink()
+    else:
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            KinesisSink,
+        )
+
+        sink = KinesisSink(
+            args.stream_name[0],
+            region=args.region,
+            profile=args.profile,
+            delivery=args.delivery,
+        )
+
+    spooler = StdinSpooler(stream, landing, fmt=args.format)
+    query = run_stream(
+        records,
+        sink,
+        ckpt,
+        available_now=False,
+        processing_time=args.trigger,
+    )
+    try:
+        spooler.start_thread()
+        drain_and_stop(
+            query,
+            spooler,
+            trigger_interval_s=parse_trigger_seconds(args.trigger),
+        )
+    finally:
+        if query.isActive:
+            query.stop()
+    return 0
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -103,6 +215,9 @@ def main(argv: Sequence[str] | None = None) -> int:
         build_json_pipeline,
         build_line_pipeline,
     )
+
+    if args.streaming:
+        return run_streaming(args, entries, output_format, sys.stdin.buffer)
 
     spark = get_spark("kinesis-log-streamer-cli")
     stdin_data = sys.stdin.read()

@@ -6,22 +6,39 @@ typed metadata struct alongside; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so each task streams record batches —
 never a per-row Python roundtrip.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-the decode step is STUBBED: ``decode_media`` raises
-NotImplementedError unless ``fake=True``, in which case a
-deterministic fake featurizer (byte-level stats) stands in.  The
-Spark-side plumbing — schema, batch iteration, partitioning — is real
-and tested; swapping the stub for a real codec changes only the inner
-function body.
+The actual codecs (PIL/soundfile) are IMPORT-GATED: when the library
+is installed, ``fake=False`` runs a real decode inside the executor
+batch; when absent (this container), it raises NotImplementedError
+with an install hint, and ``fake=True`` substitutes a deterministic
+byte-level featurizer so the Spark-side plumbing — schema, batch
+iteration, partitioning — stays testable and oracle-checkable either
+way.  CI and the oracle gate always use the fake path; a deployment
+with pillow/soundfile present gets the real one with zero code change.
 """
 
 from __future__ import annotations
 
+import importlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _require(module: str, purpose: str):
+    """Import-gate for optional codec libraries: resolve the module if
+    installed, else raise the documented NotImplementedError.  Raised
+    INSIDE the executor batch — exactly where the decode would run —
+    so a mis-deployed cluster fails fast with an actionable message."""
+    try:
+        return importlib.import_module(module)
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"{module} is not installed ({purpose}); pip install it for "
+            "the real decode, or pass fake=True for the deterministic "
+            "byte-stat stub"
+        ) from exc
 
 MEDIA_SCHEMA = (
     "doc_id long, kind string, n_bytes long, payload binary"
@@ -31,6 +48,40 @@ FEATURE_SCHEMA = (
     "doc_id long, kind string, n_bytes long, "
     "feat_mean double, feat_first long, feat_last long"
 )
+
+
+def _pixel_stats(image_mod, b: bytes) -> tuple[float, int, int]:
+    """Real-codec leg of :func:`decode_media`: grayscale pixel mean /
+    first / last via a PIL-shaped module (injectable for tests)."""
+    import io  # noqa: PLC0415
+
+    px = list(image_mod.open(io.BytesIO(b)).convert("L").getdata())
+    if not px:
+        return 0.0, -1, -1
+    return sum(px) / len(px), int(px[0]), int(px[-1])
+
+
+def _resize_gray(image_mod, b: bytes, target_w: int) -> list[int]:
+    """Real-codec leg of :func:`resize_media`: decode → grayscale →
+    BOX-resample to ``(target_w, 1)`` via a PIL-shaped module."""
+    import io  # noqa: PLC0415
+
+    box = getattr(image_mod, "Resampling", image_mod).BOX
+    img = (
+        image_mod.open(io.BytesIO(b)).convert("L").resize((target_w, 1), box)
+    )
+    return [int(v) for v in img.getdata()]
+
+
+def _samples_soundfile(sf_mod, b: bytes) -> list[float]:
+    """Real-codec leg of :func:`audio_frame_energy`: container decode
+    → mono float samples via a soundfile-shaped module."""
+    import io  # noqa: PLC0415
+
+    data, _sr = sf_mod.read(io.BytesIO(b), dtype="float64")
+    if getattr(data, "ndim", 1) > 1:
+        data = data.mean(axis=1)
+    return [float(x) for x in data]
 
 
 def attach_binary_payload(
@@ -55,31 +106,38 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract binary payloads via Arrow-batched
     ``mapInPandas``.
 
-    With real codecs absent, ``fake=True`` runs a deterministic
-    byte-stat featurizer (mean byte value, first/last byte) so the
-    batch shape, schema, and partitioning are exercised end-to-end;
-    ``fake=False`` raises NotImplementedError from inside the executor
-    batches, exactly where a real decoder would run.
+    ``fake=True`` runs a deterministic byte-stat featurizer (mean byte
+    value, first/last byte) so the batch shape, schema, and
+    partitioning are exercised end-to-end.  ``fake=False`` is
+    IMPORT-GATED on pillow: when installed, each payload is decoded
+    as an image and the same three features are computed over its
+    grayscale pixels (mean / first / last); when absent, the executor
+    batch raises NotImplementedError with an install hint.
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if fake else _require("PIL.Image", "image decode")
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) not available in this "
-                    "environment — pass fake=True for the deterministic stub"
-                )
             payloads = pdf["payload"]
+            if fake:
+                stats = [
+                    (
+                        (sum(b) / len(b)) if len(b) else 0.0,
+                        int(b[0]) if len(b) else -1,
+                        int(b[-1]) if len(b) else -1,
+                    )
+                    for b in payloads
+                ]
+            else:
+                stats = [_pixel_stats(image_mod, bytes(b)) for b in payloads]
             pdf_out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["n_bytes"],
-                    "feat_mean": [
-                        (sum(b) / len(b)) if len(b) else 0.0 for b in payloads
-                    ],
-                    "feat_first": [int(b[0]) if len(b) else -1 for b in payloads],
-                    "feat_last": [int(b[-1]) if len(b) else -1 for b in payloads],
+                    "feat_mean": [s[0] for s in stats],
+                    "feat_first": [s[1] for s in stats],
+                    "feat_last": [s[2] for s in stats],
                 }
             )
             yield pdf_out
@@ -132,9 +190,11 @@ def resize_media(
     treated as a 1-D pixel row of unsigned bytes and block-averaged
     into ``target_w`` cells (PIL's BOX filter on a 1×n image).  All
     math is INTEGER (per-cell byte sum floor-divided by cell width),
-    so the fake path is exactly oracle-recomputable; ``fake=False``
-    raises NotImplementedError from inside the executor batch exactly
-    where a real PIL/opencv resize would run.
+    so the fake path is exactly oracle-recomputable.  ``fake=False``
+    is IMPORT-GATED on pillow: when installed, the payload is decoded
+    with ``PIL.Image`` and box-resized to ``(target_w, 1)`` grayscale
+    (the real twin of the fake's block average); when absent, the
+    executor batch raises NotImplementedError with an install hint.
 
     Emits one row per (doc, cell): (doc_id, cell_no, px).  Cell
     boundaries are ``(j*n)//target_w`` — the standard partition of n
@@ -143,25 +203,31 @@ def resize_media(
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if fake else _require("PIL.Image", "image resize")
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image libs (PIL/opencv) not available in this "
-                    "environment — pass fake=True for the deterministic stub"
-                )
             ids: list = []
             cells: list[int] = []
             px: list[int] = []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(b)
-                bounds = [(j * n) // target_w for j in range(target_w + 1)]
-                for j in range(target_w):
-                    lo, hi = bounds[j], bounds[j + 1]
-                    if hi <= lo:
-                        continue
-                    ids.append(did)
-                    cells.append(j)
-                    px.append(sum(b[lo:hi]) // (hi - lo))
+                if fake:
+                    n = len(b)
+                    bounds = [
+                        (j * n) // target_w for j in range(target_w + 1)
+                    ]
+                    for j in range(target_w):
+                        lo, hi = bounds[j], bounds[j + 1]
+                        if hi <= lo:
+                            continue
+                        ids.append(did)
+                        cells.append(j)
+                        px.append(sum(b[lo:hi]) // (hi - lo))
+                else:
+                    for j, val in enumerate(
+                        _resize_gray(image_mod, bytes(b), target_w)
+                    ):
+                        ids.append(did)
+                        cells.append(j)
+                        px.append(val)
             yield pd.DataFrame(
                 {"doc_id": ids, "cell_no": cells, "px": px}
             )
@@ -176,6 +242,7 @@ def audio_frame_energy(
     frame_bytes: int = 8,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    decode: str = "u8",
 ) -> DataFrame:
     """Frame-level ENERGY extraction over binary audio-like payloads —
     the windowed feature pass an audio pipeline runs after decode
@@ -183,29 +250,47 @@ def audio_frame_energy(
     ``mapInPandas`` so bytes never row-trip through Python one at a
     time.
 
-    Each payload is treated as unsigned 8-bit samples; per frame of
-    ``frame_bytes`` samples the INTEGER sum of squares is emitted
-    (exact — the oracle recomputes it from the payload-generating
-    text).  Real PCM decode would only change the sample-extraction
-    line; the batch shape, schema, fan-out, and partitioning are the
-    production plumbing."""
+    ``decode='u8'`` (default — the oracle/CI path) treats the payload
+    as unsigned 8-bit samples; per frame of ``frame_bytes`` samples
+    the INTEGER sum of squares is emitted (exact — the oracle
+    recomputes it from the payload-generating text).
+    ``decode='soundfile'`` is IMPORT-GATED on the soundfile library:
+    when installed, the payload is decoded as a real audio container
+    (wav/flac/ogg), downmixed to mono, and per-frame energy is the
+    float sum of squares scaled to integer micro-units; when absent,
+    the executor batch raises NotImplementedError with an install
+    hint.  The batch shape, schema, fan-out, and partitioning are the
+    production plumbing either way."""
     import pandas as pd  # noqa: PLC0415
 
+    if decode not in ("u8", "soundfile"):
+        raise ValueError(f"decode must be u8|soundfile, got {decode!r}")
     schema = "doc_id long, frame_no int, n_samples int, energy long"
 
     def featurize(batches):
+        mod = None if decode == "u8" else _require(
+            "soundfile", "audio decode"
+        )
+        take = (
+            (lambda _m, b: list(b))
+            if decode == "u8"
+            else _samples_soundfile
+        )
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(payload)
-                for fno in range(len(b) // frame_bytes):
-                    fr = b[fno * frame_bytes : (fno + 1) * frame_bytes]
+                samples = take(mod, bytes(payload))
+                for fno in range(len(samples) // frame_bytes):
+                    fr = samples[fno * frame_bytes : (fno + 1) * frame_bytes]
+                    e = sum(x * x for x in fr)
+                    # u8 energies are already integers; decoded float
+                    # energies land in integer micro-units
                     rows.append(
                         (
                             int(did),
                             fno,
                             len(fr),
-                            sum(x * x for x in fr),
+                            int(e) if decode == "u8" else round(e * 1_000_000),
                         )
                     )
             yield pd.DataFrame(
