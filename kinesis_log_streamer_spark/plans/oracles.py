@@ -4690,3 +4690,108 @@ WHERE l_quantity >= 30
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+# i07: the spool stage must neither tear, drop, nor duplicate a
+# record, so the landing-dir rollup equals the direct aggregate.
+ORACLES["i07_stdin_spool_pipeline"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT)                 AS n_records,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       round(sum(value), 2)                     AS sum_value
+FROM events
+WHERE event_id % 7 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLES["p08_dq_rules"] = """
+WITH li AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS qty_in_range,
+           CAST(sum(CASE WHEN NOT (l_shipdate BETWEEN DATE '1992-01-01'
+                                     AND DATE '1998-12-31')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_in_range,
+           CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_range,
+           CAST(sum(CASE WHEN NOT (l_extendedprice > 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+           CAST(sum(CASE WHEN NOT (l_tax < 1.0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tax_lt_discounted
+    FROM lineitem
+), o AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN NOT (o_totalprice > 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS total_positive,
+           CAST(sum(CASE WHEN NOT (o_orderstatus IN ('O','F','P'))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS status_known,
+           CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS priority_wellformed
+    FROM orders
+)
+SELECT * FROM (
+    SELECT 'lineitem' AS table_name, 'qty_in_range' AS rule, n_rows,
+           qty_in_range AS violations,
+           CASE WHEN qty_in_range = 0 THEN 1 ELSE 0 END AS passed FROM li
+    UNION ALL
+    SELECT 'lineitem', 'shipdate_in_range', n_rows, shipdate_in_range,
+           CASE WHEN shipdate_in_range = 0 THEN 1 ELSE 0 END FROM li
+    UNION ALL
+    SELECT 'lineitem', 'discount_in_range', n_rows, discount_in_range,
+           CASE WHEN discount_in_range = 0 THEN 1 ELSE 0 END FROM li
+    UNION ALL
+    SELECT 'lineitem', 'price_positive', n_rows, price_positive,
+           CASE WHEN price_positive = 0 THEN 1 ELSE 0 END FROM li
+    UNION ALL
+    SELECT 'lineitem', 'tax_lt_discounted', n_rows, tax_lt_discounted,
+           CASE WHEN tax_lt_discounted = 0 THEN 1 ELSE 0 END FROM li
+    UNION ALL
+    SELECT 'orders', 'total_positive', n_rows, total_positive,
+           CASE WHEN total_positive = 0 THEN 1 ELSE 0 END FROM o
+    UNION ALL
+    SELECT 'orders', 'status_known', n_rows, status_known,
+           CASE WHEN status_known = 0 THEN 1 ELSE 0 END FROM o
+    UNION ALL
+    SELECT 'orders', 'priority_wellformed', n_rows, priority_wellformed,
+           CASE WHEN priority_wellformed = 0 THEN 1 ELSE 0 END FROM o
+)
+ORDER BY table_name, rule
+"""
+
+ORACLES["q130_listagg"] = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name)  AS nations,
+       string_agg(lower(n_name), '|' ORDER BY n_nationkey DESC)
+           AS nations_by_key_desc,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+ORACLES["q131_time_grid_fill"] = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n, round(sum(value), 2) AS day_value
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT event_type, min(day) AS d0, max(day) AS d1
+    FROM daily GROUP BY 1
+), grid AS (
+    SELECT event_type,
+           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM span
+)
+SELECT g.event_type, g.day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+       CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS gap_filled,
+       last_value(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM grid g
+LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+ORDER BY g.event_type, g.day
+"""

@@ -9739,6 +9739,217 @@ def q120_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+def i07_stdin_spool_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI STREAMING path's spool stage under the oracle gate
+    (round-5 C1 fix; `streaming/stdin_spool.py`): a concatenated-JSON
+    byte stream is fed to ``StdinSpooler`` in 97-byte chunks — far
+    smaller than most records, so nearly every record is split across
+    chunk boundaries and the incremental ``raw_decode`` carry
+    (jsonstreamer.go:34-49's loop) is exercised on every value.  The
+    spooled landing files are then read back DISTRIBUTED
+    (``spark.read.text``), parsed, and aggregated; the oracle computes
+    the same rollup from the events table directly, so one torn,
+    dropped, or duplicated record anywhere in chunk→carry→land→scan
+    breaks the hash.
+
+    Scale: the spool stage is the CLI driver's stdin tail — inherently
+    single-stream (one pipe) and O(chunk) memory; everything after the
+    landing dir is ordinary distributed scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.streaming.stdin_spool import StdinSpooler
+
+    base = os.path.join(tempfile.gettempdir(), "klss_i07_spool")
+    src = os.path.join(base, "src")
+    landing = os.path.join(base, "landing")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(landing)
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    payload = ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("value")
+    )
+    payload.write.text(src)
+
+    class _PartFilesStream:
+        """Byte stream over the written part files — bounded reads
+        only, mirroring a stdin pipe."""
+
+        def __init__(self, d: str) -> None:
+            self._paths = sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.startswith("part-")
+            )
+            self._fh = None
+
+        def read(self, n: int) -> bytes:
+            while True:
+                if self._fh is None:
+                    if not self._paths:
+                        return b""
+                    self._fh = open(self._paths.pop(0), "rb")  # noqa: SIM115
+                chunk = self._fh.read(n)
+                if chunk:
+                    return chunk
+                self._fh.close()
+                self._fh = None
+
+    StdinSpooler(
+        _PartFilesStream(src), landing, fmt="json", chunk_bytes=97
+    ).run()
+
+    parsed = spark.read.text(landing).select(
+        F.from_json(
+            "value", "event_id long, event_type string, value double"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("r.event_id").alias("n_distinct"),
+            F.round(F.sum("r.value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def p08_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DATA-QUALITY RULE SUITE — the constraint-validation
+    pass (great-expectations style) a production pipeline runs before
+    publishing a table: each rule is a boolean expression, and ONE
+    full scan per table evaluates every rule as a conditional
+    aggregate (no per-rule re-scan, no shuffle beyond the final
+    1-row-per-rule union).  Reported per rule: rows checked,
+    violations, and pass/fail against a zero-violation policy.
+
+    Scale: sum(CASE WHEN ...) folds map-side; adding a rule adds one
+    aggregate expression, not one pass — exactly how a 100 TB table
+    gets 50 rules for the price of one scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    def suite(df, table, rules):
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for name, cond in rules:
+            aggs.append(
+                F.sum(F.when(~cond, 1).otherwise(0))
+                .cast("long")
+                .alias(name)
+            )
+        row = df.agg(*aggs)
+        out = None
+        for name, _ in rules:
+            leg = row.select(
+                F.lit(table).alias("table_name"),
+                F.lit(name).alias("rule"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col(name).alias("violations"),
+                (F.col(name) == 0).cast("int").alias("passed"),
+            )
+            out = leg if out is None else out.unionAll(leg)
+        return out
+
+    li_rules = [
+        ("qty_in_range", F.col("l_quantity").between(1, 50)),
+        (
+            "shipdate_in_range",
+            F.col("l_shipdate").between("1992-01-01", "1998-12-31"),
+        ),
+        ("discount_in_range", F.col("l_discount").between(0.0, 0.1)),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("tax_lt_discounted", F.col("l_tax") < 1.0),
+    ]
+    o_rules = [
+        ("total_positive", F.col("o_totalprice") > 0),
+        ("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("priority_wellformed", F.col("o_orderpriority").rlike("^[1-5]-")),
+    ]
+    return (
+        suite(li, "lineitem", li_rules)
+        .unionAll(suite(orders, "orders", o_rules))
+        .orderBy("table_name", "rule")
+    )
+
+
+def q130_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``listagg(... ORDER BY ...)`` — the SQL:2023 ordered string
+    aggregation added in Spark 4: per region, the alphabetized
+    nation roster as one delimited string, plus listagg over an
+    expression with a non-default separator.  Deterministic by the
+    explicit WITHIN GROUP order (an unordered listagg would be
+    partition-order-dependent and unhashable cross-engine).
+
+    Scale: ordered listagg needs the group's values together — a sort
+    within each hash-agg group, fine for enum-sized rosters; at 100 TB
+    you'd cap group cardinality first (it is a presentation
+    aggregate, not an analytic one)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') within group (order by n_name)"
+            ).alias("nations"),
+            F.expr(
+                "listagg(lower(n_name), '|')"
+                " within group (order by n_nationkey desc)"
+            ).alias("nations_by_key_desc"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q131_time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAP-FILLED time series (the timescale-style ``time_bucket_
+    gapfill`` + LOCF shape): per event_type, a complete daily grid is
+    generated with ``sequence``/``explode`` over the observed span,
+    left-joined to the daily rollup, then missing days get count 0
+    and a LOCF (last-observation-carried-forward) value via
+    ``last_value(..., ignoreNulls)`` over an unbounded-preceding
+    window.  The missing-day flag is reported so the oracle pins both
+    the grid completeness and the fill semantics.
+
+    Scale: the grid explodes ~span/day rows per type (tiny), the join
+    is grid⋈rollup on (type, day) — both sides pre-aggregated, and
+    the LOCF window partitions by type so state never crosses keys."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, ["event_type", "day"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n").isNull().cast("int").alias("gap_filled"),
+        F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+    ).orderBy("event_type", "day")
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -9771,6 +9982,11 @@ REGISTRY = {
     # ~90 entries pending in total, which still exceeds one window;
     # keep the same family-value ordering (curation d/t/s/w/p first).
     #
+    # -- block 3 (round 5): new this round ---------------------------
+    "i07_stdin_spool_pipeline": i07_stdin_spool_pipeline,
+    "p08_dq_rules": p08_dq_rules,
+    "q130_listagg": q130_listagg,
+    "q131_time_grid_fill": q131_time_grid_fill,
     # -- block 1: re-checks (fresh verdict needed) -------------------
     "q53_decimal_exact": q53_decimal_exact,
     "s08_pq_topk": s08_pq_topk,
@@ -10123,13 +10339,17 @@ _ROUND5_FRONT = [
     "q124_argminmax_battery", "q125_null_format_battery",
     "q126_sql_scripting", "q127_generator_outer",
     "q128_try_parse_battery", "q129_nested_struct_update",
+    # end of block 3 (round 5): brand-new this round, behind every
+    # never-driver-verified entry per the ordering contract
+    "i07_stdin_spool_pipeline", "p08_dq_rules",
+    "q130_listagg", "q131_time_grid_fill",
 ]
-assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 97
+assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 101
 _missing = [n for n in _ROUND5_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND5_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND5_FRONT)},
 }
-assert len(REGISTRY) == 289
+assert len(REGISTRY) == 293
 
