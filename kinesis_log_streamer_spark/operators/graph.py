@@ -42,7 +42,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """Label each node of the undirected graph ``edges`` with the
     minimum node id in its connected component.
@@ -58,8 +58,10 @@ def connected_components(
         labeling is computed driver-side by union-find instead of the
         distributed loop — the same adaptivity Catalyst applies when
         it broadcasts a small join side.  A deduplicated edge list of
-        ≤1M (long, long) rows is ≤ ~16 MB on the driver (well under a
-        broadcast-side budget) and union-find labels it in
+        ≤250k (long, long) rows is ~4 MB raw, but the pandas
+        materialization plus per-edge dict state costs ~10× that, so
+        the default is sized to a ~50 MB driver bite (raise it only
+        with driver memory to match).  Union-find labels it in
         O(E·α(E)) μs-per-edge, where every loop round costs whole
         Spark jobs of fixed overhead.  Near-dup graphs are tiny
         relative to their corpus (edges exist only for actual
@@ -197,7 +199,7 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 10,
     damping: float = 0.85,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
