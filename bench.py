@@ -197,6 +197,11 @@ HEADLINE = [
     "q123_lateral_join_api",
     "q124_argminmax_battery",
     "q125_null_format_battery",
+    # round-5 additions (i07's spool stage is the single-stream CLI
+    # path, benchmarked by its own oracle run — not a cluster query).
+    "p08_dq_rules",
+    "q130_listagg",
+    "q131_time_grid_fill",
 ]
 
 
