@@ -85,3 +85,59 @@ class TestInterchangeFormats:
         sinks.write_text(df, out)
         back = spark.read.text(out)
         assert sorted(r.value for r in back.collect()) == ["l1", "l2"]
+
+
+class TestDirShardAppendAtomicity:
+    def test_concurrent_put_records_never_tear_lines(self, tmp_path):
+        """ADVICE r04 (medium): two writer tasks appending to the SAME
+        shard file must not interleave mid-line.  put_records uses
+        O_APPEND + one os.write per shard group; 8 threads x 100
+        batches all routed to one shard must yield exactly 800 intact
+        JSONL lines."""
+        import json
+        import threading
+
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            DirKinesisClient,
+        )
+
+        ep = str(tmp_path / "shards")
+        n_threads, n_batches = 8, 100
+
+        def worker(tid: int) -> None:
+            client = DirKinesisClient(ep, num_shards=1)
+            for b in range(n_batches):
+                client.put_records(
+                    StreamName="t",
+                    Records=[
+                        {
+                            "Data": json.dumps(
+                                {"tid": tid, "batch": b, "pad": "x" * 200}
+                            ).encode(),
+                            "PartitionKey": f"k{tid}",
+                        }
+                    ],
+                )
+
+        threads = [
+            threading.Thread(target=worker, args=(t,))
+            for t in range(n_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        lines = (
+            (tmp_path / "shards" / "shard-000.jsonl")
+            .read_text()
+            .strip()
+            .splitlines()
+        )
+        assert len(lines) == n_threads * n_batches
+        seen = set()
+        for line in lines:
+            rec = json.loads(line)  # raises on any torn line
+            inner = json.loads(rec["data"])
+            seen.add((inner["tid"], inner["batch"]))
+        assert len(seen) == n_threads * n_batches  # no dup, no loss
