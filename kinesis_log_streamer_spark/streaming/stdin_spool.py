@@ -127,8 +127,14 @@ class StdinSpooler:
         buffer."""
         os.makedirs(self._dir, exist_ok=True)
         take = self._take_lines if self._fmt == "line" else self._take_json_values
+        # read1 (BufferedReader, e.g. sys.stdin.buffer) returns as soon
+        # as ANY bytes are available; plain read(n) on a buffered pipe
+        # BLOCKS until n bytes or EOF, which would stall a quiet log
+        # pipe until 64 KiB accumulated and defeat flush-on-idle
+        # (basestreamer.go:42-46).  Raw/test streams fall back to read.
+        read = getattr(self._stream, "read1", None) or self._stream.read
         while True:
-            chunk = self._stream.read(self._chunk)
+            chunk = read(self._chunk)
             if not chunk:
                 break
             if isinstance(chunk, bytes):

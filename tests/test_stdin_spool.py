@@ -197,3 +197,26 @@ def test_parse_trigger_seconds():
     assert parse_trigger_seconds("2 seconds") == 2.0
     assert parse_trigger_seconds("1 minute") == 60.0
     assert parse_trigger_seconds("garbage") == 1.0
+
+
+def test_spooler_prefers_read1_over_blocking_read(tmp_path):
+    """sys.stdin.buffer-style streams must be consumed via read1 (any
+    available bytes) — a buffered read(n) would block a quiet pipe
+    until n bytes accumulated, killing flush-on-idle."""
+
+    class BufferedPipe:
+        def __init__(self):
+            self.read1_calls = 0
+            self._pieces = [b"hello\n", b"world\n"]
+
+        def read1(self, n: int) -> bytes:
+            self.read1_calls += 1
+            return self._pieces.pop(0) if self._pieces else b""
+
+        def read(self, n: int) -> bytes:  # pragma: no cover
+            raise AssertionError("blocking read(n) used instead of read1")
+
+    pipe = BufferedPipe()
+    sp = StdinSpooler(pipe, str(tmp_path), fmt="line")
+    assert sp.run() == 2
+    assert pipe.read1_calls >= 2
