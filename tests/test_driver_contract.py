@@ -53,6 +53,9 @@ for name in (
     "q121_transpose",             # Spark 4 DataFrame.transpose
     "q123_lateral_join_api",      # Spark 4 lateralJoin + outer()
     "q124_argminmax_battery",     # max_by/min_by/mode aggregates
+    "q130_listagg",               # listagg ... within group (r5)
+    "q131_time_grid_fill",        # sequence/explode + ignoreNulls (r5)
+    "i07_stdin_spool_pipeline",   # spool landing scan (r5)
 ):
     n = Q.REGISTRY[name](spark, SF).count()
     assert n > 0, f"{{name}} returned 0 rows on bare session"
