@@ -9972,15 +9972,20 @@ REGISTRY = {
     # families (dedup/text/similarity/multimodal) first, then
     # streaming/graph/kinesis/UDF/formats, then the SQL surface.
     #
-    # ROUND-5 REORDER (mechanical): the r04 driver window verifies the
-    # first ~50 entries — blocks 1+2 through ≈f17/f18.  Round 5 must
-    # move to the front: (1) any r04 FAIL/ERR re-checks from
-    # CORRECTNESS_r04.json, (2) the remaining never-verified block-2
-    # tail (f19…f22, w01…w04, p04…p06, l11…l17, then q64…q120), (3)
-    # the r04 block-3 additions (k04, k05, st15, q121, q123–q129,
-    # m07, d17, d18, p07, s18, t26, w06, w07, g05, i06, f23) —
-    # ~90 entries pending in total, which still exceeds one window;
-    # keep the same family-value ordering (curation d/t/s/w/p first).
+    # ROUND-5 STATE: the reorder is EXECUTED programmatically by the
+    # `_ROUND5_FRONT` rebuild after this literal (dict order here no
+    # longer decides the window — the rebuild does; asserts keep it
+    # key-set-preserving).  Front = the 97 entries with no driver
+    # verdict in CORRECTNESS_r01–r04, then the 4 new r5 queries.
+    # CORRECTNESS_r04 was 50/50 green, so there are no FAIL/ERR
+    # re-checks this round.
+    #
+    # ROUND-6 REORDER: the r05 window consumes the first ~50 front
+    # names (d17…q83 area).  Round 6 must front the ~51 leftovers —
+    # the q84…q129 tail plus i07/p08/q130/q131 — ahead of everything
+    # already green; after that window, every registry entry will
+    # have at least one driver verdict.  Mechanism: replace
+    # `_ROUND5_FRONT` with the leftover list (same asserts).
     #
     # -- block 3 (round 5): new this round ---------------------------
     "i07_stdin_spool_pipeline": i07_stdin_spool_pipeline,
