@@ -9833,7 +9833,7 @@ def p08_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
 
     def suite(df, table, rules):
-        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
         for name, cond in rules:
             aggs.append(
                 F.sum(F.when(~cond, 1).otherwise(0))
@@ -9841,17 +9841,22 @@ def p08_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(name)
             )
         row = df.agg(*aggs)
-        out = None
-        for name, _ in rules:
-            leg = row.select(
-                F.lit(table).alias("table_name"),
-                F.lit(name).alias("rule"),
-                F.col("n_rows").cast("long").alias("n_rows"),
-                F.col(name).alias("violations"),
-                (F.col(name) == 0).cast("int").alias("passed"),
-            )
-            out = leg if out is None else out.unionAll(leg)
-        return out
+        # Unpivot the single metrics row with stack() — a union of
+        # per-rule selects would re-execute the aggregate and scan
+        # the table once PER RULE (the r5 plan audit caught exactly
+        # that: 8 scans); stack keeps it at one scan per table.
+        pairs = ", ".join(f"'{name}', {name}" for name, _ in rules)
+        return row.selectExpr(
+            f"'{table}' as table_name",
+            f"stack({len(rules)}, {pairs}) as (rule, violations)",
+            "n_rows",
+        ).select(
+            "table_name",
+            "rule",
+            "n_rows",
+            "violations",
+            (F.col("violations") == 0).cast("int").alias("passed"),
+        )
 
     li_rules = [
         ("qty_in_range", F.col("l_quantity").between(1, 50)),
