@@ -237,11 +237,8 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name]
-        n_runs = (
-            stream_runs
-            if name.startswith("st") or name == "l06_client_sessions"
-            else runs
-        )
+        is_stream = name.startswith("st") or name == "l06_client_sessions"
+        n_runs = stream_runs if is_stream else runs
         samples = []
         for i in range(n_runs):
             spark.catalog.clearCache()
@@ -250,6 +247,13 @@ def main() -> int:
             samples.append(time.perf_counter() - t0)
             if samples[0] < 1.0:
                 break
+        # Streaming drains pay a one-time state-store/codegen init on
+        # their FIRST execution in a session (measured 1.7-2x the
+        # steady state: st03 5.3 -> 2.7, st05 6.6 -> 3.9); that sample
+        # is warm-up, not the query's cost — drop it so two bench runs
+        # agree within steady-state noise (<10%).
+        if is_stream and len(samples) >= 3:
+            samples = samples[1:]
         samples.sort()
         mid = len(samples) // 2
         med = (
