@@ -4795,3 +4795,61 @@ FROM grid g
 LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
 ORDER BY g.event_type, g.day
 """
+
+# d19: DuckDB replays the identical portable banding (one md5 per
+# shingle, 5-hex-char lanes — the d05 _CLUSTER_EDGES machinery) over
+# the fixed-k cohort plus the exact-truth pair set, so both counts and
+# the per-mille recall hash-match.
+ORACLES["d19_lsh_recall_gate"] = """
+WITH base AS (
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 500
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM base)
+    WHERE len(t) >= 3
+),
+dig AS (
+    SELECT doc_id, s, list_transform(s, x -> md5(x)) AS dg FROM sh
+),
+bands AS (
+    SELECT doc_id, b.i AS band,
+           list_min(list_transform(dg, d -> substr(d, 1 + 5*(2*b.i), 5)))
+           || list_min(list_transform(dg, d -> substr(d, 1 + 5*(2*b.i+1), 5)))
+           AS bkey
+    FROM dig, (SELECT unnest(generate_series(0, 2)) AS i) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                AND a.doc_id < b.doc_id
+),
+truth AS (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+    FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+    WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+),
+caught AS (
+    SELECT t.id_a, t.id_b
+    FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+counts AS (
+    SELECT (SELECT count(*) FROM truth)  AS n_true,
+           (SELECT count(*) FROM caught) AS n_caught
+)
+SELECT CAST(n_true AS BIGINT)   AS n_true,
+       CAST(n_caught AS BIGINT) AS n_caught,
+       CAST((2*1000*n_caught + n_true) // (2*greatest(n_true, 1))
+            AS BIGINT) AS recall_pm,
+       CAST(CASE WHEN n_true = 0
+                   OR (2*1000*n_caught + n_true)
+                      // (2*greatest(n_true, 1)) >= 578
+                 THEN 1 ELSE 0 END AS INT) AS recall_ok
+FROM counts
+"""

@@ -9955,6 +9955,58 @@ def q131_time_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def d19_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH RECALL measured against exact truth — the eval that
+    closes the dedup family's last open question: d04 proves the
+    exact Jaccard, d05 hash-verifies the banding mechanics, the t17
+    gate bounds the estimator — but none of them MEASURES how many
+    true near-dup pairs the 3-band × 2-row banding actually catches.
+    Over the fixed-k cohort (500 smallest doc_ids — wide enough that
+    the corpus's uniformly-spread dup partners co-occur): truth = all
+    cohort pairs with 3-gram Jaccard ≥ 0.5; caught =
+    `portable_minhash_pairs` output (banded candidates ∩ truth by
+    construction, since its verify stage applies the same ≥ 0.5
+    filter).  Reports integer per-mille recall and a gate at the
+    theoretical single-pair floor 1−(1−J²)³ |_{J=0.5} ≈ 578 ‰ (the
+    truth distribution skews to high-J planted dups, so measured
+    recall sits at 1000 ‰ on this corpus).  n_true thins as the
+    corpus outgrows the fixed cohort (28 pairs at sf0.001 → 1 at
+    sf0.1); the division is guarded and an empty truth set passes
+    vacuously — the gate's evidentiary weight lives at the small SFs.
+
+    Scale: truth is the O(k²)-capped verifier leg (≤124 750 pairs at
+    ANY corpus size); caught is the production equi-join pipeline."""
+    docs = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(500)
+    caught = D.portable_minhash_pairs(docs)
+    tok = D.tokens_col(F.col("text"))
+    with_sh = docs.filter(F.size(tok) >= 3).select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
+    )
+    a = with_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = with_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(inter.cast("double") / union >= 0.5)
+        .select("id_a", "id_b")
+    )
+    hit = truth.join(caught, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_caught"))
+    pm = "(2*1000*n_caught + n_true) div (2*greatest(n_true, 1))"
+    return t.crossJoin(h).select(
+        "n_true",
+        "n_caught",
+        F.expr(pm).alias("recall_pm"),
+        F.expr(
+            f"cast(n_true = 0 or {pm} >= 578 as int)"
+        ).alias("recall_ok"),
+    )
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -9997,6 +10049,7 @@ REGISTRY = {
     "p08_dq_rules": p08_dq_rules,
     "q130_listagg": q130_listagg,
     "q131_time_grid_fill": q131_time_grid_fill,
+    "d19_lsh_recall_gate": d19_lsh_recall_gate,
     # -- block 1: re-checks (fresh verdict needed) -------------------
     "q53_decimal_exact": q53_decimal_exact,
     "s08_pq_topk": s08_pq_topk,
@@ -10352,14 +10405,14 @@ _ROUND5_FRONT = [
     # end of block 3 (round 5): brand-new this round, behind every
     # never-driver-verified entry per the ordering contract
     "i07_stdin_spool_pipeline", "p08_dq_rules",
-    "q130_listagg", "q131_time_grid_fill",
+    "q130_listagg", "q131_time_grid_fill", "d19_lsh_recall_gate",
 ]
-assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 101
+assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 102
 _missing = [n for n in _ROUND5_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND5_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND5_FRONT)},
 }
-assert len(REGISTRY) == 293
+assert len(REGISTRY) == 294
 
