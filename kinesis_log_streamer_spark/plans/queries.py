@@ -8795,10 +8795,20 @@ def d15_tfidf_cosine_pairs(
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
-    w = tfidf(docs).select(
-        "doc_id",
-        "term",
-        F.floor(F.col("tfidf") * 10000).cast("long").alias("wi"),
+    # The weighted-term table feeds FOUR consumers (document
+    # frequency, norms, and both join sides); without materialization
+    # each re-executes the whole tokenize→tf→idf subtree (r5 plan
+    # audit: 24 scans / 63 shuffles for one query).  localCheckpoint
+    # pins the narrow (doc_id, term, wi) longs once — the diamond-
+    # reuse pattern, same as d05's edge list.
+    w = (
+        tfidf(docs)
+        .select(
+            "doc_id",
+            "term",
+            F.floor(F.col("tfidf") * 10000).cast("long").alias("wi"),
+        )
+        .localCheckpoint(eager=True)
     )
     n_docs = docs.count()
     dfreq = w.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
