@@ -353,6 +353,32 @@ def sample_centroids(
     return [list(r.v) for r in rows]
 
 
+def ivf_prepare(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+):
+    """Build the query-independent half of an IVF index once:
+    (centroids, corpus cell assignments, normalized corpus).
+
+    ``materialize=True`` pins the assignment and normalization
+    outputs with an eager localCheckpoint so N probe calls against
+    the same index (the s11 nprobe sweep re-ran the full assignment
+    matmul per level: 32 scans / 52 shuffles in the r5 plan audit)
+    reuse them instead of re-deriving from the raw scan — the
+    in-session analogue of s15's persisted on-disk index."""
+    cents = sample_centroids(corpus, n_centroids, seed, id_col, vec_col)
+    c_cells = ivf_assign(corpus, cents, 1, id_col, vec_col)
+    cn = _normalized(corpus, id_col, vec_col)
+    if materialize:
+        c_cells = c_cells.localCheckpoint(eager=True)
+        cn = cn.localCheckpoint(eager=True)
+    return cents, c_cells, cn
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -363,6 +389,8 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries_in_corpus: bool = False,
+    prepared=None,
+    q_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF cells: corpus vectors live in their
     single nearest cell, queries probe their ``nprobe`` nearest cells,
@@ -381,18 +409,26 @@ def ivf_topk(
     reuse the corpus-side exchanges rather than re-running the
     assignment matmul on a second scan.
     """
-    cents = sample_centroids(corpus, n_centroids, seed, id_col, vec_col)
-    c_cells = ivf_assign(corpus, cents, 1, id_col, vec_col)
-    cn = _normalized(corpus, id_col, vec_col)
+    if prepared is None:
+        prepared = ivf_prepare(
+            corpus, n_centroids, seed, id_col, vec_col, materialize=False
+        )
+    cents, c_cells, cn = prepared
+    # q_cells override: a caller sweeping nprobe (s11) ranks the
+    # query assignments ONCE at the deepest probe and slices per
+    # level — probe sets are nested, so rank <= nprobe is exactly
+    # this level's assignment and the matmul is not re-run.
     if queries_in_corpus:
         qids = queries.select(F.col(id_col).alias("id"))
-        q_src = corpus.join(
-            F.broadcast(queries.select(id_col)), id_col
-        )
-        q_cells = ivf_assign(q_src, cents, nprobe, id_col, vec_col)
+        if q_cells is None:
+            q_src = corpus.join(
+                F.broadcast(queries.select(id_col)), id_col
+            )
+            q_cells = ivf_assign(q_src, cents, nprobe, id_col, vec_col)
         qn_src = cn.join(F.broadcast(qids), "id")
     else:
-        q_cells = ivf_assign(queries, cents, nprobe, id_col, vec_col)
+        if q_cells is None:
+            q_cells = ivf_assign(queries, cents, nprobe, id_col, vec_col)
         qn_src = _normalized(queries, id_col, vec_col)
     cand = (
         c_cells.join(

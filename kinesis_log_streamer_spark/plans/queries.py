@@ -5123,11 +5123,36 @@ def s11_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.cosine_topk(emb, queries, k=10)
         .groupBy("qid")
         .agg(F.avg("cos4").alias("_e_avg"))
+        # joined into all 4 sweep levels — pin the 5-row aggregate
+        .localCheckpoint(eager=True)
+    )
+    # one index build + one query-assignment matmul for the whole
+    # sweep: the per-level rebuild cost 32 scans / 52 shuffles (r5
+    # plan audit).  Probe sets are NESTED, so the deepest-probe
+    # ranked assignment slices to every level by rank; the tiebreak
+    # (score desc, cell desc) replicates ivf_assign's
+    # reverse(array_sort) ordering exactly.
+    prep = S.ivf_prepare(emb)
+    q_src = emb.join(F.broadcast(queries.select("vec_id")), "vec_id")
+    q_ranked = S.ivf_assign(
+        q_src, prep[0], nprobe=8, with_score=True
+    ).localCheckpoint(eager=True)
+    wq = W.partitionBy("id").orderBy(F.desc("score"), F.desc("cell"))
+    q_ranked = q_ranked.select(
+        "id", "cell", F.row_number().over(wq).alias("_r")
     )
     per_level = []
     for nprobe in (1, 2, 4, 8):
         approx = S.ivf_topk(
-            emb, queries, k=10, nprobe=nprobe, queries_in_corpus=True
+            emb,
+            queries,
+            k=10,
+            nprobe=nprobe,
+            queries_in_corpus=True,
+            prepared=prep,
+            q_cells=q_ranked.filter(F.col("_r") <= nprobe).select(
+                "id", "cell"
+            ),
         )
         per_level.append(
             approx.groupBy("qid")
