@@ -194,6 +194,9 @@ def run_streaming(args, entries, output_format, stream) -> int:
     finally:
         if query.isActive:
             query.stop()
+    if spooler.error is not None:
+        print(f"stdin spool failed: {spooler.error}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -72,6 +72,7 @@ class StdinSpooler:
         self.n_records = 0
         self.n_files = 0
         self.done = threading.Event()
+        self.error: BaseException | None = None
 
     # -- record extraction -------------------------------------------------
 
@@ -125,6 +126,18 @@ class StdinSpooler:
         spool-side flush-on-idle: a short read (interactive pipe going
         quiet) still lands immediately instead of waiting to fill a
         buffer."""
+        try:
+            return self._run()
+        except BaseException as exc:
+            # Surface the failure AND unblock drain_and_stop — a dead
+            # spool thread that never set `done` would park the drain
+            # loop forever (it has no timeout on the CLI path).
+            self.error = exc
+            raise
+        finally:
+            self.done.set()
+
+    def _run(self) -> int:
         os.makedirs(self._dir, exist_ok=True)
         take = self._take_lines if self._fmt == "line" else self._take_json_values
         # read1 (BufferedReader, e.g. sys.stdin.buffer) returns as soon
@@ -152,7 +165,6 @@ class StdinSpooler:
                 )
             self._land([self._carry])
             self._carry = ""
-        self.done.set()
         return self.n_records
 
     def start_thread(self) -> threading.Thread:

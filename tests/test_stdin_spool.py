@@ -220,3 +220,27 @@ def test_spooler_prefers_read1_over_blocking_read(tmp_path):
     sp = StdinSpooler(pipe, str(tmp_path), fmt="line")
     assert sp.run() == 2
     assert pipe.read1_calls >= 2
+
+
+def test_spooler_crash_sets_done_and_error(tmp_path):
+    """A dead spool thread must still release drain_and_stop: done is
+    set in a finally, with the exception surfaced on .error (the CLI
+    exits 1 instead of hanging forever)."""
+    sp = StdinSpooler(
+        ChunkedStream([b'{"a": 1} {"unterminated']), str(tmp_path), fmt="json"
+    )
+    t = sp.start_thread()
+    t.join(timeout=10)
+    assert sp.done.is_set()
+    assert isinstance(sp.error, ValueError)
+
+
+def test_cli_streaming_json_garbage_exits_1(spark, capsys):
+    from kinesis_log_streamer_spark import cli
+
+    args = cli.build_parser().parse_args(
+        ["--streaming", "--dry-run", "-f", "json", "Stream"]
+    )
+    stream = ChunkedStream([b'{"ok": 1} {"unterminated'])
+    rc = cli.run_streaming(args, {}, "json", stream)
+    assert rc == 1
