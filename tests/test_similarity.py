@@ -155,3 +155,31 @@ class TestPq:
             F.min("code").alias("lo"), F.max("code").alias("hi")
         ).first()
         assert 0 <= stats["lo"] and stats["hi"] <= 15
+
+
+class TestIvfPrepare:
+    def test_prepared_index_matches_unprepared(self, spark, sf_dir):
+        """ivf_prepare's checkpointed index must be value-identical to
+        the inline build — the s11 sweep depends on it."""
+        from kinesis_log_streamer_spark.operators.similarity import (
+            ivf_prepare,
+            ivf_topk,
+        )
+        from kinesis_log_streamer_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter("vec_id < 3")
+        base = ivf_topk(
+            emb, queries, k=5, nprobe=2, queries_in_corpus=True
+        ).collect()
+        prep = ivf_prepare(emb)
+        prepped = ivf_topk(
+            emb,
+            queries,
+            k=5,
+            nprobe=2,
+            queries_in_corpus=True,
+            prepared=prep,
+        ).collect()
+        key = lambda r: (r.qid, r.rnk)  # noqa: E731
+        assert sorted(base, key=key) == sorted(prepped, key=key)
