@@ -25,6 +25,7 @@ Memory bound: one chunk + one partial record — never the full input.
 
 from __future__ import annotations
 
+import codecs
 import json
 import os
 import threading
@@ -69,6 +70,12 @@ class StdinSpooler:
         self._seq = 0
         self._carry = ""
         self._decoder = json.JSONDecoder()
+        # Incremental UTF-8: a chunk boundary can split a multibyte
+        # character (inevitable with fixed-size reads); decoding each
+        # chunk independently would mangle both halves into U+FFFD.
+        # The incremental decoder carries the partial sequence, the
+        # byte-level twin of the partial-record carry.
+        self._utf8 = codecs.getincrementaldecoder("utf-8")("replace")
         self.n_records = 0
         self.n_files = 0
         self.done = threading.Event()
@@ -85,12 +92,19 @@ class StdinSpooler:
         complete, self._carry = self._carry[:nl], self._carry[nl + 1 :]
         return complete.split("\n")
 
-    def _take_json_values(self) -> list[str]:
+    def _take_json_values(self, final: bool = False) -> list[str]:
         """Peel complete JSON values off the carry buffer — the
         incremental twin of ``sources.json_source.
         split_concatenated_json`` (jsonstreamer.go:34-49).  A value
         split across chunks simply stays in the carry until its
-        closing token arrives."""
+        closing token arrives.
+
+        Numbers are the one JSON type with no closing token: a bare
+        number reaching the END of the buffer may continue in the
+        next chunk ("-10" split at "-1"|"0" must not emit -1 and 0),
+        so it is deferred until more input arrives — or consumed at
+        EOF (``final=True``), where the stream's end terminates it,
+        exactly as Go's json.Decoder tokenizes a number."""
         out: list[str] = []
         buf = self._carry.lstrip()
         while buf:
@@ -98,6 +112,13 @@ class StdinSpooler:
                 value, end = self._decoder.raw_decode(buf)
             except ValueError:
                 break  # incomplete (or garbage — surfaced at EOF)
+            if (
+                not final
+                and end == len(buf)
+                and isinstance(value, (int, float))
+                and not isinstance(value, bool)
+            ):
+                break  # possibly-unterminated trailing number
             out.append(json.dumps(value, separators=(",", ":")))
             buf = buf[end:].lstrip()
         self._carry = buf
@@ -151,20 +172,28 @@ class StdinSpooler:
             if not chunk:
                 break
             if isinstance(chunk, bytes):
-                chunk = chunk.decode("utf-8", errors="replace")
+                chunk = self._utf8.decode(chunk)
             self._carry += chunk
             self._land(take())
-        # EOF: the trailing partial line is still a record
-        # (linestreamer.go:70-76); trailing partial JSON is an error
-        # in strict mode, matching split_concatenated_json.
-        tail = self._carry.strip()
-        if tail:
-            if self._fmt == "json":
+        # EOF: flush any partial UTF-8 sequence (renders U+FFFD, like
+        # a truncated pipe would), then the trailing partial line is
+        # still a record (linestreamer.go:70-76); trailing partial
+        # JSON is an error in strict mode, matching
+        # split_concatenated_json.
+        self._carry += self._utf8.decode(b"", True)
+        if self._fmt == "json":
+            # EOF terminates a trailing bare number — take it now
+            self._land(self._take_json_values(final=True))
+            tail = self._carry.strip()
+            if tail:
                 raise ValueError(
                     f"trailing non-JSON input at EOF: {tail[:80]!r}"
                 )
+        elif self._carry:
+            # Land whatever trailed — even whitespace-only: dropping
+            # empties is the pipeline's F1 filter's call, not ours.
             self._land([self._carry])
-            self._carry = ""
+        self._carry = ""
         return self.n_records
 
     def start_thread(self) -> threading.Thread:

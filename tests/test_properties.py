@@ -181,3 +181,116 @@ class TestEnrichmentProperty:
             want = dict(raw)
             want.update(entries)
             assert json.loads(out) == self._canon(want)
+
+
+def _chunked(raw: bytes, cuts: list[int]):
+    """Split raw bytes at the (sorted, deduped) cut offsets."""
+    points = sorted({min(c, len(raw)) for c in cuts} | {0, len(raw)})
+    return [raw[a:b] for a, b in zip(points, points[1:]) if b > a]
+
+
+class _PieceStream:
+    def __init__(self, pieces):
+        self._p = list(pieces)
+
+    def read(self, n: int) -> bytes:
+        if not self._p:
+            return b""
+        piece = self._p.pop(0)
+        if len(piece) > n:
+            head, rest = piece[:n], piece[n:]
+            self._p.insert(0, rest)
+            return head
+        return piece
+
+
+class TestSpoolerProperties:
+    """The CLI streaming spooler must reconstruct records EXACTLY for
+    any input under any chunk partitioning — the property the carry
+    logic (linestreamer.go:49-57's rule) exists to guarantee."""
+
+    @given(
+        lines=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="\n", blacklist_categories=("Cs",)
+                ),
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        cuts=st.lists(
+            st.integers(min_value=0, max_value=700), max_size=12
+        ),
+        trailing_newline=st.booleans(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_line_mode_reconstructs_any_chunking(
+        self, tmp_path_factory, lines, cuts, trailing_newline
+    ):
+        from kinesis_log_streamer_spark.streaming.stdin_spool import (
+            StdinSpooler,
+        )
+
+        d = tmp_path_factory.mktemp("spool")
+        raw = "\n".join(lines).encode("utf-8")
+        if trailing_newline:
+            raw += b"\n"
+        import os
+
+        sp = StdinSpooler(
+            _PieceStream(_chunked(raw, cuts)), str(d), fmt="line"
+        )
+        n = sp.run()
+        got = []
+        for f in sorted(os.listdir(d)):
+            # newline="": records may legitimately contain bare \r,
+            # which universal-newline reading would rewrite
+            with open(
+                os.path.join(d, f), encoding="utf-8", newline=""
+            ) as fh:
+                got += fh.read().split("\n")[:-1]
+        # An input ending without a newline still yields its last
+        # (possibly empty-string-free) record; empty input yields none.
+        want = raw.decode("utf-8").split("\n")
+        if want and want[-1] == "":
+            want = want[:-1]
+        if raw == b"":
+            want = []
+        assert got == want
+        assert n == len(want)
+
+    @given(
+        values=st.lists(json_values, min_size=1, max_size=8),
+        seps=st.lists(separators, min_size=8, max_size=8),
+        cuts=st.lists(
+            st.integers(min_value=0, max_value=500), max_size=10
+        ),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_json_mode_reconstructs_any_chunking(
+        self, tmp_path_factory, values, seps, cuts
+    ):
+        from kinesis_log_streamer_spark.streaming.stdin_spool import (
+            StdinSpooler,
+        )
+
+        d = tmp_path_factory.mktemp("spool")
+        raw = "".join(
+            seps[i % 8] + json.dumps(v) for i, v in enumerate(values)
+        ).encode("utf-8")
+        import os
+
+        sp = StdinSpooler(
+            _PieceStream(_chunked(raw, cuts)), str(d), fmt="json"
+        )
+        n = sp.run()
+        got = []
+        for f in sorted(os.listdir(d)):
+            with open(os.path.join(d, f), encoding="utf-8") as fh:
+                got += [
+                    json.loads(line) for line in fh.read().splitlines()
+                ]
+        assert got == values
+        assert n == len(values)
