@@ -143,9 +143,14 @@ def run_streaming(args, entries, output_format, stream) -> int:
     os.makedirs(landing, exist_ok=True)
 
     host_id = get_host_id(probe_network=not args.dry_run)
+    # cleanSource=delete: processed spool files are removed on later
+    # triggers, so a never-EOF pipe (the Apache CustomLog deployment)
+    # keeps both the landing dir and the source's file listing
+    # bounded instead of growing for the life of the process.
     raw = (
         spark.readStream.format("text")
         .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .option("cleanSource", "delete")
         .load(landing)
     )
     if args.format == "json":
