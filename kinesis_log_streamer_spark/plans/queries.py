@@ -10022,9 +10022,17 @@ def d19_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = with_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    # Exact-safe size prefilter: J >= 0.5 forces |A|/|B| within 2x
+    # (J <= min/max), so the cheap length test short-circuits the
+    # set intersection on the overwhelming majority of pairs.  A
+    # semantic no-op — the oracle needs no mirror.
+    sizes_ok = (
+        F.size("sh_a") <= 2 * F.size("sh_b")
+    ) & (F.size("sh_b") <= 2 * F.size("sh_a"))
     truth = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sizes_ok)
         .filter(inter.cast("double") / union >= 0.5)
         .select("id_a", "id_b")
     )
