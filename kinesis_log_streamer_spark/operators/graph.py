@@ -446,3 +446,55 @@ def sssp_weighted(
     raise RuntimeError(
         f"sssp_weighted did not converge in {max_iter} rounds"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts labeled with its own id; each round it adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label.  A FIXED iteration count (like :func:`pagerank`'s fixed
+    ``n_iter``) makes the run deterministic and externally replayable
+    — synchronous LPA can oscillate on bipartite structures, so
+    convergence detection would be data-dependent; a fixed horizon is
+    the reproducible contract.
+
+    Scale: per round one equi-join (neighbor labels) + one hash-agg
+    per (node, label) + a per-node top-1 window — all partitioned by
+    node id, state is one long per node; ``localCheckpoint`` truncates
+    the iteration lineage exactly as the other iterative ops do.
+
+    Returns (node, label), one row per node appearing in any edge.
+    """
+    from pyspark.sql import Window as W
+
+    sym = (
+        edges.select(F.col(src).alias("v"), F.col(dst).alias("nbr"))
+        .unionByName(
+            edges.select(F.col(dst).alias("v"), F.col(src).alias("nbr"))
+        )
+        .filter(F.col("v") != F.col("nbr"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("v").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = W.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels, sym.nbr == labels.node)
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

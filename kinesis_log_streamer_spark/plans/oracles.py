@@ -4853,3 +4853,50 @@ SELECT CAST(n_true AS BIGINT)   AS n_true,
                  THEN 1 ELSE 0 END AS INT) AS recall_ok
 FROM counts
 """
+
+# g06: three synchronous LPA rounds unrolled as plain SQL (fixed
+# horizon + (count desc, label asc) tie-break = deterministic).
+ORACLES["g06_label_propagation"] = """
+WITH ev AS (
+    SELECT user_id % 100 AS src,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 100 AS dst
+    FROM events
+),
+sym AS (
+    SELECT DISTINCT src AS v, dst AS nbr FROM ev
+    WHERE dst IS NOT NULL AND src <> dst
+    UNION
+    SELECT DISTINCT dst AS v, src AS nbr FROM ev
+    WHERE dst IS NOT NULL AND src <> dst
+),
+l0 AS (SELECT DISTINCT v AS node, v AS label FROM sym),
+l1 AS (
+    SELECT node, label FROM (
+        SELECT s.v AS node, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY s.v
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM sym s JOIN l0 l ON l.node = s.nbr
+        GROUP BY s.v, l.label
+    ) WHERE rn = 1
+),
+l2 AS (
+    SELECT node, label FROM (
+        SELECT s.v AS node, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY s.v
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM sym s JOIN l1 l ON l.node = s.nbr
+        GROUP BY s.v, l.label
+    ) WHERE rn = 1
+),
+l3 AS (
+    SELECT node, label FROM (
+        SELECT s.v AS node, l.label, count(*) AS cnt,
+               row_number() OVER (PARTITION BY s.v
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM sym s JOIN l2 l ON l.node = s.nbr
+        GROUP BY s.v, l.label
+    ) WHERE rn = 1
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM l3 ORDER BY node
+"""

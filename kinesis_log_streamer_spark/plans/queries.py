@@ -10050,6 +10050,35 @@ def d19_lsh_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g06_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous LABEL PROPAGATION
+    (`operators/graph.py:label_propagation`) over the q56/g02–g05
+    interaction graph — the graph family's clustering member (CC finds
+    connectivity; LPA finds dense communities WITHIN a component).
+    Three fixed synchronous rounds: each node adopts its neighbors'
+    most frequent label, ties to the smallest label — deterministic
+    by construction (fixed horizon + total-order tie-break), so the
+    oracle unrolls the identical three rounds as plain SQL and the
+    full 100-node assignment hash-matches.
+
+    Scale: per round one equi-join + hash-agg + per-node top-1
+    window, all partitioned on node id; state is one long per node."""
+    from kinesis_log_streamer_spark.operators.graph import label_propagation
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("src"),
+        (F.get_json_object("props", "$.k").cast("long") % 100).alias(
+            "dst"
+        ),
+    )
+    edges = ev.na.drop().filter(F.col("src") != F.col("dst"))
+    out = label_propagation(edges, iterations=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    ).orderBy("node")
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -10093,6 +10122,7 @@ REGISTRY = {
     "q130_listagg": q130_listagg,
     "q131_time_grid_fill": q131_time_grid_fill,
     "d19_lsh_recall_gate": d19_lsh_recall_gate,
+    "g06_label_propagation": g06_label_propagation,
     # -- block 1: re-checks (fresh verdict needed) -------------------
     "q53_decimal_exact": q53_decimal_exact,
     "s08_pq_topk": s08_pq_topk,
@@ -10449,13 +10479,14 @@ _ROUND5_FRONT = [
     # never-driver-verified entry per the ordering contract
     "i07_stdin_spool_pipeline", "p08_dq_rules",
     "q130_listagg", "q131_time_grid_fill", "d19_lsh_recall_gate",
+    "g06_label_propagation",
 ]
-assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 102
+assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 103
 _missing = [n for n in _ROUND5_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND5_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND5_FRONT)},
 }
-assert len(REGISTRY) == 294
+assert len(REGISTRY) == 295
 

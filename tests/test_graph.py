@@ -169,3 +169,38 @@ class TestSsspWeighted:
         )
         out = {r.node: r.dist for r in sssp_weighted(edges, 0).collect()}
         assert set(out) == {0, 1}
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        """Two 4-cliques joined by one bridge edge: after 3 rounds
+        each clique converges on its minimum id; the bridge is not
+        enough to merge them."""
+        from kinesis_log_streamer_spark.operators import graph as G
+
+        c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+        edges = spark.createDataFrame(
+            c1 + c2 + [(3, 10)], "src long, dst long"
+        )
+        out = {
+            r.node: r.label
+            for r in G.label_propagation(edges, iterations=3).collect()
+        }
+        assert all(out[n] == 0 for n in range(4))
+        assert all(out[n] == 10 for n in range(10, 14))
+
+    def test_deterministic_tiebreak_smallest_label(self, spark):
+        """A node with two equally frequent neighbor labels adopts the
+        smaller one."""
+        from kinesis_log_streamer_spark.operators import graph as G
+
+        edges = spark.createDataFrame(
+            [(5, 1), (5, 2)], "src long, dst long"
+        )
+        out = {
+            r.node: r.label
+            for r in G.label_propagation(edges, iterations=1).collect()
+        }
+        # node 5 sees labels {1, 2} once each -> adopts 1
+        assert out[5] == 1
