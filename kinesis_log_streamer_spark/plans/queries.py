@@ -9790,16 +9790,26 @@ def i07_stdin_spool_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the spool stage is the CLI driver's stdin tail — inherently
     single-stream (one pipe) and O(chunk) memory; everything after the
     landing dir is ordinary distributed scan."""
+    import glob as _glob
     import os
     import shutil
     import tempfile
+    import time as _time
 
     from kinesis_log_streamer_spark.streaming.stdin_spool import StdinSpooler
 
-    base = os.path.join(tempfile.gettempdir(), "klss_i07_spool")
+    # Per-invocation tempdir: a fixed path let concurrent runs
+    # (selfcheck vs pytest vs bench) rmtree each other's landing
+    # files mid-scan (r5 ADVICE).  Stale dirs from crashed runs are
+    # swept opportunistically; live dirs are unique so never shared.
+    for stale in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "klss_i07_*")
+    ):
+        if _time.time() - os.path.getmtime(stale) > 3600:
+            shutil.rmtree(stale, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="klss_i07_")
     src = os.path.join(base, "src")
     landing = os.path.join(base, "landing")
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(landing)
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
@@ -10105,16 +10115,18 @@ REGISTRY = {
     # `_ROUND5_FRONT` rebuild after this literal (dict order here no
     # longer decides the window — the rebuild does; asserts keep it
     # key-set-preserving).  Front = the 97 entries with no driver
-    # verdict in CORRECTNESS_r01–r04, then the 4 new r5 queries.
+    # verdict in CORRECTNESS_r01–r04, then the 6 new r5 queries.
     # CORRECTNESS_r04 was 50/50 green, so there are no FAIL/ERR
     # re-checks this round.
     #
-    # ROUND-6 REORDER: the r05 window consumes the first ~50 front
-    # names (d17…q83 area).  Round 6 must front the ~51 leftovers —
-    # the q84…q129 tail plus i07/p08/q130/q131 — ahead of everything
-    # already green; after that window, every registry entry will
-    # have at least one driver verdict.  Mechanism: replace
-    # `_ROUND5_FRONT` with the leftover list (same asserts).
+    # ROUND-6 STATE: the r05 window verified its first 50 front names
+    # (d17…q81, 50/50 hash-green).  The `_ROUND6_FRONT` rebuild after
+    # this literal now fronts the 53 remaining never-verified names
+    # (q82–q131 tail + the six r5 additions), then the 4
+    # rows-only-by-contract re-checks, then block 3 (new r6 queries).
+    # After the r6 window, only 7 names (3 judge-selfchecked overflow
+    # + 4 rows-only) plus the r6 additions await a driver verdict —
+    # all of which fit round 7's window.
     #
     # -- block 3 (round 5): new this round ---------------------------
     "i07_stdin_spool_pipeline": i07_stdin_spool_pipeline,
@@ -10418,75 +10430,60 @@ REGISTRY = {
     "s01_cosine_topk": s01_cosine_topk,
 }
 
-# ROUND-5 REORDER (mechanical, per VERDICT r04 "Next round" #1): the
-# driver's correctness window verifies only the first ~50 REGISTRY
-# entries.  CORRECTNESS_r01–r04 cumulatively cover 192 of the 289
-# names; the 97 below have NEVER received a driver verdict.  Front-load
-# them — curation families (d/t/s/w/p/m) first, then log-analytics and
-# format edges, then the round-4 kinesis/streaming additions, then the
-# q64–q129 SQL tail.  The ~47 that overflow this round's window stay
-# up front for round 6.  The rebuild below is key-set-preserving by
-# construction (asserted), so the registry content cannot drift.
-_ROUND5_FRONT = [
-    # curation: dedup / text / similarity / weighting / pipeline / multimodal
-    "d17_portable_simhash_pairs", "d18_normalized_dedup",
-    "t26_zipf_fit", "s18_mips_topk",
-    "w01_weighted_sample", "w02_temperature_mix", "w03_epoch_shuffle",
-    "w04_largest_remainder_quota", "w06_decay_weighted",
-    "w07_weighted_percentile",
-    "p04_stream_progress_metrics", "p05_pipeline_reconciliation",
-    "p06_benford_profile", "p07_psi_drift",
-    "m07_image_resize",
-    # log analytics
-    "l11_ip_range_enrich", "l12_alert_transitions", "l13_errorlog_rollup",
-    "l15_apdex", "l16_slo_burn_rate", "l17_json_key_profile",
-    # format edges
-    "f18_path_glob_recursive", "f19_parquet_codec_matrix",
-    "f20_wholetext_scan", "f21_nested_schema_pruning",
-    "f22_ignore_corrupt_files", "f23_max_records_per_file",
-    # kinesis / streaming / ingest / graph (r04 block-3)
-    "k04_at_most_once_drops", "k05_python_datasource_writer",
-    "st15_state_across_restarts", "i06_json_seq_roundtrip",
-    "g05_degree_stats",
-    # SQL tail q64…q129 (never driver-verified)
-    "q64_hll_partial_union", "q65_bloom_filter_join", "q66_snapshot_diff",
-    "q67_max_concurrency", "q68_asof_forward", "q69_cached_branch_reuse",
-    "q70_bitwise_aggs", "q71_null_skew_join", "q72_scd2_build",
-    "q73_dynamic_sessionize", "q74_rank_battery", "q75_try_arithmetic",
-    "q76_multi_distinct_agg", "q77_intersect_all", "q78_json_tuple",
-    "q79_collation_group", "q80_parameterized_sql",
-    "q81_sql_pivot_unpivot", "q82_offset_pagination",
-    "q83_native_dynamic_session", "q84_approx_distinct_gate",
-    "q85_map_hof_battery", "q86_incremental_rollup", "q87_group_by_all",
+# ROUND-6 REORDER (mechanical, per VERDICT r05 "Next round" #1+#2):
+# the driver's correctness window verifies exactly the first 50
+# REGISTRY entries (50/50 in every CORRECTNESS_r01–r05).  After r05,
+# 53 names have NEVER received a driver verdict: the q82–q129 SQL
+# tail (47) plus the six r5 additions (i07, p08, q130, q131, d19,
+# g06).  Front all 53.  Three must overflow a 50-slot window; the
+# three chosen (q94/q97/q104, placed at positions 50–52) were
+# independently re-verified by the r5 judge's own selfcheck sample,
+# so they carry the least risk of sitting one more round.  Positions
+# 53–56 take the four rows-only-by-contract queries
+# (q28/d02/d03/t03) whose latest driver record is a stale r1
+# `err: no_oracle` — fronting them converts that into an explicit
+# rows-only verdict (VERDICT #2).  Brand-new round-6 queries go
+# after those (block 3), then the green tail.  The rebuild is
+# key-set-preserving by construction (asserted).
+_ROUND6_FRONT = [
+    # 50 never-driver-verified (window positions 0–49)
+    "q82_offset_pagination", "q83_native_dynamic_session",
+    "q84_approx_distinct_gate", "q85_map_hof_battery",
+    "q86_incremental_rollup", "q87_group_by_all",
     "q88_filter_through_window", "q89_cbo_stats", "q90_mad",
     "q91_time_rollup", "q92_lag_defaults", "q92b_comparator_sort",
-    "q93_bool_aggregates", "q94_lateral_view_outer", "q96_bitmap_distinct",
-    "q97_aes_roundtrip", "q98_url_canonicalize", "q99_regexp_battery",
+    "q93_bool_aggregates", "q96_bitmap_distinct",
+    "q98_url_canonicalize", "q99_regexp_battery",
     "q100_union_by_name", "q101_datetime_battery",
     "q102_string_pad_battery", "q103_try_cast",
-    "q104_ignore_nulls_window", "q105_timestamp_arith",
-    "q106_lateral_alias", "q107_crosstab", "q108_equiheight_histogram",
-    "q109_asof_nearest", "q110_pivot_multi_agg",
-    "q111_interval_overlap_join", "q112_values_inline_join",
-    "q113_sql_udf", "q114_column_defaults", "q115_window_group_limit",
-    "q116_safe_array_access", "q117_take_ordered_gate",
-    "q118_complex_type_ordering", "q119_regression_aggregates",
-    "q120_sql_pipe_syntax", "q121_transpose", "q123_lateral_join_api",
+    "q105_timestamp_arith", "q106_lateral_alias", "q107_crosstab",
+    "q108_equiheight_histogram", "q109_asof_nearest",
+    "q110_pivot_multi_agg", "q111_interval_overlap_join",
+    "q112_values_inline_join", "q113_sql_udf", "q114_column_defaults",
+    "q115_window_group_limit", "q116_safe_array_access",
+    "q117_take_ordered_gate", "q118_complex_type_ordering",
+    "q119_regression_aggregates", "q120_sql_pipe_syntax",
+    "q121_transpose", "q123_lateral_join_api",
     "q124_argminmax_battery", "q125_null_format_battery",
     "q126_sql_scripting", "q127_generator_outer",
     "q128_try_parse_battery", "q129_nested_struct_update",
-    # end of block 3 (round 5): brand-new this round, behind every
-    # never-driver-verified entry per the ordering contract
     "i07_stdin_spool_pipeline", "p08_dq_rules",
     "q130_listagg", "q131_time_grid_fill", "d19_lsh_recall_gate",
     "g06_label_propagation",
+    # never-verified overflow (positions 50–52; judge-selfchecked r5)
+    "q94_lateral_view_outer", "q97_aes_roundtrip",
+    "q104_ignore_nulls_window",
+    # rows-only-by-contract re-checks (positions 53–56; VERDICT #2)
+    "q28_approx_stats", "d02_minhash_pairs", "d03_simhash_pairs",
+    "t03_langid_pred",
+    # -- block 3 (round 6): brand-new this round, inserted here ------
 ]
-assert len(_ROUND5_FRONT) == len(set(_ROUND5_FRONT)) == 103
-_missing = [n for n in _ROUND5_FRONT if n not in REGISTRY]
+assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 57
+_missing = [n for n in _ROUND6_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _ROUND5_FRONT},
-    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND5_FRONT)},
+    **{n: REGISTRY[n] for n in _ROUND6_FRONT},
+    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND6_FRONT)},
 }
 assert len(REGISTRY) == 295
 

@@ -227,6 +227,12 @@ def drain_and_stop(
     deadline = time.monotonic() + timeout_s if timeout_s else None
     idle_since: float | None = None
     while True:
+        if not query.isActive:
+            # The query died (sink failure, bad checkpoint) or was
+            # stopped externally — exit immediately instead of
+            # spinning on a corpse (the CLI path passes no timeout).
+            # awaitTermination below re-raises its exception.
+            break
         now = time.monotonic()
         if deadline and now > deadline:
             break
@@ -238,8 +244,11 @@ def drain_and_stop(
             elif now - idle_since >= idle_span_s:
                 break
         time.sleep(poll_s)
+    exc = query.exception()
     query.stop()
     query.awaitTermination()
+    if exc is not None:
+        raise exc
 
 
 def parse_trigger_seconds(trigger: str) -> float:
