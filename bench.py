@@ -234,11 +234,26 @@ def main() -> int:
     stream_runs = max(
         runs, int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_RUNS", "5"))
     )
+    # Three batch queries oscillate far wider than the rest at the
+    # SAME commit (BENCH_HISTORY r05: d05 2.37 <-> 4.73s, t07 +42%,
+    # s08 +25% between back-to-back runs) — iterative checkpointing
+    # (d05), a 15-way TakeOrdered over an exploded gram stream (t07)
+    # and a LUT-join shortlist rerank (s08) are all GC/page-cache
+    # sensitive.  Median-of-7 with the first (cold) sample dropped
+    # holds consecutive full runs within 15% (VERDICT r05 item 3);
+    # nothing else in the suite needs the extra samples.
+    noisy_runs = max(
+        runs, int(os.environ.get("SPARK_GRAFT_BENCH_NOISY_RUNS", "7"))
+    )
+    noisy = {"d05_dedup_clusters", "t07_bigram_topk", "s08_pq_topk"}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name]
         is_stream = name.startswith("st") or name == "l06_client_sessions"
-        n_runs = stream_runs if is_stream else runs
+        is_noisy = name in noisy
+        n_runs = (
+            noisy_runs if is_noisy else stream_runs if is_stream else runs
+        )
         samples = []
         for i in range(n_runs):
             spark.catalog.clearCache()
@@ -252,7 +267,7 @@ def main() -> int:
         # steady state: st03 5.3 -> 2.7, st05 6.6 -> 3.9); that sample
         # is warm-up, not the query's cost — drop it so two bench runs
         # agree within steady-state noise (<10%).
-        if is_stream and len(samples) >= 3:
+        if (is_stream or is_noisy) and len(samples) >= 3:
             samples = samples[1:]
         samples.sort()
         mid = len(samples) // 2

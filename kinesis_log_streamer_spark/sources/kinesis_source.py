@@ -72,9 +72,12 @@ logger = logging.getLogger(__name__)
 
 @dataclass
 class KinesisWriteCommit(WriterCommitMessage):
-    """Per-task commit message: how many records the task accepted."""
+    """Per-task commit message: how many records the task staged, and
+    the task-private staging directory awaiting the driver's
+    ``commit()`` (empty string = legacy direct append)."""
 
     n_records: int = 0
+    staging_dir: str = ""
 
 
 def make_read_client(options: dict):
@@ -346,12 +349,20 @@ class KinesisDataSourceWriter(DataSourceWriter):
     endpoints are supported — the AWS transport stays on the
     foreachBatch sink where retry policy is configurable.
 
-    Delivery caveat (mirrors the service + the reference's
-    at-most-once stance, basestreamer.go:76-83): ``put_records``
-    appends are NOT transactional, so a retried or speculative task
-    re-appends its rows.  ``abort`` cannot un-append.  Callers that
-    need exactly-once must disable speculation and treat the write
-    as idempotent downstream (e.g. dedup on partitionKey+data)."""
+    Delivery: EXACTLY-ONCE per partition for the ``dir:`` transport,
+    via two-phase commit (VERDICT r05 item 4).  Each task stages its
+    shard-routed records in a task-private hidden directory
+    (``.staging-<uuid>/``) and reports the path in its commit
+    message; Spark forwards exactly ONE message per partition to the
+    driver's ``commit()``, which appends the staged shard files into
+    the live ``shard-*.jsonl`` files and removes the staging dirs.  A
+    retried or speculative attempt leaves only an orphaned hidden
+    staging dir (invisible to shard readers, which list
+    ``shard-*.jsonl``) — never duplicate records.  ``abort`` discards
+    all reported staging dirs, so a failed job publishes nothing.
+    Orphans from attempts that died before messaging are swept by the
+    next successful ``commit()`` if older than one hour (a live
+    concurrent job's staging is younger than that)."""
 
     def __init__(self, options: dict) -> None:
         endpoint = options.get("endpoint", "")
@@ -365,11 +376,14 @@ class KinesisDataSourceWriter(DataSourceWriter):
         self._stream = options.get("streamname", "kinesis_py")
 
     def write(self, iterator) -> WriterCommitMessage:
+        import uuid  # noqa: PLC0415
+
         from kinesis_log_streamer_spark.streaming.kinesis_sink import (
             chunk_records,
         )
 
-        client = DirKinesisClient(self._dir, self._num_shards)
+        staging = os.path.join(self._dir, f".staging-{uuid.uuid4().hex}")
+        client = DirKinesisClient(staging, self._num_shards)
         pairs = (
             (
                 row.data
@@ -388,15 +402,66 @@ class KinesisDataSourceWriter(DataSourceWriter):
                 ],
             )
             n += len(batch)
-        return KinesisWriteCommit(n_records=n)
+        return KinesisWriteCommit(n_records=n, staging_dir=staging)
+
+    def _publish(self, staging: str) -> None:
+        """Append every staged shard file into its live twin — one
+        O_APPEND ``os.write`` per file (the same no-tear contract as
+        DirKinesisClient.put_records) — then drop the staging dir."""
+        import shutil  # noqa: PLC0415
+
+        if not staging or not os.path.isdir(staging):
+            return  # already published, or the task staged nothing
+        for name in sorted(os.listdir(staging)):
+            if not (name.startswith("shard-") and name.endswith(".jsonl")):
+                continue
+            with open(os.path.join(staging, name), "rb") as fh:
+                payload = fh.read()
+            if not payload:
+                continue
+            fd = os.open(
+                os.path.join(self._dir, name),
+                os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+                0o644,
+            )
+            try:
+                os.write(fd, payload)
+            finally:
+                os.close(fd)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def _sweep_orphans(self, max_age_s: float = 3600.0) -> None:
+        """Remove hidden staging dirs abandoned by attempts that died
+        before returning a commit message (age-gated so a concurrent
+        job's in-flight staging is never touched)."""
+        import shutil  # noqa: PLC0415
+        import time as _time  # noqa: PLC0415
+
+        try:
+            entries = os.listdir(self._dir)
+        except OSError:
+            return
+        for name in entries:
+            if not name.startswith(".staging-"):
+                continue
+            path = os.path.join(self._dir, name)
+            try:
+                if _time.time() - os.path.getmtime(path) > max_age_s:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
 
     def commit(self, messages) -> None:
-        # Nothing to finalize (appends are already durable); the
-        # per-task accepted counts in the messages are the write's
-        # success accounting, available to callers via the driver log.
-        total = sum(
-            getattr(m, "n_records", 0) for m in messages if m is not None
-        )
+        # Publish exactly the staged output of the ONE successful
+        # attempt per partition; duplicate attempts' staging dirs are
+        # not in `messages` and therefore never reach the shard files.
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            self._publish(getattr(m, "staging_dir", ""))
+            total += getattr(m, "n_records", 0)
+        self._sweep_orphans()
         logger.info(
             "kinesis_py write committed: %d records across %d tasks",
             total,
@@ -404,12 +469,20 @@ class KinesisDataSourceWriter(DataSourceWriter):
         )
 
     def abort(self, messages) -> None:
-        # At-most-once contract: already-appended rows cannot be
-        # withdrawn (see class docstring); surface the abort loudly.
+        import shutil  # noqa: PLC0415
+
+        # Two-phase contract: nothing was published, so discarding the
+        # reported staging dirs rolls the job back completely.
+        dropped = 0
+        for m in messages:
+            staging = getattr(m, "staging_dir", "") if m is not None else ""
+            if staging and os.path.isdir(staging):
+                shutil.rmtree(staging, ignore_errors=True)
+                dropped += 1
         logger.warning(
-            "kinesis_py write aborted after %d task commits; appended "
-            "rows are NOT rolled back (at-most-once sink)",
-            sum(1 for m in messages if m is not None),
+            "kinesis_py write aborted: %d staged task outputs discarded; "
+            "no records were published",
+            dropped,
         )
 
 

@@ -141,3 +141,102 @@ class TestDirShardAppendAtomicity:
             inner = json.loads(rec["data"])
             seen.add((inner["tid"], inner["batch"]))
         assert len(seen) == n_threads * n_batches  # no dup, no loss
+
+
+class TestKinesisWriterTwoPhaseCommit:
+    """KinesisDataSourceWriter retry idempotence (VERDICT r05 item 4):
+    staging + driver-side publish means a retried/speculative task
+    attempt can never double-append records to the shard files."""
+
+    def _rows(self, n):
+        from pyspark.sql import Row
+
+        return [
+            Row(data=f'{{"i":{i}}}', partitionKey=f"k{i % 4}")
+            for i in range(n)
+        ]
+
+    def _writer(self, d):
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            KinesisDataSourceWriter,
+        )
+
+        return KinesisDataSourceWriter(
+            {"endpoint": f"dir:{d}", "numshards": "2"}
+        )
+
+    def _shard_lines(self, d):
+        out = []
+        for name in sorted(os.listdir(d)):
+            if name.startswith("shard-") and name.endswith(".jsonl"):
+                with open(os.path.join(d, name)) as fh:
+                    out.extend(fh.read().strip().splitlines())
+        return out
+
+    def test_retried_task_does_not_duplicate(self, tmp_path):
+        d = str(tmp_path / "shards")
+        os.makedirs(d)
+        w = self._writer(d)
+        rows = self._rows(12)
+        first = w.write(iter(rows))
+        retry = w.write(iter(rows))  # speculative/retried attempt
+        assert first.staging_dir != retry.staging_dir
+        # nothing published before the driver commits
+        assert self._shard_lines(d) == []
+        # Spark forwards exactly ONE message per partition
+        w.commit([first])
+        lines = self._shard_lines(d)
+        assert len(lines) == 12  # the retry's staging never published
+        assert first.n_records == retry.n_records == 12
+        # the losing attempt's staging dir is orphaned, not live data —
+        # and invisible to shard readers
+        import json as _json
+
+        seen = sorted(_json.loads(x)["data"] for x in lines)
+        assert seen == sorted(r.data for r in rows)
+
+    def test_abort_publishes_nothing(self, tmp_path):
+        d = str(tmp_path / "shards")
+        os.makedirs(d)
+        w = self._writer(d)
+        msg = w.write(iter(self._rows(7)))
+        w.abort([msg, None])
+        assert self._shard_lines(d) == []
+        assert not os.path.isdir(msg.staging_dir)
+
+    def test_commit_sweeps_stale_orphans(self, tmp_path):
+        d = str(tmp_path / "shards")
+        os.makedirs(d)
+        stale = os.path.join(d, ".staging-deadbeef")
+        os.makedirs(stale)
+        old = 1_000_000.0
+        os.utime(stale, (old, old))
+        w = self._writer(d)
+        msg = w.write(iter(self._rows(3)))
+        w.commit([msg])
+        assert not os.path.isdir(stale)
+        assert len(self._shard_lines(d)) == 3
+
+    def test_dataframe_write_roundtrip(self, spark, tmp_path):
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            KinesisDataSource,
+        )
+
+        spark.dataSource.register(KinesisDataSource)
+        d = str(tmp_path / "shards")
+        df = spark.range(20).select(
+            F.col("id").cast("string").alias("data"),
+            (F.col("id") % 3).cast("string").alias("partitionKey"),
+        )
+        (
+            df.coalesce(2)
+            .write.format("kinesis_py")
+            .option("endpoint", f"dir:{d}")
+            .option("numshards", "2")
+            .mode("append")
+            .save()
+        )
+        lines = self._shard_lines(d)
+        assert len(lines) == 20
+        # no staging residue after a successful commit
+        assert not [x for x in os.listdir(d) if x.startswith(".staging-")]
