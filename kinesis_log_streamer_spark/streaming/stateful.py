@@ -375,6 +375,39 @@ def running_totals_processor():
     return _RunningTotals()
 
 
+def transform_with_state_available() -> bool:
+    """True when the Spark 4 ``transformWithStateInPandas`` state
+    protocol can actually run here: its Python worker speaks protobuf
+    to the JVM state server, so ``google.protobuf`` must be
+    importable on the workers."""
+    try:
+        import google.protobuf  # noqa: F401, PLC0415
+    except ImportError:
+        return False
+    return True
+
+
+def running_totals_transform_with_state(
+    df: DataFrame,
+    output_schema: str = (
+        "key int, phase int, running_n long, running_sum double"
+    ),
+) -> DataFrame:
+    """Per-key running (count, sum) on the Spark 4
+    ``transformWithStateInPandas`` API — typed ``ValueState`` handle,
+    update mode, no timers — semantically identical to
+    :func:`running_totals_with_state` (the protobuf-free twin that
+    st15 verifies).  Callers should gate on
+    :func:`transform_with_state_available`; without protobuf the
+    query crashes at start (the state protocol cannot be spoken)."""
+    return df.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=running_totals_processor(),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def running_totals_with_state(
     df: DataFrame,
     output_schema: str = (

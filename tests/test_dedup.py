@@ -83,3 +83,31 @@ class TestShingles:
             D.shingles_col(D.tokens_col(F.col("text")), 3).alias("s")
         ).first().s
         assert sh == []
+
+
+class TestPortableLshLaneGuard:
+    def test_overwide_band_config_rejected(self, spark):
+        """dedup.py's lane-width guard (r5): n_bands*rows_per_band
+        beyond the 32 md5 hex chars would make every lane substring
+        empty and the candidate join O(n^2) — pin the refusal AND its
+        message so the guard can't silently regress."""
+        import pytest as _pytest
+
+        from kinesis_log_streamer_spark.operators import dedup as D
+
+        df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match=r"exceeds.*32 hex chars"):
+            D.portable_minhash_pairs(
+                df, n_bands=8, rows_per_band=5
+            )
+
+    def test_widest_legal_config_accepted(self, spark):
+        from kinesis_log_streamer_spark.operators import dedup as D
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f")],
+            "doc_id long, text string",
+        )
+        # 8 * 4 = 32 -> lane width 1: legal boundary
+        out = D.portable_minhash_pairs(df, n_bands=8, rows_per_band=4)
+        assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}

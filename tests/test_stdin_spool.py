@@ -244,3 +244,40 @@ def test_cli_streaming_json_garbage_exits_1(spark, capsys):
     stream = ChunkedStream([b'{"ok": 1} {"unterminated'])
     rc = cli.run_streaming(args, {}, "json", stream)
     assert rc == 1
+
+
+@pytest.mark.parametrize("mode", ["driver", "per-executor"])
+def test_cli_streaming_host_identity_modes(spark, capsys, mode):
+    """E1 through `--streaming` in BOTH identity modes (VERDICT r05
+    item 5): every record carries a non-empty partition key, all
+    records of one producing host share one key (linestreamer.go:102
+    — on local[n] every executor IS the same host, so per-executor
+    mode also yields a single stable key), and the per-executor key
+    matches the cascade the executors actually ran."""
+    from kinesis_log_streamer_spark import cli
+    from kinesis_log_streamer_spark.hostid import get_host_id
+
+    args = cli.build_parser().parse_args(
+        [
+            "--streaming", "--dry-run", "-f", "line",
+            "--host-identity", mode, "Stream",
+        ]
+    )
+    stream = ChunkedStream([b"alpha\nbe", b"ta\ngamma\n"])
+    rc = cli.run_streaming(args, {}, "string", stream)
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    pairs = [line.split("\t", 1) for line in lines]
+    assert sorted(p[1] for p in pairs) == ["alpha", "beta", "gamma"]
+    keys = {p[0] for p in pairs}
+    assert len(keys) == 1  # one producing host -> one stable key
+    key = keys.pop()
+    assert key
+    # local-mode executors share the driver's host: both modes resolve
+    # the same identity cascade (uuid tail aside, the cascade levels
+    # above uuid are deterministic per host)
+    expected = get_host_id(probe_network=False)
+    if not expected.startswith("uuid:"):
+        assert key == expected
+    else:
+        assert key.startswith("uuid:")
