@@ -104,8 +104,16 @@ class StdinSpooler:
         next chunk ("-10" split at "-1"|"0" must not emit -1 and 0),
         so it is deferred until more input arrives — or consumed at
         EOF (``final=True``), where the stream's end terminates it,
-        exactly as Go's json.Decoder tokenizes a number."""
+        exactly as Go's json.Decoder tokenizes a number.
+
+        The deferral must ALSO fire when the parse stopped mid-buffer
+        on a character that can only be a CONTINUATION of the number:
+        ``raw_decode`` matches the longest valid prefix, so "0.0"
+        split at "0."|"0" yields ``raw_decode("0.") == (0, 1)`` — one
+        char short of the buffer end — and consuming that prefix
+        would strand ".0" as garbage (hypothesis-found, round 6)."""
         out: list[str] = []
+        number_cont = ".eE+-0123456789"
         buf = self._carry.lstrip()
         while buf:
             try:
@@ -114,9 +122,9 @@ class StdinSpooler:
                 break  # incomplete (or garbage — surfaced at EOF)
             if (
                 not final
-                and end == len(buf)
                 and isinstance(value, (int, float))
                 and not isinstance(value, bool)
+                and (end == len(buf) or buf[end] in number_cont)
             ):
                 break  # possibly-unterminated trailing number
             out.append(json.dumps(value, separators=(",", ":")))

@@ -281,3 +281,32 @@ def test_cli_streaming_host_identity_modes(spark, capsys, mode):
         assert key == expected
     else:
         assert key.startswith("uuid:")
+
+
+def test_json_float_split_after_decimal_point(tmp_path):
+    """raw_decode matches the longest valid numeric PREFIX, so "0.0"
+    split as "0."|"0" used to emit 0 and strand ".0" as EOF garbage
+    (hypothesis-found).  The continuation-character deferral keeps the
+    whole float in the carry until it terminates."""
+    import json as _json
+
+    from kinesis_log_streamer_spark.streaming.stdin_spool import (
+        StdinSpooler,
+    )
+
+    cases = [
+        ([b'{"a":1}\r\n0.', b"0"], [{"a": 1}, 0.0]),
+        ([b"12.5e", b"-3 true"], [12.5e-3, True]),
+        ([b"7", b".25 8", b"e2"], [7.25, 800.0]),
+    ]
+    for i, (pieces, want) in enumerate(cases):
+        d = tmp_path / f"c{i}"
+        d.mkdir()
+        sp = StdinSpooler(ChunkedStream(list(pieces)), str(d), fmt="json")
+        n = sp.run()
+        got = []
+        for f in sorted(os.listdir(d)):
+            with open(d / f, encoding="utf-8") as fh:
+                got += [_json.loads(x) for x in fh.read().splitlines()]
+        assert got == want, (pieces, got)
+        assert n == len(want)
