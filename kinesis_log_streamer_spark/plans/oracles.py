@@ -4551,6 +4551,54 @@ WINDOW w AS (PARTITION BY key ORDER BY phase)
 ORDER BY key, phase
 """
 
+# l18: the identical (handler, status) rollup computed DIRECTLY from
+# events — the Spark side must survive its CLF build->regexp-parse
+# round trip to match.
+ORACLES["l18_clf_parse_roundtrip"] = """
+WITH e AS (
+    SELECT event_type AS handler,
+           CAST(CASE WHEN event_type = 'error' THEN 500 + event_id % 3
+                     WHEN event_id % 7 = 0 THEN 404
+                     ELSE 200 END AS INT) AS status,
+           CAST(round(value * 100) AS BIGINT) AS bytes,
+           '10.0.' || (user_id % 256) || '.' || (event_id % 256) AS ip,
+           'agent/' || (user_id % 7) AS agent
+    FROM events
+)
+SELECT handler, status,
+       CAST(count(*) AS BIGINT) AS n_requests,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
+       CAST(count(DISTINCT agent) AS BIGINT) AS n_agents
+FROM e
+GROUP BY handler, status
+ORDER BY handler, status
+"""
+
+# d20: brute-force exact truth over the same cohort — the prefix
+# lemma's completeness means the Spark side must find EVERY pair the
+# all-pairs scan finds, at the identical exact Jaccard.
+ORACLES["d20_prefix_filter_jaccard"] = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE doc_id % 13 = 0)
+    WHERE len(t) >= 3
+)
+SELECT id_a, id_b, round(j, 4) AS jaccard
+FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+WHERE j >= 0.6
+ORDER BY id_a, id_b
+"""
+
 # q121: the transposed metrics table built by hand — one row per
 # original metric column, one column per returnflag, cells coerced to
 # DOUBLE exactly as DataFrame.transpose coerces them.

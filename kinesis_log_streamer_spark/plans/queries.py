@@ -10179,6 +10179,142 @@ def g06_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+def l18_clf_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache COMBINED-LOG-FORMAT round trip — the reference's
+    flagship upstream schema (README.md:13-24, httpd.conf:192-204
+    pipe the CustomLog straight into the tool): each event is
+    rendered as one combined-log line (``format_string``, pure JVM),
+    parsed back by the canonical one-regexp CLF parser
+    (``regexp_extract`` groups: ip, identity, user, ts, method, path,
+    proto, status, bytes, referer, agent), and rolled up per
+    (handler, status).  The oracle computes the identical rollup
+    DIRECTLY from events — so one mis-grouped regexp capture, a
+    locale-shifted timestamp render, or a dropped quote anywhere in
+    build→parse breaks the hash.
+
+    Scale: both legs are scan-local projections inside whole-stage
+    codegen; the only shuffle is the final aggregation on
+    (handler, status) — the same plan at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    status = F.when(F.col("event_type") == "error", 500 + F.col("event_id") % 3).otherwise(
+        F.when(F.col("event_id") % 7 == 0, F.lit(404)).otherwise(F.lit(200))
+    ).cast("int")
+    line = F.format_string(
+        '10.0.%d.%d - user%d [%s] "GET /%s/%d HTTP/1.1" %d %d "-" "agent/%d"',
+        F.col("user_id") % 256,
+        F.col("event_id") % 256,
+        F.col("user_id"),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"),
+        F.col("event_type"),
+        F.col("event_id") % 100,
+        status,
+        F.round(F.col("value") * 100).cast("long"),
+        F.col("user_id") % 7,
+    )
+    logs = ev.select(line.alias("log_line"))
+    clf = (
+        r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) (\S+)" '
+        r'(\d{3}) (\d+|-) "([^"]*)" "([^"]*)"$'
+    )
+    g = lambda i: F.regexp_extract("log_line", clf, i)  # noqa: E731
+    parsed = logs.select(
+        g(1).alias("ip"),
+        g(5).alias("method"),
+        F.regexp_extract(g(6), r"^/([^/]+)/", 1).alias("handler"),
+        g(8).cast("int").alias("status"),
+        g(9).cast("long").alias("bytes"),
+        g(11).alias("agent"),
+    )
+    return (
+        parsed.groupBy("handler", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("bytes").alias("total_bytes"),
+            F.countDistinct("ip").alias("n_ips"),
+            F.countDistinct("agent").alias("n_agents"),
+        )
+        .orderBy("handler", "status")
+    )
+
+
+def d20_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs WITHOUT any all-pairs
+    stage: PPJoin-style PREFIX FILTERING (Xiao et al., "Efficient
+    Similarity Joins for Near Duplicate Detection", WWW'08).  For
+    threshold t, two shingle sets with J ≥ t must share at least one
+    element among each set's first ``|d| − ⌈t·|d|⌉ + 1`` shingles
+    when every document orders its shingles by the SAME global rank
+    (rarest first) — so candidates come from an equi-join on PREFIX
+    shingles only, then the exact Jaccard (array_intersect on the
+    full sets) verifies.  Completeness is guaranteed by the prefix
+    lemma; the oracle recomputes truth by brute force from the raw
+    text, so a wrong prefix length or rank ordering shows up as a
+    missing pair.
+
+    This is the exact-dedup complement to the estimators: d02/d19
+    (MinHash LSH) trade recall for speed; d20 keeps exactness and
+    still never goes O(n²) — join fan-out is bounded by prefix df,
+    which the rarest-first ordering minimizes.
+
+    Scale: global shingle ranks are one agg + broadcast-sized join;
+    prefix join fan-out ∝ Σ df(prefix shingle)² which rarest-first
+    ordering keeps near-linear; the exact verify touches candidate
+    pairs only."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    t = 0.6
+    tok = D.tokens_col(F.col("text"))
+    sh = docs.filter(F.size(tok) >= 3).select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
+    )
+    # Global rank: rarest shingle first; ties broken by the shingle
+    # string so every document sorts identically (the lemma needs one
+    # total order shared corpus-wide).
+    df_rank = (
+        sh.select(F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    exploded = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    ranked = exploded.join(df_rank, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+        ),
+    )
+    # prefix length |d| - ceil(t*|d|) + 1
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("id", "s")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    full = sh.select(F.col("id"), F.col("sh"))
+    pairs = (
+        cand.join(full.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(full.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    # Threshold on the RAW ratio (rounding only for display): a pair
+    # at J = 0.5999 must fail identically here and in the oracle.
+    return (
+        pairs.filter(inter / union >= t)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -10356,6 +10492,8 @@ REGISTRY = {
     "k04_at_most_once_drops": k04_at_most_once_drops,
     "st15_state_across_restarts": st15_state_across_restarts,
     "st16_transform_with_state": st16_transform_with_state,
+    "l18_clf_parse_roundtrip": l18_clf_parse_roundtrip,
+    "d20_prefix_filter_jaccard": d20_prefix_filter_jaccard,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -10569,13 +10707,15 @@ _ROUND6_FRONT = [
     "t03_langid_pred",
     # -- block 3 (round 6): brand-new this round, inserted here ------
     "st16_transform_with_state",
+    "l18_clf_parse_roundtrip",
+    "d20_prefix_filter_jaccard",
 ]
-assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 58
+assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 60
 _missing = [n for n in _ROUND6_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND6_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND6_FRONT)},
 }
-assert len(REGISTRY) == 296
+assert len(REGISTRY) == 298
 
