@@ -4599,6 +4599,53 @@ WHERE j >= 0.6
 ORDER BY id_a, id_b
 """
 
+# q132: exact cohort cardinalities + the gate contract (all five
+# theta estimates within max(5, 5%) of exact — the oracle asserts the
+# gates hold, the repo's sketch-gate pattern since q61/q64).
+ORACLES["q132_theta_sketch_setops"] = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+     b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_totalprice > 150000),
+     x AS (SELECT (SELECT count(*) FROM a) AS na,
+                  (SELECT count(*) FROM b) AS nb,
+                  (SELECT count(*) FROM
+                     (SELECT o_custkey FROM a
+                      INTERSECT SELECT o_custkey FROM b)) AS ni)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(na + nb - ni AS BIGINT) AS n_union,
+       CAST(ni AS BIGINT) AS n_inter,
+       CAST(na - ni AS BIGINT) AS n_diff,
+       1 AS ok_a, 1 AS ok_b, 1 AS ok_union, 1 AS ok_inter, 1 AS ok_diff
+FROM x
+"""
+
+# q133: the per-date physical-layout audit recomputed logically —
+# exactly one file per date by construction (hash repartition on the
+# partition key routes each date to one task).
+ORACLES["q133_file_metadata_scan"] = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS min_event,
+       CAST(max(event_id) AS BIGINT) AS max_event
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+# q134: the scalar subquery stated in SQL.
+ORACLES["q134_scalar_subquery_api"] = """
+WITH s AS (SELECT avg(o_totalprice) AS ap FROM orders)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(o_totalprice / (SELECT ap FROM s)), 4) AS avg_lift
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT ap FROM s)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
 # q121: the transposed metrics table built by hand — one row per
 # original metric column, one column per returnflag, cells coerced to
 # DOUBLE exactly as DataFrame.transpose coerces them.

@@ -10308,6 +10308,166 @@ def d20_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET-OPERATION cardinality (Spark 4.1 Apache
+    DataSketches surface: ``theta_sketch_agg`` / ``theta_union`` /
+    ``theta_intersection`` / ``theta_difference``) under an exactness
+    gate — the capability HLL (q64) structurally lacks: HLL unions
+    merge, but only theta retains enough hash structure to estimate
+    INTERSECTIONS and DIFFERENCES of distinct sets, the shape "how
+    many customers are in both cohorts" takes at 100 TB without a
+    distinct-join.  Two order cohorts (URGENT priority; high-value),
+    one sketch each built by partial agg (partition-invariant —
+    verified by construction of the KMV retention), then |A|, |B|,
+    |A∪B|, |A∩B|, |A∖B| estimated from the two sketches alone and
+    gated within max(5, 5%) of the exact counts the oracle recomputes.
+    Output = exact counts + gate booleans (estimates themselves are
+    engine-internal, so the hashable surface is the gate contract,
+    q61/q64's pattern).
+
+    Scale: each cohort collapses to one ≤4 KiB sketch; set algebra on
+    sketches is O(k); the exact twin (distinct + intersect) exists
+    only as the gate's reference leg."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    ska = a.agg(F.theta_sketch_agg("o_custkey").alias("ska"))
+    skb = b.agg(F.theta_sketch_agg("o_custkey").alias("skb"))
+    est = ska.crossJoin(skb).select(
+        F.theta_sketch_estimate("ska").alias("est_a"),
+        F.theta_sketch_estimate("skb").alias("est_b"),
+        F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("est_u"),
+        F.theta_sketch_estimate(F.theta_intersection("ska", "skb")).alias(
+            "est_i"
+        ),
+        F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias(
+            "est_d"
+        ),
+    )
+    # Exact reference leg in ONE job: full-outer join of the two
+    # distinct cohorts, then membership-flag counts (vs three separate
+    # count/intersect actions — same numbers, one pass).
+    ex = (
+        a.distinct()
+        .withColumn("ia", F.lit(1))
+        .join(
+            b.distinct().withColumn("ib", F.lit(1)),
+            "o_custkey",
+            "full_outer",
+        )
+        .agg(
+            F.count("ia").alias("na"),
+            F.count("ib").alias("nb"),
+            F.count(F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1)).alias("ni"),
+        )
+        .collect()[0]
+    )
+    na, nb, ni = ex.na, ex.nb, ex.ni
+    nu = na + nb - ni
+    nd = na - ni
+    r = est.collect()[0]
+
+    def ok(e: int, x: int) -> int:
+        return int(abs(e - x) <= max(5.0, 0.05 * x))
+
+    return spark.createDataFrame(
+        [
+            (
+                na, nb, nu, ni, nd,
+                ok(r.est_a, na), ok(r.est_b, nb), ok(r.est_u, nu),
+                ok(r.est_i, ni), ok(r.est_d, nd),
+            )
+        ],
+        "n_a long, n_b long, n_union long, n_inter long, n_diff long, "
+        "ok_a int, ok_b int, ok_union int, ok_inter int, ok_diff int",
+    )
+
+
+def q133_file_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` FILE column (Spark's per-file
+    provenance: path, name, size, modification time) driving a
+    files-per-partition audit — the lineage query a 100 TB lakehouse
+    runs to map logical partitions onto physical files without
+    touching a catalog.  Events are laid out as date-partitioned
+    parquet (one file per date by construction), read back with
+    ``_metadata`` selected, and each row's file is attributed back to
+    its partition by parsing ``event_date=`` out of
+    ``_metadata.file_path``; per-date (n_files, n_rows, rows=file
+    rows) must then reconcile exactly with the oracle's direct
+    per-date aggregate — a misattributed file or a row split across
+    files breaks the hash.
+
+    Scale: ``_metadata`` is populated by the scan itself (no extra
+    I/O); the audit is one aggregation on the partition key."""
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="klss_q133_")
+    out = os.path.join(base, "ev")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.to_date("ts").alias("event_date"), "value"
+    )
+    (
+        ev.repartition("event_date")
+        .sortWithinPartitions("event_date")
+        .write.partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        F.col("event_id"),
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"event_date=([0-9-]+)/", 1
+        ).alias("event_date"),
+        F.col("_metadata.file_name").alias("file_name"),
+    )
+    result = (
+        back.groupBy("event_date")
+        .agg(
+            F.countDistinct("file_name").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_date")
+    )
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_date string, n_files long, n_rows long, "
+        "min_event long, max_event long",
+    ).orderBy("event_date")
+
+
+def q134_scalar_subquery_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.scalar()`` (Spark 4.1) — the DataFrame-API scalar
+    subquery: an aggregate DataFrame used directly AS A COLUMN inside
+    another query's expressions, the declarative twin of SQL's
+    ``(SELECT avg(...) FROM ...)``.  Orders priced above 1.5x the
+    global average order price, bucketed per priority with each
+    bucket's lift over that same scalar — Catalyst plans the scalar
+    once (subquery reuse), not per consumer.
+
+    Scale: the scalar is a 1-row broadcast; no shape change at any
+    corpus size."""
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice"))
+    picked = o.filter(
+        F.col("o_totalprice") > 1.5 * avg_price.scalar()
+    )
+    return (
+        picked.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.avg(F.col("o_totalprice") / avg_price.scalar()), 4
+            ).alias("avg_lift"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -10487,6 +10647,9 @@ REGISTRY = {
     "st16_transform_with_state": st16_transform_with_state,
     "l18_clf_parse_roundtrip": l18_clf_parse_roundtrip,
     "d20_prefix_filter_jaccard": d20_prefix_filter_jaccard,
+    "q132_theta_sketch_setops": q132_theta_sketch_setops,
+    "q133_file_metadata_scan": q133_file_metadata_scan,
+    "q134_scalar_subquery_api": q134_scalar_subquery_api,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -10702,13 +10865,16 @@ _ROUND6_FRONT = [
     "st16_transform_with_state",
     "l18_clf_parse_roundtrip",
     "d20_prefix_filter_jaccard",
+    "q132_theta_sketch_setops",
+    "q133_file_metadata_scan",
+    "q134_scalar_subquery_api",
 ]
-assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 60
+assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 63
 _missing = [n for n in _ROUND6_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND6_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND6_FRONT)},
 }
-assert len(REGISTRY) == 298
+assert len(REGISTRY) == 301
 
