@@ -202,6 +202,13 @@ HEADLINE = [
     "p08_dq_rules",
     "q130_listagg",
     "q131_time_grid_fill",
+    # round-6 additions (st16's two checkpointed drains and q133's
+    # partitioned-parquet write are fixture-writing gates —
+    # selfcheck-covered, not headline).
+    "l18_clf_parse_roundtrip",
+    "d20_prefix_filter_jaccard",
+    "q132_theta_sketch_setops",
+    "q134_scalar_subquery_api",
 ]
 
 
