@@ -9080,11 +9080,12 @@ def st15_state_across_restarts(
     import tempfile
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    base = os.path.join(tempfile.gettempdir(), "klss_st15")
+    # Per-invocation dir (st16/i07 pattern, r6): a fixed /tmp path let
+    # concurrent runs rmtree each other's checkpoints mid-drain.
+    base = tempfile.mkdtemp(prefix="klss_st15_")
     indir = os.path.join(base, "in")
     ckpt = os.path.join(base, "ckpt")
     outp = os.path.join(base, "out")
-    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(indir)
     os.makedirs(outp)
 
@@ -9123,11 +9124,18 @@ def st15_state_across_restarts(
     for p in range(3):
         drain_phase(p)
 
-    return (
+    result = (
         spark.read.parquet(outp)
         .select("key", "phase", "running_n", "running_sum")
         .orderBy("key", "phase")
     )
+    # Materialize before dropping the tempdir (the driver re-collects
+    # the returned frame after this function exits — st16's pattern).
+    rows = result.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "key int, phase int, running_n long, running_sum double"
+    ).orderBy("key", "phase")
 
 
 def st16_transform_with_state(
