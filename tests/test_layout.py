@@ -86,3 +86,45 @@ class TestWriteZordered:
         back = spark.read.parquet(out)
         assert back.count() == 1024
         assert set(back.columns) == {"x", "y"}
+
+
+class TestPartitioningInvariance:
+    """At 1000 executors the physical partitioning of the input is an
+    accident of the scan; every deterministic query must return the
+    SAME rows no matter how the source was split.  Pin that property
+    on the ops whose implementations could most plausibly leak
+    partitioning (hash-rank sampling, weighted sampling, prefix-filter
+    candidate joins, sketch-gate estimates)."""
+
+    SF = "/root/testdata/sf0.001"
+    NAMES = [
+        "t09_hash_sample",
+        "w01_weighted_sample",
+        "d20_prefix_filter_jaccard",
+        "q132_theta_sketch_setops",
+    ]
+
+    def _rows(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_results_survive_repartitioning(self, spark, monkeypatch):
+        from kinesis_log_streamer_spark.plans import queries as Q
+        from kinesis_log_streamer_spark.sources import tables as T
+
+        baseline = {
+            n: self._rows(Q.REGISTRY[n](spark, self.SF)) for n in self.NAMES
+        }
+
+        real_load = T.load_table
+
+        def skewed_load(spark_, sf_dir, name, *a, **kw):
+            # Same rows, radically different physical split: 7-way
+            # round-robin repartition of every source scan.
+            return real_load(spark_, sf_dir, name, *a, **kw).repartition(7)
+
+        # queries.py binds load_table directly (`from ... import
+        # load_table`), so patch the binding the queries actually call.
+        monkeypatch.setattr(Q, "load_table", skewed_load)
+        for n in self.NAMES:
+            again = self._rows(Q.REGISTRY[n](spark, self.SF))
+            assert again == baseline[n], f"{n} depends on partitioning"
