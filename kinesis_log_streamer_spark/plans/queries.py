@@ -10352,10 +10352,11 @@ def q132_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_d"
         ),
     )
-    # Exact reference leg in ONE job: full-outer join of the two
-    # distinct cohorts, then membership-flag counts (vs three separate
-    # count/intersect actions — same numbers, one pass).
-    ex = (
+    # Exact reference leg: full-outer join of the two distinct
+    # cohorts, then membership-flag counts — and ONE driver action for
+    # the whole query (exact 1-row x estimate 1-row crossJoin), not a
+    # separate job per leg.
+    exact = (
         a.distinct()
         .withColumn("ia", F.lit(1))
         .join(
@@ -10366,14 +10367,15 @@ def q132_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("ia").alias("na"),
             F.count("ib").alias("nb"),
-            F.count(F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1)).alias("ni"),
+            F.count(
+                F.when(F.col("ia").isNotNull() & F.col("ib").isNotNull(), 1)
+            ).alias("ni"),
         )
-        .collect()[0]
     )
-    na, nb, ni = ex.na, ex.nb, ex.ni
+    r = exact.crossJoin(est).collect()[0]
+    na, nb, ni = r.na, r.nb, r.ni
     nu = na + nb - ni
     nd = na - ni
-    r = est.collect()[0]
 
     def ok(e: int, x: int) -> int:
         return int(abs(e - x) <= max(5.0, 0.05 * x))
