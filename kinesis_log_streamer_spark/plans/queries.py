@@ -10510,12 +10510,15 @@ REGISTRY = {
     #
     # ROUND-6 STATE: the r05 window verified its first 50 front names
     # (d17…q81, 50/50 hash-green).  The `_ROUND6_FRONT` rebuild after
-    # this literal now fronts the 53 remaining never-verified names
-    # (q82–q131 tail + the six r5 additions), then the 4
-    # rows-only-by-contract re-checks, then block 3 (new r6 queries).
-    # After the r6 window, only 7 names (3 judge-selfchecked overflow
-    # + 4 rows-only) plus the r6 additions await a driver verdict —
-    # all of which fit round 7's window.
+    # this literal fronts the 53 remaining never-verified names
+    # (q82–q131 tail + the six r5 additions; positions 0–52, with the
+    # 3 judge-selfchecked overflow at 50–52), then the 4
+    # rows-only-by-contract re-checks (53–56), then block 3: the NINE
+    # new r6 queries (st16, l18, d20, q132–q134 at 57–62 …).  After
+    # the r6 window, 16 names (3 overflow + 4 rows-only + 9 new)
+    # await a driver verdict — all fit round 7's 50-slot window with
+    # ~34 slots to spare for round-7 additions.  ROUND-7 ACTION:
+    # rebuild the front list with those 16 names first (same asserts).
     #
     # -- block 3 (round 5): new this round ---------------------------
     "i07_stdin_spool_pipeline": i07_stdin_spool_pipeline,
