@@ -10513,12 +10513,13 @@ REGISTRY = {
     # this literal fronts the 53 remaining never-verified names
     # (q82–q131 tail + the six r5 additions; positions 0–52, with the
     # 3 judge-selfchecked overflow at 50–52), then the 4
-    # rows-only-by-contract re-checks (53–56), then block 3: the NINE
-    # new r6 queries (st16, l18, d20, q132–q134 at 57–62 …).  After
-    # the r6 window, 16 names (3 overflow + 4 rows-only + 9 new)
-    # await a driver verdict — all fit round 7's 50-slot window with
-    # ~34 slots to spare for round-7 additions.  ROUND-7 ACTION:
-    # rebuild the front list with those 16 names first (same asserts).
+    # rows-only-by-contract re-checks (53–56), then block 3: the SIX
+    # new r6 queries (st16, l18, d20, q132, q133, q134 at 57–62).
+    # After the r6 window, 13 names (3 overflow + 4 rows-only + 6
+    # new, positions 50–62) await a driver verdict — all fit round
+    # 7's 50-slot window with 37 slots to spare for round-7
+    # additions.  ROUND-7 ACTION: rebuild the front list with those
+    # 13 names first (same asserts).
     #
     # -- block 3 (round 5): new this round ---------------------------
     "i07_stdin_spool_pipeline": i07_stdin_spool_pipeline,
