@@ -10508,18 +10508,17 @@ REGISTRY = {
     # CORRECTNESS_r04 was 50/50 green, so there are no FAIL/ERR
     # re-checks this round.
     #
-    # ROUND-6 STATE: the r05 window verified its first 50 front names
-    # (d17…q81, 50/50 hash-green).  The `_ROUND6_FRONT` rebuild after
-    # this literal fronts the 53 remaining never-verified names
-    # (q82–q131 tail + the six r5 additions; positions 0–52, with the
-    # 3 judge-selfchecked overflow at 50–52), then the 4
-    # rows-only-by-contract re-checks (53–56), then block 3: the SIX
-    # new r6 queries (st16, l18, d20, q132, q133, q134 at 57–62).
-    # After the r6 window, 13 names (3 overflow + 4 rows-only + 6
-    # new, positions 50–62) await a driver verdict — all fit round
-    # 7's 50-slot window with 37 slots to spare for round-7
-    # additions.  ROUND-7 ACTION: rebuild the front list with those
-    # 13 names first (same asserts).
+    # ROUND-7 STATE: the r06 window verified its first 50 front names
+    # (q82–g06, 50/50 hash-green) — driver-green now covers 288/301.
+    # The `_ROUND7_FRONT` rebuild after this literal fronts the 13
+    # names still lacking a green driver row: the 3 r6 overflow
+    # (q94/q97/q104), the 6 r6 additions (st16…q134), and the 4
+    # stale-`no_oracle` queries (q28/d02/d03/t03) which round 7
+    # re-shaped into gate queries with real oracles.  Block 3 =
+    # brand-new round-7 queries after those; then the green tail.
+    # With ~37 spare window slots, the whole front plus round-7
+    # additions fits — the r7 driver run should close verification
+    # to 301/301 (+ new).
     #
     # -- block 3 (round 5): new this round ---------------------------
     "i07_stdin_spool_pipeline": i07_stdin_spool_pipeline,
@@ -10829,66 +10828,41 @@ REGISTRY = {
     "s01_cosine_topk": s01_cosine_topk,
 }
 
-# ROUND-6 REORDER (mechanical, per VERDICT r05 "Next round" #1+#2):
+# ROUND-7 REORDER (mechanical, per VERDICT r06 "Next round" #1+#2):
 # the driver's correctness window verifies exactly the first 50
-# REGISTRY entries (50/50 in every CORRECTNESS_r01–r05).  After r05,
-# 53 names have NEVER received a driver verdict: the q82–q129 SQL
-# tail (47) plus the six r5 additions (i07, p08, q130, q131, d19,
-# g06).  Front all 53.  Three must overflow a 50-slot window; the
-# three chosen (q94/q97/q104, placed at positions 50–52) were
-# independently re-verified by the r5 judge's own selfcheck sample,
-# so they carry the least risk of sitting one more round.  Positions
-# 53–56 take the four rows-only-by-contract queries
-# (q28/d02/d03/t03) whose latest driver record is a stale r1
-# `err: no_oracle` — fronting them converts that into an explicit
-# rows-only verdict (VERDICT #2).  Brand-new round-6 queries go
-# after those (block 3), then the green tail.  The rebuild is
-# key-set-preserving by construction (asserted).
-_ROUND6_FRONT = [
-    # 50 never-driver-verified (window positions 0–49)
-    "q82_offset_pagination", "q83_native_dynamic_session",
-    "q84_approx_distinct_gate", "q85_map_hof_battery",
-    "q86_incremental_rollup", "q87_group_by_all",
-    "q88_filter_through_window", "q89_cbo_stats", "q90_mad",
-    "q91_time_rollup", "q92_lag_defaults", "q92b_comparator_sort",
-    "q93_bool_aggregates", "q96_bitmap_distinct",
-    "q98_url_canonicalize", "q99_regexp_battery",
-    "q100_union_by_name", "q101_datetime_battery",
-    "q102_string_pad_battery", "q103_try_cast",
-    "q105_timestamp_arith", "q106_lateral_alias", "q107_crosstab",
-    "q108_equiheight_histogram", "q109_asof_nearest",
-    "q110_pivot_multi_agg", "q111_interval_overlap_join",
-    "q112_values_inline_join", "q113_sql_udf", "q114_column_defaults",
-    "q115_window_group_limit", "q116_safe_array_access",
-    "q117_take_ordered_gate", "q118_complex_type_ordering",
-    "q119_regression_aggregates", "q120_sql_pipe_syntax",
-    "q121_transpose", "q123_lateral_join_api",
-    "q124_argminmax_battery", "q125_null_format_battery",
-    "q126_sql_scripting", "q127_generator_outer",
-    "q128_try_parse_battery", "q129_nested_struct_update",
-    "i07_stdin_spool_pipeline", "p08_dq_rules",
-    "q130_listagg", "q131_time_grid_fill", "d19_lsh_recall_gate",
-    "g06_label_propagation",
-    # never-verified overflow (positions 50–52; judge-selfchecked r5)
+# REGISTRY entries.  CORRECTNESS_r06 went 50/50 hash-green on the r6
+# front, leaving exactly 13 names without a green driver row: the
+# three r6 window-overflow entries (q94/q97/q104 — judge-selfchecked
+# PASS in both the r5 and r6 sessions), the six brand-new r6 queries
+# (st16/l18/d20/q132/q133/q134 — all selfchecked), and the four
+# queries whose latest driver record is a stale r1 `err: no_oracle`
+# (q28/d02/d03/t03 — re-shaped THIS round to the d19/t17/q61 gate
+# pattern so they now carry real `oracle_sql()` entries and can go
+# hash-green instead of rows-only).  Front all 13 (positions 0–12),
+# then block 3: brand-new round-7 queries, then the green tail.
+# The rebuild is key-set-preserving by construction (asserted).
+_ROUND7_FRONT = [
+    # r6 window overflow (never driver-verified; selfchecked ×2)
     "q94_lateral_view_outer", "q97_aes_roundtrip",
     "q104_ignore_nulls_window",
-    # rows-only-by-contract re-checks (positions 53–56; VERDICT #2)
-    "q28_approx_stats", "d02_minhash_pairs", "d03_simhash_pairs",
-    "t03_langid_pred",
-    # -- block 3 (round 6): brand-new this round, inserted here ------
+    # r6 additions (never driver-verified; selfchecked)
     "st16_transform_with_state",
     "l18_clf_parse_roundtrip",
     "d20_prefix_filter_jaccard",
     "q132_theta_sketch_setops",
     "q133_file_metadata_scan",
     "q134_scalar_subquery_api",
+    # stale-r1-`no_oracle` re-checks, re-shaped to gate queries in r7
+    "q28_approx_stats", "d02_minhash_pairs", "d03_simhash_pairs",
+    "t03_langid_pred",
+    # -- block 3 (round 7): brand-new this round, inserted here ------
 ]
-assert len(_ROUND6_FRONT) == len(set(_ROUND6_FRONT)) == 63
-_missing = [n for n in _ROUND6_FRONT if n not in REGISTRY]
+assert len(_ROUND7_FRONT) == len(set(_ROUND7_FRONT)) == 13
+_missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _ROUND6_FRONT},
-    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND6_FRONT)},
+    **{n: REGISTRY[n] for n in _ROUND7_FRONT},
+    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
 assert len(REGISTRY) == 301
 
