@@ -7,7 +7,9 @@ exactly; integer aggregates are cast to BIGINT because DuckDB widens
 ``sum(BIGINT)`` to HUGEINT while Spark stays at long.
 
 Queries with engine-specific semantics (sketches, LSH, hash families)
-are intentionally absent → the driver records a rows-only check.
+carry gate-pattern oracles (q61/q84/d19 shape): the exact side is
+recomputed here and the engine-specific side appears only inside gate
+booleans.  As of round 7 every registry query has an oracle entry.
 """
 
 ORACLES: dict[str, str] = {}
@@ -5016,4 +5018,108 @@ l3 AS (
 )
 SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
 FROM l3 ORDER BY node
+"""
+
+# ---------------------------------------------------------------------------
+# Round-7 gate oracles (VERDICT r06 #2): the four queries whose latest
+# driver record was a stale r1 `err: no_oracle`, re-shaped in
+# plans/queries.py to the q61/q84/d19 gate pattern.  Exact sides are
+# recomputed here; sketch/hash-family-specific sides appear only inside
+# gate booleans the Spark query must satisfy.
+# ---------------------------------------------------------------------------
+
+ORACLES["q28_approx_stats"] = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+       CAST(1 AS INT) AS orders_ok,
+       CAST(1 AS INT) AS parts_ok,
+       CAST(1 AS INT) AS median_rank_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# d02/d03: truth = exact string-shingle 3-gram Jaccard over the fixed
+# 500-smallest-doc cohort (d19's cohort CTE), thresholds 0.8 / 0.9.
+# The caught pair sets are xxhash64-specific, so they surface only in
+# the recall/precision gate booleans, stated here as their contract
+# values.
+ORACLES["d02_minhash_pairs"] = """
+WITH base AS (
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 500
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM base)
+    WHERE len(t) >= 3
+),
+truth AS (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+    FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+    WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST(0 AS BIGINT) AS precision_viol,
+       CAST(1 AS INT) AS recall_ok
+"""
+
+ORACLES["d03_simhash_pairs"] = """
+WITH base AS (
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 500
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM base)
+    WHERE len(t) >= 3
+),
+truth AS (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+    FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+    WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.9
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST(0 AS BIGINT) AS order_viol,
+       CAST(1 AS INT) AS recall_ok
+"""
+
+# t03: full langid replay (t21's pred CTE), rolled up to per-language
+# accuracy with the repo's half-up integer per-mille rounding.
+ORACLES["t03_langid_pred"] = """
+WITH staged AS (
+    SELECT lang,
+           string_split_regex(lower(trim(text)), '\\s+') AS toks,
+           len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT
+               AS nt
+    FROM documents
+), pred AS (
+    SELECT lang,
+           (list_max([
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('der','die','und','das','ist','von','mit','den','im','ein')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'de'),
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'en'),
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','los','se','del')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'es'),
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('le','la','les','de','et','un','une','du','est','dans')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'fr'),
+               struct_pack(s := ((2*10000*len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','就','不','人')))::BIGINT + nt) // (2*nullif(nt, 0))) / 10000.0, l := 'zh')
+           ])).l AS pred_lang
+    FROM staged
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN pred_lang = lang THEN 1 END) AS BIGINT)
+           AS n_correct,
+       CAST((2*1000*count(CASE WHEN pred_lang = lang THEN 1 END)
+             + count(*)) // (2*count(*)) AS BIGINT) AS acc_permille
+FROM pred
+GROUP BY lang
+ORDER BY lang
 """

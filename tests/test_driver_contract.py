@@ -83,11 +83,8 @@ class TestBareSessionContract:
         qs = entry.queries()
         os_ = entry.oracle_sql()
         assert set(os_) <= set(qs)
-        # every oracle-less query is a documented rows-only contract
-        # (r04: s04 gained a full-pipeline oracle; only the xxhash64/
-        # sketch-internal ops stay rows-only)
+        # r07: the last four rows-only queries (q28/d02/d03/t03) were
+        # re-shaped to gate queries with real oracles — every registry
+        # query now carries an oracle entry.
         rows_only = sorted(set(qs) - set(os_))
-        assert all(
-            k.split("_")[0] in {"q28", "d02", "d03", "t03"}
-            for k in rows_only
-        ), rows_only
+        assert rows_only == [], rows_only
