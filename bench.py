@@ -309,8 +309,21 @@ def main() -> int:
         "host": _host_fingerprint(),
         "load1m_start": load1m_start,
         "load1m_end": load1m,
+        # QUIET-HOST PROTOCOL (VERDICT r06 item 4): external load
+        # spikes slow the suite 1.4-1.6x uniformly (BENCH_HISTORY:
+        # same-commit 242.7s at load 3.47 vs 165.7s at load 0.33).  A
+        # run started OR finished on a contended host is marked
+        # degraded so its total is never read as a plan regression,
+        # and _vs_prev below compares against the last CLEAN run.
+        "degraded": bool(
+            (load1m_start or 0) > 2.0 or (load1m or 0) > 2.0
+        ),
     }
     result.update(_vs_prev(timings, result["sf"]))
+    if result["degraded"] and "vs_prev_common_total" in result:
+        # A contended current run can only produce a spurious alert.
+        result["vs_prev_common_total"]["regression_alert"] = False
+        result["vs_prev_common_total"]["degraded_current"] = True
     print(json.dumps(result))
     _append_history(result)
     return 0
@@ -347,7 +360,7 @@ def _vs_prev(timings: dict[str, float], sf) -> dict:
     wide); the common-subset total is the trustworthy line."""
     import json as _json
 
-    prev = None
+    prev = prev_any = None
     try:
         with open(os.path.join(REPO, "BENCH_HISTORY.jsonl")) as fh:
             for line in fh:
@@ -356,9 +369,21 @@ def _vs_prev(timings: dict[str, float], sf) -> dict:
                 except ValueError:
                     continue
                 if e.get("sf") == sf and e.get("queries"):
-                    prev = e  # last matching wins
+                    prev_any = e  # last matching wins
+                    # Quiet-host protocol: ratios are only meaningful
+                    # between clean runs — skip rows recorded under
+                    # load (degraded flag, or for pre-flag history the
+                    # raw load fields).
+                    contended = e.get("degraded") or (
+                        (e.get("load1m_start") or 0) > 2.0
+                        or (e.get("load1m_end") or 0) > 2.0
+                    )
+                    if not contended:
+                        prev = e
     except OSError:
         pass
+    if prev is None:
+        prev = prev_any
     if prev is None:
         return {}
     common = sorted(set(timings) & set(prev["queries"]))

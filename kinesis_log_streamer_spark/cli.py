@@ -169,12 +169,14 @@ def run_streaming(args, entries, output_format, stream) -> int:
     if args.format == "json":
         # landing files are JSONL: one complete JSON value per line
         records = build_json_pipeline(
-            raw, entries, host_id, per_executor_identity=per_exec
+            raw, entries, host_id, per_executor_identity=per_exec,
+            probe_network=not args.dry_run,
         )
     else:
         records = build_line_pipeline(
             raw, output_format, args.output_key, entries, host_id,
             per_executor_identity=per_exec,
+            probe_network=not args.dry_run,
         )
 
     if args.dry_run:
@@ -252,13 +254,15 @@ def main(argv: Sequence[str] | None = None) -> int:
         values = split_concatenated_json(stdin_data, strict=True)
         df = spark.createDataFrame([(v,) for v in values], "value string")
         records = build_json_pipeline(
-            df, entries, host_id, per_executor_identity=per_exec
+            df, entries, host_id, per_executor_identity=per_exec,
+            probe_network=not args.dry_run,
         )
     else:
         df = lines_from_stdin(spark, stdin_data)
         records = build_line_pipeline(
             df, output_format, args.output_key, entries, host_id,
             per_executor_identity=per_exec,
+            probe_network=not args.dry_run,
         )
 
     if args.dry_run:

@@ -10522,8 +10522,15 @@ def q132_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sketch each built by partial agg (partition-invariant —
     verified by construction of the KMV retention), then |A|, |B|,
     |A∪B|, |A∩B|, |A∖B| estimated from the two sketches alone and
-    gated within max(5, 5%) of the exact counts the oracle recomputes.
-    Output = exact counts + gate booleans (estimates themselves are
+    gated against the exact counts the oracle recomputes.  Tolerances
+    follow the theta error model (ADVICE r06): direct estimates
+    (A, B, A∪B) get 3σ of their OWN cardinality (RSE ≈ 1/√k, k=4096
+    at the default lgK 12 → ~4.7 %); intersection/difference
+    estimation error scales with the UNION's cardinality, not the
+    result's — two large cohorts with a small true overlap
+    legitimately miss by a multiple of the overlap — so A∩B and A∖B
+    are gated at 3σ of |A∪B| (max(5, …) floors tiny sets).  Output =
+    exact counts + gate booleans (estimates themselves are
     engine-internal, so the hashable surface is the gate contract,
     q61/q64's pattern).
 
@@ -10571,15 +10578,18 @@ def q132_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     nu = na + nb - ni
     nd = na - ni
 
-    def ok(e: int, x: int) -> int:
-        return int(abs(e - x) <= max(5.0, 0.05 * x))
+    three_sigma = 3.0 / (4096.0 ** 0.5)  # default lgK=12 → k=4096
+
+    def ok(e: int, x: int, scale: int) -> int:
+        return int(abs(e - x) <= max(5.0, three_sigma * scale))
 
     return spark.createDataFrame(
         [
             (
                 na, nb, nu, ni, nd,
-                ok(r.est_a, na), ok(r.est_b, nb), ok(r.est_u, nu),
-                ok(r.est_i, ni), ok(r.est_d, nd),
+                ok(r.est_a, na, na), ok(r.est_b, nb, nb),
+                ok(r.est_u, nu, nu),
+                ok(r.est_i, ni, nu), ok(r.est_d, nd, nu),
             )
         ],
         "n_a long, n_b long, n_union long, n_inter long, n_diff long, "

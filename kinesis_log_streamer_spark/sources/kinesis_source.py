@@ -404,10 +404,57 @@ class KinesisDataSourceWriter(DataSourceWriter):
             n += len(batch)
         return KinesisWriteCommit(n_records=n, staging_dir=staging)
 
+    # Publish appends are line-aligned and capped near the 1 MiB
+    # put_records record bound: a staged file aggregates a whole
+    # task's output and is unbounded, while Linux caps one write(2)
+    # at ~2 GiB (MAX_RW_COUNT) and ENOSPC can return a short count —
+    # an unchecked single-shot append could silently drop the tail or
+    # leave a torn (non-line-aligned) record visible to shard readers
+    # (ADVICE r06).
+    _PUBLISH_CHUNK_CAP = 1 << 20
+
+    @staticmethod
+    def _line_chunks(buf: bytes, cap: int):
+        """Split ``buf`` into chunks of at most ``cap`` bytes, cutting
+        only at newline boundaries; a single line longer than ``cap``
+        is emitted whole (it cannot be split without tearing it)."""
+        start, n = 0, len(buf)
+        while start < n:
+            end = min(start + cap, n)
+            if end < n:
+                cut = buf.rfind(b"\n", start, end)
+                if cut >= start:
+                    end = cut + 1
+                else:
+                    nl = buf.find(b"\n", end)
+                    end = n if nl < 0 else nl + 1
+            yield buf[start:end]
+            start = end
+
+    @classmethod
+    def _append_checked(cls, fd: int, buf: bytes) -> None:
+        """Fully write ``buf`` in line-aligned chunks, checking every
+        ``os.write`` return value; a short write is resumed from the
+        unwritten tail and a zero-progress write raises so the job
+        aborts instead of publishing a torn or truncated file."""
+        for chunk in cls._line_chunks(buf, cls._PUBLISH_CHUNK_CAP):
+            view = memoryview(chunk)
+            while view:
+                n_written = os.write(fd, view)
+                if n_written <= 0:
+                    raise OSError(
+                        "kinesis_py publish: os.write made no progress"
+                        f" with {len(view)} bytes left"
+                    )
+                view = view[n_written:]
+
     def _publish(self, staging: str) -> None:
-        """Append every staged shard file into its live twin — one
-        O_APPEND ``os.write`` per file (the same no-tear contract as
-        DirKinesisClient.put_records) — then drop the staging dir."""
+        """Append every staged shard file into its live twin — checked
+        line-aligned O_APPEND writes (see ``_append_checked``; the
+        same no-tear contract as DirKinesisClient.put_records) — then
+        drop the staging dir.  Files are streamed in ~4 MiB blocks
+        with a partial-line carry so an arbitrarily large staged file
+        never loads whole into driver memory."""
         import shutil  # noqa: PLC0415
 
         if not staging or not os.path.isdir(staging):
@@ -415,17 +462,27 @@ class KinesisDataSourceWriter(DataSourceWriter):
         for name in sorted(os.listdir(staging)):
             if not (name.startswith("shard-") and name.endswith(".jsonl")):
                 continue
-            with open(os.path.join(staging, name), "rb") as fh:
-                payload = fh.read()
-            if not payload:
-                continue
             fd = os.open(
                 os.path.join(self._dir, name),
                 os.O_WRONLY | os.O_CREAT | os.O_APPEND,
                 0o644,
             )
             try:
-                os.write(fd, payload)
+                with open(os.path.join(staging, name), "rb") as fh:
+                    carry = b""
+                    while True:
+                        block = fh.read(4 << 20)
+                        if not block:
+                            break
+                        buf = carry + block
+                        cut = buf.rfind(b"\n")
+                        if cut < 0:
+                            carry = buf
+                            continue
+                        self._append_checked(fd, buf[: cut + 1])
+                        carry = buf[cut + 1:]
+                    if carry:
+                        self._append_checked(fd, carry)
             finally:
                 os.close(fd)
         shutil.rmtree(staging, ignore_errors=True)

@@ -41,6 +41,7 @@ def build_line_pipeline(
     entries: Mapping[str, str] | None = None,
     host_id: str | None = None,
     per_executor_identity: bool = False,
+    probe_network: bool = False,
 ) -> DataFrame:
     """Entry points 1 & 3: line records → sink records.
 
@@ -52,7 +53,11 @@ def build_line_pipeline(
     ``per_executor_identity=True`` stamps E1 inside each executor
     (closer to the reference's one-key-per-producing-host semantics on
     a real cluster, SURVEY §2.1 E1) instead of the driver-side
-    constant; ``host_id`` is ignored in that mode.
+    constant; ``host_id`` is ignored in that mode.  ``probe_network``
+    reaches the executor-side cascade too, so driver and per-executor
+    modes resolve identity through the SAME levels on a real run
+    (ADVICE r06: per-executor used to pin probe_network=False while
+    driver mode probed, letting the two modes disagree on one host).
     """
     clean = filter_empty_lines(strip_cr(lines))
     if output_format == "json":
@@ -60,7 +65,7 @@ def build_line_pipeline(
     else:
         projected = line_passthrough(clean)
     if per_executor_identity:
-        return stamp_partition_key_per_executor(projected)
+        return stamp_partition_key_per_executor(projected, probe_network)
     return to_sink_records(projected, host_id or get_host_id())
 
 
@@ -69,16 +74,18 @@ def build_json_pipeline(
     entries: Mapping[str, str] | None = None,
     host_id: str | None = None,
     per_executor_identity: bool = False,
+    probe_network: bool = False,
 ) -> DataFrame:
     """Entry point 2: JSON value records → enriched sink records
     (F2 null skip + T4 objects-only enrichment + T3 re-serialize).
-    ``per_executor_identity`` as in :func:`build_line_pipeline`."""
+    ``per_executor_identity`` / ``probe_network`` as in
+    :func:`build_line_pipeline`."""
     nonnull = values.filter(values["value"].isNotNull()).filter(
         values["value"] != "null"
     )
     projected = enrich_json_objects(nonnull, "value", entries)
     if per_executor_identity:
-        return stamp_partition_key_per_executor(projected)
+        return stamp_partition_key_per_executor(projected, probe_network)
     return to_sink_records(projected, host_id or get_host_id())
 
 

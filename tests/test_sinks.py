@@ -217,6 +217,92 @@ class TestKinesisWriterTwoPhaseCommit:
         assert not os.path.isdir(stale)
         assert len(self._shard_lines(d)) == 3
 
+    def test_publish_line_chunking(self):
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            KinesisDataSourceWriter as W,
+        )
+
+        buf = b"aaaa\nbb\ncccccc\ndd\n"
+        chunks = list(W._line_chunks(buf, 8))
+        assert b"".join(chunks) == buf
+        # every chunk ends on a line boundary and respects the cap
+        # (except a single line longer than the cap, emitted whole)
+        for c in chunks:
+            assert c.endswith(b"\n")
+            assert len(c) <= 8 or c.count(b"\n") == 1
+        # oversized single line comes out whole, not torn
+        big = b"x" * 40 + b"\n" + b"y\n"
+        chunks = list(W._line_chunks(big, 8))
+        assert chunks[0] == b"x" * 40 + b"\n"
+        assert b"".join(chunks) == big
+
+    def test_publish_survives_short_writes(self, tmp_path, monkeypatch):
+        """ADVICE r06 (medium): a short os.write must not drop bytes
+        or tear a line — publish resumes from the unwritten tail and
+        the shard file comes out byte-identical."""
+        import kinesis_log_streamer_spark.sources.kinesis_source as ks
+
+        d = str(tmp_path / "shards")
+        os.makedirs(d)
+        w = self._writer(d)
+        msg = w.write(iter(self._rows(50)))
+        real_write = os.write
+
+        def short_write(fd, data):
+            return real_write(fd, bytes(data)[:7])  # short every time
+
+        monkeypatch.setattr(ks.os, "write", short_write)
+        w.commit([msg])
+        monkeypatch.setattr(ks.os, "write", real_write)
+        lines = self._shard_lines(d)
+        assert len(lines) == 50
+        import json as _json
+
+        assert sorted(_json.loads(x)["data"] for x in lines) == sorted(
+            r.data for r in self._rows(50)
+        )
+
+    def test_publish_raises_on_zero_progress(self, tmp_path, monkeypatch):
+        import pytest
+
+        import kinesis_log_streamer_spark.sources.kinesis_source as ks
+
+        d = str(tmp_path / "shards")
+        os.makedirs(d)
+        w = self._writer(d)
+        msg = w.write(iter(self._rows(3)))
+        monkeypatch.setattr(ks.os, "write", lambda fd, data: 0)
+        with pytest.raises(OSError, match="no progress"):
+            w.commit([msg])
+
+    def test_concurrent_writers_interleave(self, tmp_path):
+        """VERDICT r06 item 10: two jobs writing the same dir with
+        interleaved staging and commit lose nothing and duplicate
+        nothing — and the first commit's orphan sweep must not touch
+        the other job's young in-flight staging."""
+        d = str(tmp_path / "shards")
+        os.makedirs(d)
+        w1, w2 = self._writer(d), self._writer(d)
+        rows1 = self._rows(20)
+        rows2 = [
+            r.__class__(data=r.data.replace("{", '{"j":1,', 1),
+                        partitionKey=r.partitionKey)
+            for r in self._rows(15)
+        ]
+        m1 = w1.write(iter(rows1))
+        m2 = w2.write(iter(rows2))  # staged before w1 commits
+        w1.commit([m1])
+        # w2's staging survived w1's orphan sweep (age-gated)
+        assert os.path.isdir(m2.staging_dir)
+        w2.commit([m2])
+        lines = self._shard_lines(d)
+        assert len(lines) == 35
+        import json as _json
+
+        seen = sorted(_json.loads(x)["data"] for x in lines)
+        assert seen == sorted(r.data for r in rows1 + rows2)
+        assert not [x for x in os.listdir(d) if x.startswith(".staging-")]
+
     def test_dataframe_write_roundtrip(self, spark, tmp_path):
         from kinesis_log_streamer_spark.sources.kinesis_source import (
             KinesisDataSource,

@@ -139,3 +139,29 @@ class TestPerExecutorPartitionKey:
         assert len(keys) == 1
         key = keys.pop()
         assert key.split(":", 1)[0] in ("ip-address", "uuid", "arn")
+
+    def test_probe_network_reaches_per_executor_stamp(
+        self, spark, monkeypatch
+    ):
+        # ADVICE r06: per-executor mode used to hard-pin
+        # probe_network=False while driver mode probed on real runs —
+        # the builders must forward the flag into the executor stamp.
+        import kinesis_log_streamer_spark.streaming.pipeline as P
+
+        seen = []
+
+        def fake(df, probe_network=False):
+            seen.append(probe_network)
+            return df
+
+        monkeypatch.setattr(P, "stamp_partition_key_per_executor", fake)
+        lines = _lines(spark, ["a"])
+        P.build_line_pipeline(
+            lines, per_executor_identity=True, probe_network=True
+        )
+        P.build_json_pipeline(
+            spark.createDataFrame([('{"a":1}',)], "value string"),
+            per_executor_identity=True,
+            probe_network=True,
+        )
+        assert seen == [True, True]
