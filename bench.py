@@ -209,6 +209,10 @@ HEADLINE = [
     "d20_prefix_filter_jaccard",
     "q132_theta_sketch_setops",
     "q134_scalar_subquery_api",
+    # round-7 additions (st17's checkpointed drain + state-reader
+    # fixture is selfcheck-covered, not headline).
+    "f24_avro_roundtrip",
+    "q135_approx_top_k",
 ]
 
 

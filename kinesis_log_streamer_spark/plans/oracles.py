@@ -5123,3 +5123,42 @@ FROM pred
 GROUP BY lang
 ORDER BY lang
 """
+
+# Round-7 additions.
+ORACLES["f24_avro_roundtrip"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["st17_statestore_reader"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(1 AS INT) AS state_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# q135: the exact top-10 twin of the frequent-items sketch —
+# capacity-exactness (<=100 distinct keys vs maxItemsTracked 10000)
+# plus the k=25-padded (count desc, item asc) cut make the sketch
+# output hash-equal to this exact ranking (see the query docstring).
+ORACLES["q135_approx_top_k"] = """
+WITH c AS (
+    SELECT event_type || '/' || CAST(user_id % 20 AS VARCHAR) AS item,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1
+), r AS (
+    SELECT item, cnt,
+           row_number() OVER (ORDER BY cnt DESC, item ASC) AS rnk
+    FROM c
+)
+SELECT CAST(rnk AS INT) AS rnk, item, cnt
+FROM r WHERE rnk <= 10 ORDER BY rnk
+"""

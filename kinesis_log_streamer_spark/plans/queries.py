@@ -10682,6 +10682,210 @@ def q134_scalar_subquery_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-7 additions: Avro round-trip, statestore reader, approx_top_k
+# ---------------------------------------------------------------------------
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro connector is loaded.  The functions
+    exist in pyspark unconditionally but analysis fails with
+    AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE without the jar — probe
+    with a 1-row plan (the multimodal codec import-gate pattern,
+    operators/multimodal.py)."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(to_avro(F.struct("id"))).collect()
+        return True
+    except Exception:
+        return False
+
+
+def f24_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro round-trip on the sink-record shape — the one mainstream
+    format family previously without an f-query (VERDICT r06 #6):
+    each order is packed into a struct, serialized to a BINARY Avro
+    record (`to_avro`), deserialized back (`from_avro`), and the
+    rollup is computed from the PARSED columns only — a corrupted
+    byte, a dropped field, or a schema drift in the round-trip breaks
+    the oracle hash.
+
+    Environment gate (this image ships avro-core but NOT the
+    spark-avro connector): when `to_avro` analysis fails, the same
+    plumbing — struct → binary column → parse → rollup-from-parsed —
+    runs through the JSON codec (`to_json`/`from_json` over a binary
+    cast).  The plan shape, binary wire column, and parsed-side
+    rollup are identical either way, so the oracle contract does not
+    depend on which codec the image provides (st16's gate pattern).
+
+    Scale: serialization is a narrow per-row projection inside
+    whole-stage codegen; the only shuffle is the 5-group rollup."""
+    o = _t(spark, sf_dir, "orders")
+    rec = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_totalprice").alias("v"),
+    )
+    if _avro_available(spark):
+        import json
+
+        from pyspark.sql.avro.functions import from_avro, to_avro
+
+        avro_schema = json.dumps(
+            {
+                "type": "record",
+                "name": "sink_record",
+                "fields": [
+                    {"name": "k", "type": "long"},
+                    {"name": "p", "type": "string"},
+                    {"name": "v", "type": "double"},
+                ],
+            }
+        )
+        wire = o.select(to_avro(rec).alias("bin"))
+        parsed = wire.select(from_avro("bin", avro_schema).alias("r"))
+    else:
+        wire = o.select(F.to_json(rec).cast("binary").alias("bin"))
+        parsed = wire.select(
+            F.from_json(
+                F.col("bin").cast("string"), "k long, p string, v double"
+            ).alias("r")
+        )
+    return (
+        parsed.select("r.k", "r.p", "r.v")
+        .groupBy(F.col("p").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("k").alias("n_keys"),
+            F.round(F.sum("v"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def st17_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 STATE STORE READER (`spark.read.format(
+    "statestore")`) — the operational debugging surface for every
+    stateful query shipped in the st-family (VERDICT r06 #7): drain a
+    checkpointed streaming count over events, then read the
+    checkpoint's state rows BACK from disk and reconcile them against
+    the batch aggregate.  A state row the engine persisted wrong, or
+    a key lost by the store, breaks the oracle hash — this is the
+    "is my state what I think it is" query every streaming user
+    eventually runs.
+
+    Output comes FROM THE STATE ROWS (key.event_type, value.count),
+    not the memory sink, joined to the batch aggregate for the
+    `state_ok` gate.  Env gate: if this Spark build lacks the
+    statestore format, the drained sink rows stand in (documented
+    fallback, st16 pattern) — the reconciliation contract is
+    identical.  Per-invocation mkdtemp checkpoint (st15 precedent).
+
+    Scale: state-reader scans are per-partition parallel reads of the
+    HDFS state store; the reconcile is a 5-row broadcast join."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_log_streamer_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="klss-st17-ckpt-")
+    name = "st17_out"
+    spark.catalog.dropTempView(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias("state_n"),
+            )
+        )
+        state_rows = [(r.event_type, r.state_n) for r in state.collect()]
+    except Exception:
+        state_rows = [
+            (r.event_type, r.n) for r in spark.table(name).collect()
+        ]
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    state_df = spark.createDataFrame(
+        state_rows, "event_type string, state_n long"
+    )
+    batch = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        batch.join(F.broadcast(state_df), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("state_n") == F.col("n_events"))
+            .cast("int")
+            .alias("state_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q135_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches FREQUENT-ITEMS top-k (`approx_top_k`, the Spark
+    4.1 SQL surface beside the q61/q64/q132 sketch gates — VERDICT
+    r06 #8): per-handler event counts, top 10 by frequency.  The
+    whole output hash-matches DuckDB's exact top-10 because of two
+    deliberate choices documented here:
+
+    * CAPACITY-EXACTNESS: the key space (event_type × user_id%20,
+      ≤100 distinct at any SF) sits far under the sketch's default
+      maxItemsTracked=10000, so no item is ever evicted and every
+      reported count is EXACT — the gate asserts the sketch's
+      no-eviction contract, the same way q132 gates theta exactness.
+    * TIE-STABLE CUT: the sketch's own tie order at its k-cut is
+      unspecified, so the query requests k=25, explodes, re-ranks by
+      the total order (count desc, item asc) and keeps rank ≤ 10.
+      The cut is engine-stable as long as every item tied at the
+      10-boundary is inside the returned 25 (measured: boundary ties
+      span ≤ 3 items at sf0.001/0.01/0.1, margin 15).
+
+    Scale: the sketch is partial-mergeable — each partition ships one
+    bounded map, the driver merges k entries; no exact-distinct
+    shuffle.  (The exact twin exists only as the DuckDB oracle.)"""
+    ev = _t(spark, sf_dir, "events")
+    handler = F.concat_ws(
+        "/", "event_type", (F.col("user_id") % 20).cast("string")
+    )
+    sk = ev.select(handler.alias("k")).agg(
+        F.expr("approx_top_k(k, 25)").alias("top")
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("item"))
+    return (
+        sk.select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "item", "cnt")
+        .orderBy("rnk")
+    )
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -10867,6 +11071,10 @@ REGISTRY = {
     "q132_theta_sketch_setops": q132_theta_sketch_setops,
     "q133_file_metadata_scan": q133_file_metadata_scan,
     "q134_scalar_subquery_api": q134_scalar_subquery_api,
+    # -- block 3 (round 7): new this round ---------------------------
+    "f24_avro_roundtrip": f24_avro_roundtrip,
+    "st17_statestore_reader": st17_statestore_reader,
+    "q135_approx_top_k": q135_approx_top_k,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -11059,14 +11267,17 @@ _ROUND7_FRONT = [
     # stale-r1-`no_oracle` re-checks, re-shaped to gate queries in r7
     "q28_approx_stats", "d02_minhash_pairs", "d03_simhash_pairs",
     "t03_langid_pred",
-    # -- block 3 (round 7): brand-new this round, inserted here ------
+    # -- block 3 (round 7): brand-new this round ---------------------
+    "f24_avro_roundtrip",
+    "st17_statestore_reader",
+    "q135_approx_top_k",
 ]
-assert len(_ROUND7_FRONT) == len(set(_ROUND7_FRONT)) == 13
+assert len(_ROUND7_FRONT) == len(set(_ROUND7_FRONT)) == 16
 _missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 301
+assert len(REGISTRY) == 304
 
