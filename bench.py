@@ -213,6 +213,8 @@ HEADLINE = [
     # fixture is selfcheck-covered, not headline).
     "f24_avro_roundtrip",
     "q135_approx_top_k",
+    "t27_bm25_topk",
+    "s19_mmr_rerank",
 ]
 
 

@@ -5162,3 +5162,152 @@ WITH c AS (
 SELECT CAST(rnk AS INT) AS rnk, item, cnt
 FROM r WHERE rnk <= 10 ORDER BY rnk
 """
+
+# t27: BM25 (Okapi/Lucene idf) with the position-pivoted deterministic
+# sum described in the query docstring — every per-position sum has at
+# most one input row, so s1+s2+s3 adds in a fixed order on both engines.
+ORACLES["t27_bm25_topk"] = """
+WITH probe(qid, pos, term) AS (
+    VALUES ('q1', 1, 'spark'),  ('q1', 2, 'join'),  ('q1', 3, 'table'),
+           ('q2', 1, 'window'), ('q2', 2, 'agg'),   ('q2', 3, 'scan'),
+           ('q3', 1, 'customer'), ('q3', 2, 'order'), ('q3', 3, 'value'),
+           ('q4', 1, 'hash'),   ('q4', 2, 'merge'), ('q4', 3, 'sort')
+), toks AS (
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\\s+')) AS dl,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, dl, term, count(*) AS tf
+    FROM toks
+    WHERE term IN (SELECT term FROM probe)
+    GROUP BY doc_id, dl, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), stats AS (
+    SELECT count(*) AS n_docs,
+           avg(len(string_split_regex(lower(trim(text)), '\\s+')))
+               AS avgdl
+    FROM documents
+), contribs AS (
+    SELECT probe.qid, tf.doc_id, probe.pos,
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75
+                                 + 0.75 * tf.dl / stats.avgdl))
+               AS contrib
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN probe USING (term)
+    CROSS JOIN stats
+), per_doc AS (
+    SELECT qid, doc_id,
+           sum(CASE WHEN pos = 1 THEN contrib END) AS s1,
+           sum(CASE WHEN pos = 2 THEN contrib END) AS s2,
+           sum(CASE WHEN pos = 3 THEN contrib END) AS s3,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM contribs
+    GROUP BY qid, doc_id
+), ranked AS (
+    SELECT qid, doc_id, n_terms,
+           round(coalesce(s1, 0.0) + coalesce(s2, 0.0)
+                 + coalesce(s3, 0.0), 4) AS score
+    FROM per_doc
+)
+SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, n_terms, score
+FROM (
+    SELECT qid, doc_id, n_terms, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM ranked
+)
+WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+# s19: the 5 greedy MMR steps unrolled as CTEs.  rel is round(cos, 6)
+# (s01's driver-proven rounding parity); selection keys are RAW
+# doubles with vec_id tiebreak, mirroring the query's sequential-fold
+# float64 arithmetic; only the output is rounded to 4.
+ORACLES["s19_mmr_rerank"] = """
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cand AS (
+    SELECT vec_id, v, rel FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qv), 6) AS rel,
+               row_number() OVER (
+                   ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], q.qv), 6) DESC,
+                   e.vec_id ASC) AS crnk
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != 0
+    ) WHERE crnk <= 12
+), p1 AS (
+    SELECT vec_id, v, rel, 0.7 * rel AS mmr
+    FROM cand ORDER BY 0.7 * rel DESC, vec_id ASC LIMIT 1
+), c2 AS (
+    SELECT c.vec_id, c.v, c.rel,
+           0.7 * c.rel - 0.3 * (
+               SELECT max(list_cosine_similarity(c.v, s.v)) FROM p1 s
+           ) AS mmr
+    FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+), p2 AS (
+    SELECT vec_id, v, rel, mmr FROM c2
+    ORDER BY mmr DESC, vec_id ASC LIMIT 1
+), c3 AS (
+    SELECT c.vec_id, c.v, c.rel,
+           0.7 * c.rel - 0.3 * (
+               SELECT max(list_cosine_similarity(c.v, s.v)) FROM (
+                   SELECT v FROM p1 UNION ALL SELECT v FROM p2
+               ) s
+           ) AS mmr
+    FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+                           UNION ALL SELECT vec_id FROM p2)
+), p3 AS (
+    SELECT vec_id, v, rel, mmr FROM c3
+    ORDER BY mmr DESC, vec_id ASC LIMIT 1
+), c4 AS (
+    SELECT c.vec_id, c.v, c.rel,
+           0.7 * c.rel - 0.3 * (
+               SELECT max(list_cosine_similarity(c.v, s.v)) FROM (
+                   SELECT v FROM p1 UNION ALL SELECT v FROM p2
+                   UNION ALL SELECT v FROM p3
+               ) s
+           ) AS mmr
+    FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+                           UNION ALL SELECT vec_id FROM p2
+                           UNION ALL SELECT vec_id FROM p3)
+), p4 AS (
+    SELECT vec_id, v, rel, mmr FROM c4
+    ORDER BY mmr DESC, vec_id ASC LIMIT 1
+), c5 AS (
+    SELECT c.vec_id, c.v, c.rel,
+           0.7 * c.rel - 0.3 * (
+               SELECT max(list_cosine_similarity(c.v, s.v)) FROM (
+                   SELECT v FROM p1 UNION ALL SELECT v FROM p2
+                   UNION ALL SELECT v FROM p3 UNION ALL SELECT v FROM p4
+               ) s
+           ) AS mmr
+    FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM p1
+                           UNION ALL SELECT vec_id FROM p2
+                           UNION ALL SELECT vec_id FROM p3
+                           UNION ALL SELECT vec_id FROM p4)
+), p5 AS (
+    SELECT vec_id, v, rel, mmr FROM c5
+    ORDER BY mmr DESC, vec_id ASC LIMIT 1
+), sel AS (
+    SELECT 1 AS rnk, vec_id, rel, mmr FROM p1
+    UNION ALL SELECT 2, vec_id, rel, mmr FROM p2
+    UNION ALL SELECT 3, vec_id, rel, mmr FROM p3
+    UNION ALL SELECT 4, vec_id, rel, mmr FROM p4
+    UNION ALL SELECT 5, vec_id, rel, mmr FROM p5
+)
+SELECT CAST(rnk AS INT) AS rnk, vec_id,
+       round(rel, 4) AS rel, round(mmr, 4) AS mmr
+FROM sel ORDER BY rnk
+"""

@@ -38,6 +38,8 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -862,10 +864,12 @@ def d02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 2x end-to-end without it).
     caught = D.minhash_dedup_pairs(docs, threshold=0.3).cache()
     tok = D.tokens_col(F.col("text"))
+    # Both audit joins (sh_a / sh_b side) read this shingle table —
+    # cache so the corpus tokenize+shingle build runs once, not twice.
     allsh = docs.filter(F.size(tok) >= 3).select(
         F.col("doc_id").alias("id"),
         F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
-    )
+    ).cache()
     string_j = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
@@ -883,15 +887,25 @@ def d02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("precision_viol"))
     )
     cohort = docs.orderBy("doc_id").limit(500)
+    # Both crossJoin sides read the cohort — cache so the full-corpus
+    # TakeOrdered + shingle build runs once.
     cohort_sh = cohort.filter(F.size(tok) >= 3).select(
         F.col("doc_id").alias("id"),
         F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
-    )
+    ).cache()
     a = cohort_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = cohort_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     truth = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        # Lossless length filter (similarity-join literature): J >= 0.8
+        # forces 5·|A| >= 4·|B| both ways (J <= min/max of the set
+        # sizes), so the int compare prunes the pair before the
+        # expensive array_intersect evaluates.  Same truth set.
+        .filter(
+            (F.size("sh_a") * 5 >= F.size("sh_b") * 4)
+            & (F.size("sh_b") * 5 >= F.size("sh_a") * 4)
+        )
         .filter(string_j >= 0.8)
         .select("id_a", "id_b")
     )
@@ -949,10 +963,11 @@ def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     caught = D.simhash_pairs(docs, max_hamming=12).cache()
     tok = D.tokens_col(F.col("text"))
     cohort = docs.orderBy("doc_id").limit(500)
+    # Both crossJoin sides read the cohort — cache (see d02).
     cohort_sh = cohort.filter(F.size(tok) >= 3).select(
         F.col("doc_id").alias("id"),
         F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
-    )
+    ).cache()
     a = cohort_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = cohort_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     string_j = (
@@ -962,6 +977,12 @@ def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        # Lossless length filter: J >= 0.9 forces 10·|A| >= 9·|B| both
+        # ways — int compare prunes before array_intersect (see d02).
+        .filter(
+            (F.size("sh_a") * 10 >= F.size("sh_b") * 9)
+            & (F.size("sh_b") * 10 >= F.size("sh_a") * 9)
+        )
         .filter(string_j >= 0.9)
         .select("id_a", "id_b")
     )
@@ -10886,6 +10907,199 @@ def q135_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Okapi / Lucene form) — the standard scorer every
+    RAG / decontamination / data-curation pipeline ranks passages with;
+    the corpus already has tf-idf (t06) but BM25's saturating tf and
+    length normalization are the shape actually used in production
+    retrieval.  Four fixed probe queries, top-5 documents each.
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``,
+    ``contrib(t, d) = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``
+    with k1 = 1.2, b = 0.75.
+
+    Scale shape (100 TB): tokens explode → ``isin`` filter to the ≤12
+    probe terms BEFORE the (doc, term) aggregation, so the only
+    token-granular shuffle carries probe-term rows only; document
+    frequency derives from that small tf table and is broadcast back;
+    corpus N/avgdl ride along as a 1-row crossJoin (single-stage agg,
+    no driver collect); final per-query top-5 is a bounded window.
+
+    DETERMINISM: each probe term carries its position (1..3) and the
+    per-document score is built as ``s1 + s2 + s3`` — every ``sum`` has
+    at most one input row, so the floating-point addition ORDER is
+    fixed and identical in DuckDB; no arbitrary-order double sum is on
+    the wire (the r02 lesson).  ACCEPTED-FP-RISK on round(…, 4): ln of
+    identical doubles on JVM vs libm (t06 precedent, driver-green)."""
+    docs = _t(spark, sf_dir, "documents")
+    probes = [
+        ("q1", ["spark", "join", "table"]),
+        ("q2", ["window", "agg", "scan"]),
+        ("q3", ["customer", "order", "value"]),
+        ("q4", ["hash", "merge", "sort"]),
+    ]
+    probe_rows = [
+        (qid, pos + 1, term)
+        for qid, terms in probes
+        for pos, term in enumerate(terms)
+    ]
+    probe_df = spark.createDataFrame(
+        probe_rows, "qid string, pos int, term string"
+    )
+    all_terms = sorted({t for _, _, t in probe_rows})
+    toks = docs.select(
+        "doc_id",
+        F.size(TX.tokens_col(F.col("text"))).alias("dl"),
+        F.explode(TX.tokens_col(F.col("text"))).alias("term"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(TX.tokens_col(F.col("text")))).alias("avgdl"),
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (idf * F.col("tf") * (k1 + 1.0) / denom).alias("contrib")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(probe_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", "pos", contrib)
+    )
+    per_doc = scored.groupBy("qid", "doc_id").agg(
+        *[
+            F.sum(F.when(F.col("pos") == p, F.col("contrib"))).alias(
+                f"s{p}"
+            )
+            for p in (1, 2, 3)
+        ],
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    score_r = F.round(
+        F.coalesce(F.col("s1"), F.lit(0.0))
+        + F.coalesce(F.col("s2"), F.lit(0.0))
+        + F.coalesce(F.col("s3"), F.lit(0.0)),
+        4,
+    ).alias("score")
+    w = W.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_doc.select("qid", "doc_id", "n_terms", score_r)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "rnk", "doc_id", "n_terms", "score")
+        .orderBy("qid", "rnk")
+    )
+
+
+def s19_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity rerank (Carbonell &
+    Goldstein, SIGIR'98) — the selection step RAG pipelines run AFTER
+    retrieval so the k passages handed to the model aren't five
+    near-copies of the best hit: greedily pick
+    ``argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` (λ = 0.7, k = 5)
+    from a top-12 candidate pool for probe vector vec_id = 0.
+
+    Scale shape: candidate generation is the DISTRIBUTED stage and is
+    exactly s01's plan (broadcast probe, corpus never shuffled,
+    bounded window top-k).  The rerank itself is O(k·|pool|) on the
+    ≤12-row candidate set — reranking is ALWAYS a tiny-candidate-set
+    stage in production (the pool is whatever the ANN index returned),
+    so the bounded driver loop here is the honest cost model, not a
+    scalability escape hatch (graph ≤250k-edge precedent).
+
+    Determinism: rel is Spark round(cos, 6) (s01's driver-proven
+    parity with DuckDB round); pairwise candidate sims are sequential-
+    fold float64 (bit-comparable with list_cosine_similarity);
+    selection compares raw doubles with vec_id tiebreak; only the
+    OUTPUT is rounded to 4 (half-away, matching both engines'
+    round()).  The oracle unrolls the same 5 greedy steps as CTEs."""
+    from kinesis_log_streamer_spark.functions.vector import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    cv = F.col("embedding").cast("array<double>")
+    corpus = emb.select(
+        "vec_id", cv.alias("v"), l2_norm(cv).alias("nrm")
+    )
+    from kinesis_log_streamer_spark.functions.vector import dot as vdot
+
+    d = vdot(F.col("v"), F.col("qv"))
+    denom = F.col("nrm") * l2_norm(F.col("qv"))
+    cos = F.when(denom > 0, d / denom).otherwise(F.lit(0.0))
+    w = W.orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand_df = (
+        corpus.join(F.broadcast(probe), F.col("vec_id") != 0)
+        .select("vec_id", "v", F.round(cos, 6).alias("rel"))
+        .withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= 12)
+        .select("vec_id", "v", "rel")
+    )
+    cands = [
+        (int(r.vec_id), list(r.v), float(r.rel))
+        for r in cand_df.collect()
+    ]
+
+    def _cos(a: list, b: list) -> float:
+        # Sequential folds, matching list_cosine_similarity's shape.
+        s = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+            na += x * x
+            nb += y * y
+        n = math.sqrt(na) * math.sqrt(nb)
+        return s / n if n > 0 else 0.0
+
+    def _round_away(x: float, nd: int) -> float:
+        # Half-away-from-zero, the round() both engines print with
+        # (Python's builtin round is half-even — do not use it here).
+        m = 10.0**nd
+        return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+    lam = 0.7
+    selected_vecs: list[list] = []
+    pool = {vid: (vec, rel) for vid, vec, rel in cands}
+    out_rows = []
+    for rnk in range(1, 6):
+        best = None
+        for vid, (vec, rel) in pool.items():
+            max_sim = max(
+                (_cos(vec, svec) for svec in selected_vecs),
+                default=0.0,
+            )
+            # 0.3 as a LITERAL, matching the oracle: (1.0 - 0.7)
+            # evaluates to 0.30000000000000004, one ulp off the SQL
+            # constant, and that ulp is a selection tiebreak hazard.
+            key = lam * rel - 0.3 * max_sim
+            if best is None or (key, -vid) > (best[0], -best[1]):
+                best = (key, vid, vec, rel)
+        key, vid, vec, rel = best
+        selected_vecs.append(vec)
+        del pool[vid]
+        out_rows.append(
+            (rnk, vid, _round_away(rel, 4), _round_away(key, 4))
+        )
+    return spark.createDataFrame(
+        out_rows, "rnk int, vec_id bigint, rel double, mmr double"
+    ).orderBy("rnk")
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -11075,6 +11289,8 @@ REGISTRY = {
     "f24_avro_roundtrip": f24_avro_roundtrip,
     "st17_statestore_reader": st17_statestore_reader,
     "q135_approx_top_k": q135_approx_top_k,
+    "t27_bm25_topk": t27_bm25_topk,
+    "s19_mmr_rerank": s19_mmr_rerank,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -11271,13 +11487,15 @@ _ROUND7_FRONT = [
     "f24_avro_roundtrip",
     "st17_statestore_reader",
     "q135_approx_top_k",
+    "t27_bm25_topk",
+    "s19_mmr_rerank",
 ]
-assert len(_ROUND7_FRONT) == len(set(_ROUND7_FRONT)) == 16
+assert len(_ROUND7_FRONT) == len(set(_ROUND7_FRONT)) == 18
 _missing = [n for n in _ROUND7_FRONT if n not in REGISTRY]
 assert not _missing, f"reorder names absent from REGISTRY: {_missing}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 304
+assert len(REGISTRY) == 306
 

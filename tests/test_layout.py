@@ -102,6 +102,7 @@ class TestPartitioningInvariance:
         "w01_weighted_sample",
         "d20_prefix_filter_jaccard",
         "q132_theta_sketch_setops",
+        "t27_bm25_topk",
     ]
 
     def _rows(self, df):
