@@ -218,6 +218,52 @@ HEADLINE = [
 ]
 
 
+def _total_busy_jiffies() -> int:
+    """Whole-host busy jiffies (everything except idle+iowait)."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()[1:]
+    vals = [int(x) for x in f]
+    return sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+
+
+def _own_tree_jiffies() -> int:
+    """CPU jiffies consumed by THIS process tree: self utime+stime,
+    reaped children (cutime+cstime), plus live descendants (the py4j
+    JVM) found by walking /proc ppid chains."""
+    def _stat(pid):
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                s = fh.read()
+        except OSError:
+            return None
+        # comm may contain spaces/parens — split after the last ')'.
+        rest = s.rsplit(")", 1)[1].split()
+        return rest  # [0]=state [1]=ppid ... [11]=utime [12]=stime ...
+
+    me = os.getpid()
+    rest = _stat(me)
+    total = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+    # Live descendants.
+    parents = {}
+    for ent in os.listdir("/proc"):
+        if not ent.isdigit():
+            continue
+        r = _stat(ent)
+        if r is not None:
+            parents[int(ent)] = (int(r[1]), int(r[11]) + int(r[12]))
+    tree = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in parents.items():
+            if ppid in tree and pid not in tree:
+                tree.add(pid)
+                grew = True
+    total += sum(j for pid, (_, j) in parents.items()
+                 if pid in tree and pid != me)
+    return total
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -226,6 +272,21 @@ def main() -> int:
         load1m_start = round(os.getloadavg()[0], 2)
     except OSError:
         load1m_start = None
+    # EXTERNAL-CPU ACCOUNTING (round 7): load averages cannot separate
+    # the bench's OWN 32-thread work from a neighbor's spike — the end
+    # sample in particular reads the bench's own tail and produced
+    # false "degraded" verdicts once heavier queries were appended to
+    # the headline.  Jiffy accounting can: external CPU = whole-host
+    # busy jiffies minus this process tree's jiffies, both measured
+    # over the run.  > ~1 full core of sustained external CPU is a
+    # contended run; the ~0.05-core background (driver CLI, init) is
+    # far below it.
+    try:
+        t_wall0 = time.monotonic()
+        j_host0 = _total_busy_jiffies()
+        j_own0 = _own_tree_jiffies()
+    except Exception:
+        t_wall0 = j_host0 = j_own0 = None
 
     # Warm-up: touch the big fact table so JVM/codegen init is excluded.
     Q.q01_pricing_summary(spark, sf_dir).collect()
@@ -305,6 +366,17 @@ def main() -> int:
         load1m = round(os.getloadavg()[0], 2)
     except OSError:
         load1m = None
+    external_cores = None
+    if j_host0 is not None:
+        try:
+            wall = max(time.monotonic() - t_wall0, 1e-9)
+            hz = os.sysconf("SC_CLK_TCK")
+            ext_j = (_total_busy_jiffies() - j_host0) - (
+                _own_tree_jiffies() - j_own0
+            )
+            external_cores = round(max(ext_j, 0) / hz / wall, 3)
+        except Exception:
+            external_cores = None
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -315,14 +387,23 @@ def main() -> int:
         "host": _host_fingerprint(),
         "load1m_start": load1m_start,
         "load1m_end": load1m,
+        # Average CPU cores consumed by OTHER processes during the
+        # run (jiffy accounting, see above) — the direct external-
+        # contention signal the load averages only proxy.
+        "external_cores": external_cores,
         # QUIET-HOST PROTOCOL (VERDICT r06 item 4): external load
         # spikes slow the suite 1.4-1.6x uniformly (BENCH_HISTORY:
         # same-commit 242.7s at load 3.47 vs 165.7s at load 0.33).  A
-        # run started OR finished on a contended host is marked
-        # degraded so its total is never read as a plan regression,
-        # and _vs_prev below compares against the last CLEAN run.
+        # run is degraded when jiffy accounting shows > 1 sustained
+        # external core (the spikes measure 3-13, background ~0.05);
+        # where accounting is unavailable, the r6 load-average
+        # heuristic stands in.  Degraded totals are never read as
+        # plan regressions and _vs_prev compares vs the last CLEAN
+        # run.
         "degraded": bool(
-            (load1m_start or 0) > 2.0 or (load1m or 0) > 2.0
+            external_cores > 1.0
+            if external_cores is not None
+            else (load1m_start or 0) > 2.0 or (load1m or 0) > 2.0
         ),
     }
     result.update(_vs_prev(timings, result["sf"]))
