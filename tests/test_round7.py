@@ -58,6 +58,45 @@ class TestSt17StatestoreReader:
         assert rows, "no event types"
         assert all(r.state_ok == 1 for r in rows), rows
 
+    def test_statestore_format_is_real_here(self, spark, tmp_path):
+        # The query's PRIMARY path reads state rows back with
+        # spark.read.format("statestore"); this pin fails loudly if a
+        # Spark upgrade drops the format and st17 silently degrades to
+        # its memory-sink fallback (probed REAL in this image, r7).
+        import pyspark.sql.functions as F
+
+        from kinesis_log_streamer_spark.streaming.pipeline import (
+            read_events_stream,
+        )
+
+        ev = read_events_stream(spark, SF)
+        agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        ckpt = str(tmp_path / "ckpt")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("st17_pin")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias("state_n"),
+            )
+            .collect()
+        )
+        assert state, "statestore reader returned no state rows"
+        want = {
+            r.event_type: r.n for r in spark.table("st17_pin").collect()
+        }
+        got = {r.event_type: r.state_n for r in state}
+        assert got == want
+
 
 class TestQ135ApproxTopK:
     def test_matches_exact_topk(self, spark):
