@@ -227,9 +227,19 @@ def _total_busy_jiffies() -> int:
 
 
 def _own_tree_jiffies() -> int:
-    """CPU jiffies consumed by THIS process tree: self utime+stime,
-    reaped children (cutime+cstime), plus live descendants (the py4j
-    JVM) found by walking /proc ppid chains."""
+    """CPU jiffies consumed by THIS process tree: for EVERY process in
+    the tree, utime+stime+cutime+cstime (/proc stat fields 14-17).
+
+    Including cutime/cstime on every member — not just self — keeps a
+    start/end DELTA consistent when a descendant (pyspark daemon
+    worker, py4j child) exits mid-window: the reaped child's jiffies
+    fold into its surviving ancestor's cutime/cstime instead of
+    vanishing from the end sample, where they would be misattributed
+    to external_cores and falsely flag a clean run as degraded
+    (ADVICE r7 medium).  Live children's jiffies sit in their own
+    utime/stime and move to the parent's c-fields only on wait(), so
+    summing all four fields over all live members counts each jiffy
+    exactly once."""
     def _stat(pid):
         try:
             with open(f"/proc/{pid}/stat") as fh:
@@ -238,19 +248,19 @@ def _own_tree_jiffies() -> int:
             return None
         # comm may contain spaces/parens — split after the last ')'.
         rest = s.rsplit(")", 1)[1].split()
-        return rest  # [0]=state [1]=ppid ... [11]=utime [12]=stime ...
+        return rest  # [0]=state [1]=ppid ... [11..14]=utime stime cutime cstime
 
     me = os.getpid()
-    rest = _stat(me)
-    total = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
-    # Live descendants.
     parents = {}
     for ent in os.listdir("/proc"):
         if not ent.isdigit():
             continue
         r = _stat(ent)
         if r is not None:
-            parents[int(ent)] = (int(r[1]), int(r[11]) + int(r[12]))
+            parents[int(ent)] = (
+                int(r[1]),
+                int(r[11]) + int(r[12]) + int(r[13]) + int(r[14]),
+            )
     tree = {me}
     grew = True
     while grew:
@@ -259,15 +269,45 @@ def _own_tree_jiffies() -> int:
             if ppid in tree and pid not in tree:
                 tree.add(pid)
                 grew = True
-    total += sum(j for pid, (_, j) in parents.items()
-                 if pid in tree and pid != me)
-    return total
+    return sum(j for pid, (_, j) in parents.items() if pid in tree)
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+def _external_cores_sample(window: float = 3.0) -> float | None:
+    """Average external cores over a short idle window: whole-host
+    busy jiffies minus this (idle) tree's jiffies.  Used by the
+    quiet-host gate before each measurement attempt."""
+    try:
+        j_h0, j_o0 = _total_busy_jiffies(), _own_tree_jiffies()
+        time.sleep(window)
+        ext = (_total_busy_jiffies() - j_h0) - (_own_tree_jiffies() - j_o0)
+        return max(ext, 0) / os.sysconf("SC_CLK_TCK") / window
+    except Exception:
+        return None
+
+
+def _wait_for_quiet_host() -> float:
+    """Block until the host is quiet (two consecutive 3 s samples with
+    < 0.5 external cores) or the wait budget expires; returns seconds
+    waited.  VERDICT r7 #1: every round-7 run was recorded degraded —
+    bench.py must ACT on the external_cores signal, not just label the
+    contamination after the fact."""
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_TIMEOUT", "600"))
+    t0 = time.monotonic()
+    consecutive = 0
+    while time.monotonic() - t0 < budget:
+        s = _external_cores_sample(3.0)
+        if s is None:
+            break  # no jiffy accounting on this host — nothing to gate on
+        consecutive = consecutive + 1 if s < 0.5 else 0
+        if consecutive >= 2:
+            break
+    return round(time.monotonic() - t0, 1)
+
+
+def _measure_suite(spark, sf_dir: str) -> dict:
+    """One full timed pass over HEADLINE; returns timings plus the
+    contention evidence (load averages, jiffy-measured external_cores,
+    degraded flag) for that pass."""
     try:
         load1m_start = round(os.getloadavg()[0], 2)
     except OSError:
@@ -287,9 +327,6 @@ def main() -> int:
         j_own0 = _own_tree_jiffies()
     except Exception:
         t_wall0 = j_host0 = j_own0 = None
-
-    # Warm-up: touch the big fact table so JVM/codegen init is excluded.
-    Q.q01_pricing_summary(spark, sf_dir).collect()
 
     # Queries that .cache() intermediates (dedup fingerprints) would
     # otherwise leave memory pressure behind for later queries — clear
@@ -356,7 +393,6 @@ def main() -> int:
         )
         timings[name] = round(med, 3)
 
-    total = round(sum(timings.values()), 3)
     # Record host load so a contended run is identifiable after the
     # fact: a same-commit re-run under load-average ~3 measured 1.6x
     # slower UNIFORMLY (every query, including sub-second constant
@@ -377,19 +413,11 @@ def main() -> int:
             external_cores = round(max(ext_j, 0) / hz / wall, 3)
         except Exception:
             external_cores = None
-    result = {
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    return {
+        "timings": timings,
         "runs": runs,
-        "host": _host_fingerprint(),
         "load1m_start": load1m_start,
         "load1m_end": load1m,
-        # Average CPU cores consumed by OTHER processes during the
-        # run (jiffy accounting, see above) — the direct external-
-        # contention signal the load averages only proxy.
         "external_cores": external_cores,
         # QUIET-HOST PROTOCOL (VERDICT r06 item 4): external load
         # spikes slow the suite 1.4-1.6x uniformly (BENCH_HISTORY:
@@ -406,6 +434,47 @@ def main() -> int:
             else (load1m_start or 0) > 2.0 or (load1m or 0) > 2.0
         ),
     }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # Warm-up: touch the big fact table so JVM/codegen init is excluded.
+    Q.q01_pricing_summary(spark, sf_dir).collect()
+
+    # WAIT-THEN-RETRY (VERDICT r7 #1): gate each attempt on a quiet
+    # host, and if contention arrives MID-run (the gate can't see the
+    # future), re-run the whole suite up to SPARK_GRAFT_BENCH_RETRIES
+    # extra times — the round's recorded number should be a clean one
+    # whenever the host allows it at all.
+    max_attempts = 1 + max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
+    )
+    quiet_wait = 0.0
+    attempt = 0
+    m = None
+    while attempt < max_attempts:
+        attempt += 1
+        quiet_wait += _wait_for_quiet_host()
+        m = _measure_suite(spark, sf_dir)
+        if not m["degraded"]:
+            break
+
+    timings = m.pop("timings")
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "host": _host_fingerprint(),
+        "attempts": attempt,
+        "quiet_wait_sec": round(quiet_wait, 1),
+        **m,
+    }
     result.update(_vs_prev(timings, result["sf"]))
     if result["degraded"] and "vs_prev_common_total" in result:
         # A contended current run can only produce a spurious alert.
@@ -414,6 +483,7 @@ def main() -> int:
     print(json.dumps(result))
     _append_history(result)
     return 0
+
 
 
 def _host_fingerprint() -> str:

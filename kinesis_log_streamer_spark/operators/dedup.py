@@ -339,7 +339,8 @@ def simhash_pairs(
     ).select("id", "simhash", "c.chunk_id", "c.chunk")
     a = chunked.alias("a")
     b = chunked.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
@@ -352,13 +353,14 @@ def simhash_pairs(
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
+        # Verify BEFORE the duplicate-candidate dedup: hamming is a
+        # cheap map-side bit op, so failing pairs never shuffle into
+        # the distinct (a pair surfaced by up to 4 chunks otherwise
+        # carries 4 rows through the exchange).
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -5250,7 +5250,8 @@ WITH q AS (
 ), c2 AS (
     SELECT c.vec_id, c.v, c.rel,
            0.7 * c.rel - 0.3 * (
-               SELECT max(list_cosine_similarity(c.v, s.v)) FROM p1 s
+               SELECT round(max(list_cosine_similarity(c.v, s.v)), 6)
+               FROM p1 s
            ) AS mmr
     FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
 ), p2 AS (
@@ -5259,7 +5260,7 @@ WITH q AS (
 ), c3 AS (
     SELECT c.vec_id, c.v, c.rel,
            0.7 * c.rel - 0.3 * (
-               SELECT max(list_cosine_similarity(c.v, s.v)) FROM (
+               SELECT round(max(list_cosine_similarity(c.v, s.v)), 6) FROM (
                    SELECT v FROM p1 UNION ALL SELECT v FROM p2
                ) s
            ) AS mmr
@@ -5272,7 +5273,7 @@ WITH q AS (
 ), c4 AS (
     SELECT c.vec_id, c.v, c.rel,
            0.7 * c.rel - 0.3 * (
-               SELECT max(list_cosine_similarity(c.v, s.v)) FROM (
+               SELECT round(max(list_cosine_similarity(c.v, s.v)), 6) FROM (
                    SELECT v FROM p1 UNION ALL SELECT v FROM p2
                    UNION ALL SELECT v FROM p3
                ) s
@@ -5287,7 +5288,7 @@ WITH q AS (
 ), c5 AS (
     SELECT c.vec_id, c.v, c.rel,
            0.7 * c.rel - 0.3 * (
-               SELECT max(list_cosine_similarity(c.v, s.v)) FROM (
+               SELECT round(max(list_cosine_similarity(c.v, s.v)), 6) FROM (
                    SELECT v FROM p1 UNION ALL SELECT v FROM p2
                    UNION ALL SELECT v FROM p3 UNION ALL SELECT v FROM p4
                ) s

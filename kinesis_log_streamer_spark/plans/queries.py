@@ -41,6 +41,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -832,6 +833,83 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs).orderBy("fp")
 
 
+# VERDICT r7 #3 + ADVICE r7 low #5: d02 and d03 previously built the
+# identical 500-doc cohort shingle table and ran the O(k^2) truth
+# verify independently (and left their caches persisted), making the
+# two gates the #1 and #7 suite costs.  The truth table is computed
+# ONCE per (app, sf_dir) here, collected (bounded: <= C(500,2) =
+# 124,750 candidate pairs at ANY corpus size, and only the few dozen
+# rows with J >= 0.8 survive), memoized driver-side, and every cache
+# it creates is unpersisted in a finally.  This is oracle-evidence
+# cost, not production-path cost: the production legs remain the full-
+# corpus banded/chunked pipelines.
+_COHORT_TRUTH_MEMO: dict = {}
+
+
+def _cohort_truth_pairs(spark: SparkSession, sf_dir: str) -> list:
+    """[(id_a, id_b, jaccard)] for the fixed 500-smallest-doc cohort,
+    string-shingle 3-gram Jaccard >= 0.8.  d02 gates on J >= 0.8, d03
+    on J >= 0.9 — both read slices of this one table.  The 5/4 length
+    prune is the lossless filter for the weaker J >= 0.8 bound, so it
+    admits every pair either gate needs; the exact Jaccard is computed
+    for survivors and re-thresholded per-gate on the identical double."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _COHORT_TRUTH_MEMO:
+        return _COHORT_TRUTH_MEMO[key]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = D.tokens_col(F.col("text"))
+    cohort_sh = (
+        docs.orderBy("doc_id")
+        .limit(500)
+        .filter(F.size(tok) >= 3)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
+        )
+        .cache()
+    )
+    try:
+        a = cohort_sh.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+        )
+        b = cohort_sh.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+        )
+        string_j = (
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+        )
+        rows = (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            # Lossless length filter (similarity-join literature):
+            # J >= 0.8 forces 5*|A| >= 4*|B| both ways (J <= min/max
+            # of the set sizes), so the int compare prunes the pair
+            # before the expensive array_intersect evaluates.
+            .filter(
+                (F.size("sh_a") * 5 >= F.size("sh_b") * 4)
+                & (F.size("sh_b") * 5 >= F.size("sh_a") * 4)
+            )
+            .select("id_a", "id_b", string_j.alias("j"))
+            .filter(F.col("j") >= 0.8)
+            .collect()
+        )
+    finally:
+        cohort_sh.unpersist()
+    _COHORT_TRUTH_MEMO[key] = [(r.id_a, r.id_b, r.j) for r in rows]
+    return _COHORT_TRUTH_MEMO[key]
+
+
+def _eager_gate_row(df: DataFrame) -> DataFrame:
+    """Materialize a 1-row gate result eagerly so the caches feeding it
+    can be unpersisted before return (ADVICE r7 low #5): gate queries
+    collect nothing downstream that needs the lineage, and leaving
+    five persisted DataFrames per invocation pressures the block
+    manager across 306-query selfcheck sweeps."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def d02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pipeline (signatures → banded buckets →
     exact-Jaccard verify ≥ 0.3, `operators/dedup.minhash_dedup_pairs`)
@@ -854,9 +932,11 @@ def d02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — probability ~n²/2⁶⁴).
 
     Scale: truth is the O(k²)-capped cohort verifier (≤124 750 pairs
-    at ANY corpus size); caught is the banded equi-join pipeline;
-    the precision audit joins shingle sets back to only |caught|
-    pairs."""
+    at ANY corpus size), computed once per process and shared with d03
+    (`_cohort_truth_pairs`, VERDICT r7 #3); caught is the banded
+    equi-join pipeline; the precision audit joins shingle sets back to
+    only |caught| pairs.  The gate row is materialized eagerly so both
+    caches are unpersisted before return (ADVICE r7 low #5)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # The verified pair set feeds two gate legs (precision audit +
     # recall semi-join); caching the few-hundred-row result keeps the
@@ -864,70 +944,75 @@ def d02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 2x end-to-end without it).
     caught = D.minhash_dedup_pairs(docs, threshold=0.3).cache()
     tok = D.tokens_col(F.col("text"))
-    # Both audit joins (sh_a / sh_b side) read this shingle table —
-    # cache so the corpus tokenize+shingle build runs once, not twice.
-    allsh = docs.filter(F.size(tok) >= 3).select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
-    ).cache()
-    string_j = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    # The precision audit only probes docs that appear in a caught
+    # pair — semi-join-filter BEFORE tokenize+shingle so the audit's
+    # shingle build is O(|caught|) docs, not the full corpus (round 8:
+    # the full-corpus build was ~40% of d02's steady-state cost; at
+    # 100 TB it would re-tokenize everything to audit a few thousand
+    # pairs).  AQE broadcasts the tiny id list.  Both audit joins
+    # (sh_a / sh_b side) read this table — cache so it builds once.
+    pair_ids = (
+        caught.select(F.col("id_a").alias("doc_id"))
+        .union(caught.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    viol = (
-        caught.join(
-            allsh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
-            "id_a",
+    allsh = (
+        docs.join(pair_ids, "doc_id", "semi")
+        .filter(F.size(tok) >= 3)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
         )
-        .join(
-            allsh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
-            "id_b",
+        .cache()
+    )
+    try:
+        string_j = (
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
         )
-        .filter(string_j < 0.3)
-        .agg(F.count(F.lit(1)).alias("precision_viol"))
-    )
-    cohort = docs.orderBy("doc_id").limit(500)
-    # Both crossJoin sides read the cohort — cache so the full-corpus
-    # TakeOrdered + shingle build runs once.
-    cohort_sh = cohort.filter(F.size(tok) >= 3).select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
-    ).cache()
-    a = cohort_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = cohort_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    truth = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        # Lossless length filter (similarity-join literature): J >= 0.8
-        # forces 5·|A| >= 4·|B| both ways (J <= min/max of the set
-        # sizes), so the int compare prunes the pair before the
-        # expensive array_intersect evaluates.  Same truth set.
-        .filter(
-            (F.size("sh_a") * 5 >= F.size("sh_b") * 4)
-            & (F.size("sh_b") * 5 >= F.size("sh_a") * 4)
+        viol = (
+            caught.join(
+                allsh.select(
+                    F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+                ),
+                "id_a",
+            )
+            .join(
+                allsh.select(
+                    F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+                ),
+                "id_b",
+            )
+            .filter(string_j < 0.3)
+            .agg(F.count(F.lit(1)).alias("precision_viol"))
         )
-        .filter(string_j >= 0.8)
-        .select("id_a", "id_b")
-    )
-    # One left join marks hits so the O(k^2) truth cross join is
-    # evaluated once (a count + separate semi-join leg doubled it).
-    th = truth.join(
-        caught.select("id_a", "id_b", F.lit(1).alias("hit")),
-        ["id_a", "id_b"],
-        "left",
-    ).agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.count("hit").alias("n_hit"),
-    )
-    return th.crossJoin(viol).select(
-        "n_true",
-        "precision_viol",
-        F.expr(
-            "cast(n_true = 0 or"
-            " (2*1000*n_hit + n_true) div (2*greatest(n_true, 1)) >= 900"
-            " as int)"
-        ).alias("recall_ok"),
-    )
+        truth = spark.createDataFrame(
+            [(ia, ib) for ia, ib, j in _cohort_truth_pairs(spark, sf_dir)],
+            "id_a long, id_b long",
+        )
+        # One left join marks hits so the (tiny, memoized) truth table
+        # is scanned once (a count + separate semi-join leg doubled it).
+        th = truth.join(
+            caught.select("id_a", "id_b", F.lit(1).alias("hit")),
+            ["id_a", "id_b"],
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+        )
+        gate = th.crossJoin(viol).select(
+            "n_true",
+            "precision_viol",
+            F.expr(
+                "cast(n_true = 0 or"
+                " (2*1000*n_hit + n_true) div (2*greatest(n_true, 1)) >= 900"
+                " as int)"
+            ).alias("recall_ok"),
+        )
+        return _eager_gate_row(gate)
+    finally:
+        caught.unpersist()
+        allsh.unpersist()
 
 
 def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,60 +1039,47 @@ def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth); `order_viol` = emitted pairs violating the id_a < id_b
     canonical order (structurally 0).
 
-    Scale: truth is the O(k²)-capped cohort verifier; caught is the
-    4-way chunk equi-join over the full corpus — no cross join
-    anywhere."""
+    Scale: truth is the O(k²)-capped cohort verifier shared with d02
+    (`_cohort_truth_pairs` memo, VERDICT r7 #3 — this gate filters the
+    J ≥ 0.8 table to ≥ 0.9 on the identical collected double); caught
+    is the 4-way chunk equi-join over the full corpus — no cross join
+    anywhere.  Eager gate row + unpersist (ADVICE r7 low #5)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # Two gate legs read the pair set (order audit + recall semi-join)
     # — cache so the chunk self-join runs once.
     caught = D.simhash_pairs(docs, max_hamming=12).cache()
-    tok = D.tokens_col(F.col("text"))
-    cohort = docs.orderBy("doc_id").limit(500)
-    # Both crossJoin sides read the cohort — cache (see d02).
-    cohort_sh = cohort.filter(F.size(tok) >= 3).select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
-    ).cache()
-    a = cohort_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = cohort_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    string_j = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    )
-    truth = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        # Lossless length filter: J >= 0.9 forces 10·|A| >= 9·|B| both
-        # ways — int compare prunes before array_intersect (see d02).
-        .filter(
-            (F.size("sh_a") * 10 >= F.size("sh_b") * 9)
-            & (F.size("sh_b") * 10 >= F.size("sh_a") * 9)
+    try:
+        truth = spark.createDataFrame(
+            [
+                (ia, ib)
+                for ia, ib, j in _cohort_truth_pairs(spark, sf_dir)
+                if j >= 0.9
+            ],
+            "id_a long, id_b long",
         )
-        .filter(string_j >= 0.9)
-        .select("id_a", "id_b")
-    )
-    # One left join marks hits — truth evaluated once (see d02).
-    th = truth.join(
-        caught.select("id_a", "id_b", F.lit(1).alias("hit")),
-        ["id_a", "id_b"],
-        "left",
-    ).agg(
-        F.count(F.lit(1)).alias("n_true"),
-        F.count("hit").alias("n_hit"),
-    )
-    viol = caught.filter(F.col("id_a") >= F.col("id_b")).agg(
-        F.count(F.lit(1)).alias("order_viol")
-    )
-    return th.crossJoin(viol).select(
-        "n_true",
-        "order_viol",
-        F.expr(
-            "cast(n_true = 0 or"
-            " (2*1000*n_hit + n_true) div (2*greatest(n_true, 1)) >= 800"
-            " as int)"
-        ).alias("recall_ok"),
-    )
-
+        th = truth.join(
+            caught.select("id_a", "id_b", F.lit(1).alias("hit")),
+            ["id_a", "id_b"],
+            "left",
+        ).agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_hit"),
+        )
+        viol = caught.filter(F.col("id_a") >= F.col("id_b")).agg(
+            F.count(F.lit(1)).alias("order_viol")
+        )
+        gate = th.crossJoin(viol).select(
+            "n_true",
+            "order_viol",
+            F.expr(
+                "cast(n_true = 0 or"
+                " (2*1000*n_hit + n_true) div (2*greatest(n_true, 1)) >= 800"
+                " as int)"
+            ).alias("recall_ok"),
+        )
+        return _eager_gate_row(gate)
+    finally:
+        caught.unpersist()
 
 def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity over a deterministic FIXED-k
@@ -10829,7 +10901,12 @@ def st17_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # ADVICE r7 low #3: a False return means TIMEOUT with the query
+        # still running — reading + rmtree-ing the checkpoint under it
+        # races the store; stop and fail loudly instead.
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("st17: availableNow drain timed out (600s)")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
@@ -10842,7 +10919,16 @@ def st17_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         state_rows = [(r.event_type, r.state_n) for r in state.collect()]
-    except Exception:
+    except AnalysisException as exc:
+        # Fallback ONLY when the build lacks the statestore format
+        # (ADVICE r7 low #3: a bare except silently downgraded real
+        # state-read failures — e.g. a value.count field drift — to
+        # the memory sink where state_ok is trivially 1).
+        msg = str(exc).upper()
+        if not (
+            "DATA_SOURCE_NOT_FOUND" in msg or "FAILED TO FIND" in msg
+        ):
+            raise
         state_rows = [
             (r.event_type, r.n) for r in spark.table(name).collect()
         ]
@@ -11079,9 +11165,18 @@ def s19_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rnk in range(1, 6):
         best = None
         for vid, (vec, rel) in pool.items():
-            max_sim = max(
-                (_cos(vec, svec) for svec in selected_vecs),
-                default=0.0,
+            # Rounded to 6 (like rel) BEFORE forming the key: the raw
+            # sequential-fold double was assumed bit-identical to
+            # DuckDB's list_cosine_similarity, and a ulp flip on a
+            # near-tie would change the SELECTED SET, not a printed
+            # digit (ADVICE r7 low #4).  _round_away is the proven
+            # DuckDB-round twin (driver-green at nd=4 output).
+            max_sim = _round_away(
+                max(
+                    (_cos(vec, svec) for svec in selected_vecs),
+                    default=0.0,
+                ),
+                6,
             )
             # 0.3 as a LITERAL, matching the oracle: (1.0 - 0.7)
             # evaluates to 0.30000000000000004, one ulp off the SQL
@@ -11089,6 +11184,10 @@ def s19_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = lam * rel - 0.3 * max_sim
             if best is None or (key, -vid) > (best[0], -best[1]):
                 best = (key, vid, vec, rel)
+        if best is None:
+            break  # <5 candidates (no probe row / tiny corpus) —
+            # return the short result instead of a TypeError unpack
+            # (ADVICE r7 low #4).
         key, vid, vec, rel = best
         selected_vecs.append(vec)
         del pool[vid]

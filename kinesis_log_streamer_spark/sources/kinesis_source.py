@@ -462,6 +462,15 @@ class KinesisDataSourceWriter(DataSourceWriter):
         for name in sorted(os.listdir(staging)):
             if not (name.startswith("shard-") and name.endswith(".jsonl")):
                 continue
+            # A zero-size staged file must not materialize an empty
+            # live shard that never existed before the rewrite (the
+            # O_CREAT open below would) — shard listers would see a
+            # phantom shard (ADVICE r7 low #2).
+            try:
+                if os.path.getsize(os.path.join(staging, name)) == 0:
+                    continue
+            except OSError:
+                continue
             fd = os.open(
                 os.path.join(self._dir, name),
                 os.O_WRONLY | os.O_CREAT | os.O_APPEND,
