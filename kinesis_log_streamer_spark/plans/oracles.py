@@ -5312,3 +5312,40 @@ SELECT CAST(rnk AS INT) AS rnk, vec_id,
        round(rel, 4) AS rel, round(mmr, 4) AS mmr
 FROM sel ORDER BY rnk
 """
+
+# st18: st17's reconciliation contract on the RocksDB provider —
+# per-event_type counts over the event_id % 3 == 0 slice; state_ok is
+# 1 for every key iff the state rows the provider persisted equal the
+# batch aggregate.
+ORACLES["st18_rocksdb_statestore"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(1 AS INT) AS state_ok
+FROM events
+WHERE event_id % 3 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# st19: st15/st16's prefix-aggregate shape on the TTL slice
+# (event_id % 13, key = user_id % 30, 2 phases) — TTL is 1 h, so
+# nothing expires within the drains and the union of per-drain
+# emissions equals the per-(key, phase) prefix totals.
+ORACLES["st19_state_ttl_totals"] = """
+WITH e AS (
+    SELECT CAST(user_id % 30 AS INT) AS key,
+           CAST(event_id % 2 AS INT) AS phase,
+           value
+    FROM events WHERE event_id % 13 = 0
+),
+per AS (
+    SELECT key, phase, CAST(count(*) AS BIGINT) AS n_p, sum(value) AS s_p
+    FROM e GROUP BY key, phase
+)
+SELECT key, phase,
+       CAST(sum(n_p) OVER w AS BIGINT) AS running_n,
+       round(sum(s_p) OVER w, 2) AS running_sum
+FROM per
+WINDOW w AS (PARTITION BY key ORDER BY phase)
+ORDER BY key, phase
+"""

@@ -449,3 +449,123 @@ def running_totals_with_state(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_processor_ttl(ttl_ms: int):
+    """TTL variant of :func:`running_totals_processor` (VERDICT r7 #6):
+    the ``ValueState`` is registered with a TTL, so a key whose state
+    was not updated within ``ttl_ms`` of processing time reads as
+    ABSENT on its next batch and the running totals restart from zero
+    — the state-hygiene contract that keeps unbounded key spaces (IP
+    addresses, session ids) from growing a 100 TB state store forever.
+    Requires ``timeMode="ProcessingTime"`` on the transform; protobuf-
+    gated exactly like the base processor."""
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotalsTTL(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, s double", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(
+            self, key, rows, timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n = 0
+            s = 0.0
+            phase = -1
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                phase = max(phase, int(pdf["phase"].max()))
+            # Engine-managed TTL: an expired value reads as not-exists.
+            prev = self._agg.get() if self._agg.exists() else (0, 0.0)
+            n_run, s_run = prev[0] + n, prev[1] + s
+            self._agg.update((n_run, s_run))
+            yield pd.DataFrame(
+                {
+                    "key": [int(key[0])],
+                    "phase": [phase],
+                    "running_n": [n_run],
+                    "running_sum": [round(s_run, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _RunningTotalsTTL()
+
+
+def running_totals_transform_with_state_ttl(
+    df: DataFrame,
+    ttl_ms: int,
+    output_schema: str = (
+        "key int, phase int, running_n long, running_sum double"
+    ),
+) -> DataFrame:
+    """:func:`running_totals_transform_with_state` with engine-managed
+    state TTL (``TTLConfig`` on the value state, processing-time mode).
+    Protobuf-gated like the base API; the runs-anywhere twin is
+    :func:`running_totals_with_state_ttl`."""
+    return df.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=running_totals_processor_ttl(ttl_ms),
+        outputStructType=output_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
+def running_totals_with_state_ttl(
+    df: DataFrame,
+    ttl_ms: int,
+    output_schema: str = (
+        "key int, phase int, running_n long, running_sum double"
+    ),
+) -> DataFrame:
+    """Protobuf-free twin of
+    :func:`running_totals_transform_with_state_ttl`: the TTL contract
+    ("state not refreshed within ttl_ms of processing time reads as
+    absent") is self-managed by storing the last-update timestamp in
+    the GroupState — applyInPandasWithState's own timeouts fire only
+    for keys WITHOUT new input, which is eviction, not TTL-on-read.
+    Semantics match the engine-managed path: a stale key's totals
+    restart from zero on its next batch."""
+    import time as _time
+
+    def fn(key, pdfs, state: GroupState) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = 0.0
+        phase = -1
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            phase = max(phase, int(pdf["phase"].max()))
+        now_ms = int(_time.time() * 1000)
+        if state.exists:
+            pn, ps, last_ms = state.get
+            if now_ms - last_ms > ttl_ms:
+                pn, ps = 0, 0.0  # expired: reads as absent
+        else:
+            pn, ps = 0, 0.0
+        n_run, s_run = pn + n, ps + s
+        state.update((n_run, s_run, now_ms))
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])],
+                "phase": [phase],
+                "running_n": [n_run],
+                "running_sum": [round(s_run, 2)],
+            }
+        )
+
+    return df.groupBy("key").applyInPandasWithState(
+        fn,
+        output_schema,
+        "n long, s double, last_ms long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
