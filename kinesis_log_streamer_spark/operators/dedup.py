@@ -697,3 +697,92 @@ def portable_simhash_pairs(
         )
         .distinct()
     )
+
+
+def ppjoin_prefix_table(
+    sh: DataFrame, threshold: float, rarest_first: bool = False
+) -> DataFrame:
+    """(id, s) PREFIX table for PPJoin prefix filtering (Xiao et al.,
+    WWW'08) from an (id, sh) table of sorted distinct shingle arrays.
+
+    The prefix lemma holds for ANY corpus-wide total order; prefix
+    length is ``|d| − ⌈t·|d|⌉ + 1``.  ``rarest_first=False`` slices
+    the scan-local lexicographic order (zero shuffles — d20's default,
+    3-5x faster end-to-end at sf0.1).  ``rarest_first=True`` re-orders
+    every document's shingles by (global document frequency, shingle)
+    before slicing — one extra aggregation + join, same lemma, same
+    verified pair set — which keeps prefix buckets BOUNDED on a
+    boilerplate-heavy corpus where the lexicographically smallest
+    shingles are exactly the hot ones (the documented 100 TB skew
+    escape hatch; pinned by tests/test_dedup.py::TestPPJoinSkew)."""
+    plen = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
+    if not rarest_first:
+        return sh.select(
+            "id", F.explode(F.slice("sh", 1, plen)).alias("s")
+        )
+    tokens = sh.select("id", plen.alias("plen"), F.explode("sh").alias("s"))
+    df_counts = tokens.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # (df, s) struct sort = the rarest-first total order, identical on
+    # every document; slice the prefix off the re-ordered array.
+    ranked = (
+        tokens.join(df_counts, "s")
+        .groupBy("id", "plen")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "s"))
+            ).alias("ranked")
+        )
+    )
+    return ranked.select(
+        "id",
+        F.explode(
+            F.slice("ranked", F.lit(1), F.col("plen"))
+        ).alias("r"),
+    ).select("id", F.col("r.s").alias("s"))
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    rarest_first: bool = False,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via PPJoin prefix filtering
+    — the operator form of the d20 query (queries.py:
+    d20_prefix_filter_jaccard), with the rarest-first comparator its
+    docstring documents as the skew fallback.  Returns (id_a, id_b,
+    jaccard) with id_a < id_b; the pair set is comparator-invariant
+    (the lemma guarantees completeness under any shared total order,
+    and the exact verify discards false candidates)."""
+    tok = tokens_col(F.col(text_col))
+    sh = df.filter(F.size(tok) >= shingle_n).select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(shingles_col(tok, shingle_n))
+        ).alias("sh"),
+    )
+    prefix = ppjoin_prefix_table(sh, threshold, rarest_first)
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        pairs.filter(inter / union >= threshold)
+        .select(
+            "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+        )
+    )

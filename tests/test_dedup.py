@@ -111,3 +111,78 @@ class TestPortableLshLaneGuard:
         # 8 * 4 = 32 -> lane width 1: legal boundary
         out = D.portable_minhash_pairs(df, n_bands=8, rows_per_band=4)
         assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
+
+
+class TestPPJoinSkew:
+    """d20's docstring documents rarest-first prefix ordering as the
+    boilerplate-corpus escape hatch (VERDICT r7 #7): same lemma, same
+    verified pair set, bounded prefix buckets where the lexicographic
+    order's smallest shingles are exactly the corpus-wide hot ones.
+    This fixture MAKES them hot: every doc opens with the same
+    lexicographically-small boilerplate block."""
+
+    def _docs(self, spark):
+        # 15 near-dup pairs: twins share a tail, one differs by a
+        # single final token; all docs share a 12-token boilerplate
+        # preamble whose tokens sort lexicographically FIRST.
+        boiler = " ".join(f"aa{c}" for c in "bcdefghijklm")
+        rows = []
+        for i in range(15):
+            tail = " ".join(f"zz{i}w{j}" for j in range(8))
+            rows.append((2 * i, f"{boiler} {tail} zzend{i}"))
+            rows.append((2 * i + 1, f"{boiler} {tail} zzalt{i}"))
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _truth(self, rows, t=0.6, n=3):
+        def sh(text):
+            tok = text.lower().split()
+            return {" ".join(tok[i:i + n]) for i in range(len(tok) - n + 1)}
+        sets = {i: sh(x) for i, x in rows}
+        out = set()
+        ids = sorted(sets)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= t:
+                    out.add((a, b))
+        return out
+
+    def test_rarest_first_same_pairs_bounded_buckets(self, spark):
+        rows, docs = self._docs(spark)
+        truth = self._truth(rows)
+        assert truth, "fixture must contain true near-dup pairs"
+        got = {}
+        for rarest in (False, True):
+            got[rarest] = {
+                (r.id_a, r.id_b)
+                for r in D.ppjoin_pairs(
+                    docs, threshold=0.6, rarest_first=rarest
+                ).collect()
+            }
+        # Same exact pair set under both comparators, equal to truth.
+        assert got[False] == truth
+        assert got[True] == truth
+
+        # The measurable skew claim: boilerplate makes lexicographic
+        # prefix buckets corpus-sized; rarest-first keeps them bounded.
+        tok = D.tokens_col(F.col("text"))
+        sh = docs.filter(F.size(tok) >= 3).select(
+            F.col("doc_id").alias("id"),
+            F.array_sort(
+                F.array_distinct(D.shingles_col(tok, 3))
+            ).alias("sh"),
+        )
+        def max_bucket(rarest):
+            return (
+                D.ppjoin_prefix_table(sh, 0.6, rarest)
+                .groupBy("s")
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+        lex_max, rare_max = max_bucket(False), max_bucket(True)
+        assert lex_max == 30, f"fixture not skewed as designed: {lex_max}"
+        assert rare_max <= 4, (
+            f"rarest-first bucket not bounded: {rare_max} (lex {lex_max})"
+        )
