@@ -215,6 +215,9 @@ HEADLINE = [
     "q135_approx_top_k",
     "t27_bm25_topk",
     "s19_mmr_rerank",
+    # round-8 additions: st18 (RocksDB drain + state read-back) and
+    # st19 (two TTL-state drains) are fixture-writing streaming gates
+    # like st16/st17 — selfcheck-covered, not headline.
 ]
 
 
