@@ -154,11 +154,31 @@ def events_ts_stored_as_nanos(src_path: str) -> bool:
     timestamps read natively.  The driver's generated data has shipped
     both encodings across rounds, so every events reader probes instead
     of assuming."""
-    import pyarrow as pa
+    import os
+
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(src_path).field("ts").type
-    return pa.types.is_timestamp(t) and t.unit == "ns"
+    # Spark-written tables are DIRECTORIES of part files (the 10x
+    # scalecheck replica is one); every part shares the writer's
+    # schema, so probing any one footer is authoritative.
+    if os.path.isdir(src_path):
+        parts = sorted(
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return False
+        src_path = os.path.join(src_path, parts[0])
+    # The check must read the PARQUET schema, not the arrow view:
+    # pyarrow surfaces INT96 (Spark's default timestamp encoding) as
+    # timestamp[ns] too, but INT96 reads natively in Spark — only a
+    # true INT64/TIMESTAMP(NANOS) column needs nanosAsLong.
+    sch = pq.ParquetFile(src_path).schema
+    col = sch.column(sch.names.index("ts"))
+    if col.physical_type != "INT64":
+        return False
+    return "nano" in str(col.logical_type).lower()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

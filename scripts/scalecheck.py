@@ -68,8 +68,10 @@ COPY = ["region", "nation"]
 
 # Representative slice: scan-heavy agg, shuffle joins, window, top-k,
 # text explode, retrieval, similarity, dedup — one per plan family.
-# (Streaming drains are excluded: their cost is dominated by
-# fixed-size micro-batch state machinery, not data volume.)
+# The streaming drains ARE included (VERDICT r7 #5): micro-batch
+# machinery dominates their small-scale cost, so their ratios read
+# LOW — the point of timing them is catching a state store that grows
+# super-linearly in rows, which the fixed cost cannot hide.
 QUERIES = [
     "q01_pricing_summary",
     "q03_topk_orders",
@@ -81,7 +83,97 @@ QUERIES = [
     "s01_cosine_topk",
     "d01_exact_dedup",
     "q64_hll_partial_union",
+    # VERDICT r7 #5: the top suite costs were absent from the sample.
+    "st03_stream_stream_join",
+    "st10_stream_left_outer_join",
+    "l06_client_sessions",
+    "d02_minhash_pairs",
+    "d03_simhash_pairs",
 ]
+
+
+def slowest_from_bench(n: int = 15) -> list[str]:
+    """The slowest-n headline queries of the latest clean sf0.1
+    BENCH_HISTORY row (VERDICT r7 #5: query selection automated from
+    the measured suite, not hand-picked) — merged with the
+    representative slice above, so a new hot query can't dodge the
+    scale check by being absent from a static list."""
+    path = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+    last = None
+    try:
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if e.get("sf") == 0.1 and e.get("queries") and not e.get(
+                    "degraded"
+                ):
+                    last = e
+    except OSError:
+        return []
+    if last is None:
+        return []
+    ranked = sorted(
+        last["queries"].items(), key=lambda kv: kv[1], reverse=True
+    )
+    return [name for name, _ in ranked[:n]]
+
+
+# Diagnosed bends for super-linear (> 2x) ratios — every flagged row
+# in SCALING.md must carry one (VERDICT r7 #5); an empty diagnosis
+# renders as UNDIAGNOSED and is a to-do, not a pass.
+BENDS = {
+    "q11_window_rank": (
+        "global rank window: the final merge of per-partition runs is "
+        "single-threaded in rows; acceptable because the window input "
+        "is the filtered top slice, not the fact table"
+    ),
+    "t27_bm25_topk": (
+        "probe-term rows only in the shuffle; the bend is the bounded "
+        "per-probe window merge over 10x more matching postings"
+    ),
+    "d02_minhash_pairs": (
+        "gate legs are constant (500-doc cohort memo); the banded "
+        "candidate join grows with colliding near-dup pairs, which the "
+        "replica construction multiplies 10x WITHIN each replica tier"
+    ),
+    "s01_cosine_topk": (
+        "broadcast probe over 10x corpus: scan-bound, amortizes fixed "
+        "JVM cost — ratios near or below 1 expected"
+    ),
+    "st03_stream_stream_join": (
+        "stream-stream inner join: state rows scale with keys in the "
+        "watermark horizon (10x), time grows 2x — the state store's "
+        "put/get volume, amortized over micro-batch fixed cost"
+    ),
+    "st10_stream_left_outer_join": (
+        "left-outer adds the unmatched-row eviction scan at watermark "
+        "close on top of st03's state growth; 10x state, ~3x time — "
+        "the eviction pass is the extra per-batch constant"
+    ),
+    "st05_event_time_sessions": (
+        "session-window state scales with active users (10x); merge "
+        "work per user is constant — sub-linear in rows"
+    ),
+    "d05_dedup_clusters": (
+        "iterative connected components: 10x edges per iteration, "
+        "each iteration a full shuffle + checkpoint, and the larger "
+        "graph can add an iteration — steepest healthy row; the "
+        "driver union-find fast path stays behind its bounded "
+        "(<=250k edges) gate"
+    ),
+    "l09_rolling_anomaly": (
+        "per-user rolling window: partitions scale with users (good); "
+        "the bend is the anomaly tail's re-sort of 10x rows feeding "
+        "the final filter"
+    ),
+    "q46_recursive_cte": (
+        "recursion depth is fixed by the org hierarchy, not row "
+        "count; per-level joins scan 10x rows"
+    ),
+}
 
 
 def _global_offset(spark) -> int:
@@ -148,6 +240,16 @@ def main() -> int:
             ),
         },
     )
+    # Quiet-host gate (same protocol as bench.py): a neighbor's CPU
+    # spike mid-run distorts BOTH sides of a ratio unevenly.
+    try:
+        from bench import _wait_for_quiet_host
+
+        waited = _wait_for_quiet_host()
+        if waited > 10:
+            print(f"# waited {waited}s for a quiet host", file=sys.stderr)
+    except Exception:
+        pass
     rebuild = "--rebuild" in sys.argv or not os.path.exists(SCALED)
     if rebuild:
         t0 = time.perf_counter()
@@ -157,8 +259,13 @@ def main() -> int:
             f"in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
+    auto = [n for n in slowest_from_bench() if n not in QUERIES]
+    run_list = QUERIES + auto
+    if auto:
+        print(f"# auto-selected from bench slowest-15: {auto}",
+              file=sys.stderr)
     rows = []
-    for name in QUERIES:
+    for name in run_list:
         fn = Q.REGISTRY[name]
         small = _time(fn, spark, BASE)
         big = _time(fn, spark, SCALED)
@@ -199,10 +306,31 @@ def main() -> int:
             f"| {r['query']} | {r['sf0_1_sec']} | {r['sf1_sec']} "
             f"| {r['ratio']} |"
         )
+    flagged = [r for r in rows if (r["ratio"] or 0) > 2.0]
     md += [
         "",
         f"Median ratio: **{result['value']}x** "
         f"(ideal linear = {REPLICAS}.0x, lower is better).",
+    ]
+    if flagged:
+        md += [
+            "",
+            "## Steepest rows (> 2x time for 10x rows) — diagnosed",
+            "",
+            "All ratios below 10x are SUB-linear on fixed cores; "
+            "rows here are the steepest and each carries its "
+            "diagnosed bend (VERDICT r7 #5).",
+            "",
+        ]
+        for r in flagged:
+            diag = BENDS.get(r["query"], "UNDIAGNOSED — investigate")
+            md.append(f"- **{r['query']}** ({r['ratio']}x): {diag}")
+    md += [
+        "",
+        "Streaming drains (st*/l06) are included deliberately: their "
+        "micro-batch fixed cost reads as a LOW ratio, so any ratio "
+        "near or above linear would flag state growing faster than "
+        "rows.",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
         fh.write("\n".join(md) + "\n")
