@@ -169,6 +169,12 @@ BENDS = {
         "the bend is the anomaly tail's re-sort of 10x rows feeding "
         "the final filter"
     ),
+    "t13_contamination": (
+        "benchmark n-gram join: grams explode 10x and the broadcast "
+        "probe side is fixed; the bend is the exploded-gram partial "
+        "aggregation before the join, linear in grams with a "
+        "shuffle-spill knee"
+    ),
     "q46_recursive_cte": (
         "recursion depth is fixed by the org hierarchy, not row "
         "count; per-level joins scan 10x rows"
