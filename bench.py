@@ -363,7 +363,17 @@ def _measure_suite(spark, sf_dir: str) -> dict:
     noisy_runs = max(
         runs, int(os.environ.get("SPARK_GRAFT_BENCH_NOISY_RUNS", "7"))
     )
-    noisy = {"d05_dedup_clusters", "t07_bigram_topk", "s08_pq_topk"}
+    # d02 joins the set for a structural reason rather than variance:
+    # its FIRST sample in a process pays the one-time memoized
+    # truth-cohort build (~10-15s oracle-evidence setup shared with
+    # d03, queries._cohort_truth_pairs) — warm-up by the same logic as
+    # the streaming state-store init, so the first sample is dropped.
+    noisy = {
+        "d05_dedup_clusters",
+        "t07_bigram_topk",
+        "s08_pq_topk",
+        "d02_minhash_pairs",
+    }
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name]
@@ -425,14 +435,19 @@ def _measure_suite(spark, sf_dir: str) -> dict:
         # QUIET-HOST PROTOCOL (VERDICT r06 item 4): external load
         # spikes slow the suite 1.4-1.6x uniformly (BENCH_HISTORY:
         # same-commit 242.7s at load 3.47 vs 165.7s at load 0.33).  A
-        # run is degraded when jiffy accounting shows > 1 sustained
-        # external core (the spikes measure 3-13, background ~0.05);
-        # where accounting is unavailable, the r6 load-average
-        # heuristic stands in.  Degraded totals are never read as
-        # plan regressions and _vs_prev compares vs the last CLEAN
-        # run.
+        # run is degraded when jiffy accounting shows > 2 sustained
+        # external cores; where accounting is unavailable, the r6
+        # load-average heuristic stands in.  Degraded totals are never
+        # read as plan regressions and _vs_prev compares vs the last
+        # CLEAN run.  Threshold calibration (round 8, measured): the
+        # documented contention spikes are 3-13 cores; this box also
+        # carries a CHRONIC ~1.5-core background that moved same-day
+        # totals <5% on 32 cores (147.0s and 151.8s at ext 1.47-1.48
+        # vs 206.1s at ext 0.99 — the variance tracked process warmth,
+        # not that background), so the old 1.0 cutoff rejected exactly
+        # the runs it should have kept.
         "degraded": bool(
-            external_cores > 1.0
+            external_cores > 2.0
             if external_cores is not None
             else (load1m_start or 0) > 2.0 or (load1m or 0) > 2.0
         ),
