@@ -215,9 +215,13 @@ HEADLINE = [
     "q135_approx_top_k",
     "t27_bm25_topk",
     "s19_mmr_rerank",
-    # round-8 additions: st18 (RocksDB drain + state read-back) and
-    # st19 (two TTL-state drains) are fixture-writing streaming gates
-    # like st16/st17 — selfcheck-covered, not headline.
+    # round-8 additions, promoted to headline in round 9 (VERDICT r8
+    # #7): st18/st19 cost ~10s combined and that cost should be
+    # tracked round-over-round like every other suite member.  Both
+    # are streaming drains, so they get the stream_runs median with
+    # the cold first sample dropped like st01-st17.
+    "st18_rocksdb_statestore",
+    "st19_state_ttl_totals",
 ]
 
 
@@ -305,6 +309,20 @@ def _wait_for_quiet_host() -> float:
         if consecutive >= 2:
             break
     return round(time.monotonic() - t0, 1)
+
+
+def _reset_warm_state(spark) -> None:
+    """Reset per-process warm state between suite passes so every pass
+    is statistically identical (ADVICE r8 low #2: the degraded-retry
+    loop recorded attempt-2 — memoized d02/d03 cohort, warmed caches —
+    as the round's clean number, letting _vs_prev read warmth as a
+    plan-level speedup vs a cold attempt-1 row from a prior round).
+    Codegen/JIT warmth can't be reset without a new JVM; the per-query
+    cold-first-sample drop handles that class."""
+    from kinesis_log_streamer_spark.plans import queries as _Q
+
+    spark.catalog.clearCache()
+    _Q._COHORT_TRUTH_MEMO.clear()
 
 
 def _measure_suite(spark, sf_dir: str) -> dict:
@@ -470,17 +488,39 @@ def main() -> int:
     max_attempts = 1 + max(
         0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "1"))
     )
+    # N-RUN MEDIAN MODE (VERDICT r8 #3): the same-commit clean-row
+    # spread on this host is 164.6-200.9s (±20%), so no SINGLE suite
+    # pass can verify a ≤175s budget or a <3s per-query target.  With
+    # SPARK_GRAFT_BENCH_NRUNS=N (N≥2), run the whole suite N times
+    # back-to-back — each pass quiet-gated, warm state reset between
+    # passes so every pass is identically distributed — and emit ONE
+    # summary row whose per-query numbers are cross-pass MEDIANS, plus
+    # the per-pass totals and the suite-total IQR.  regression_alert
+    # then gates on the median, not a single draw.
+    nruns = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_NRUNS", "1")))
     quiet_wait = 0.0
     attempt = 0
-    m = None
-    while attempt < max_attempts:
+    passes: list[dict] = []
+    while len(passes) < nruns:
         attempt += 1
         quiet_wait += _wait_for_quiet_host()
+        _reset_warm_state(spark)
         m = _measure_suite(spark, sf_dir)
         if not m["degraded"]:
-            break
+            passes.append(m)
+        elif attempt >= max_attempts + nruns - 1:
+            passes.append(m)  # host never quieted — record what we have
+    last = passes[-1]
 
-    timings = m.pop("timings")
+    def _median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        mid = len(ys) // 2
+        return ys[mid] if len(ys) % 2 else (ys[mid - 1] + ys[mid]) / 2
+
+    timings = {
+        q: round(_median([p["timings"][q] for p in passes]), 3)
+        for q in passes[0]["timings"]
+    }
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_seconds",
@@ -491,8 +531,28 @@ def main() -> int:
         "host": _host_fingerprint(),
         "attempts": attempt,
         "quiet_wait_sec": round(quiet_wait, 1),
-        **m,
+        "runs": last["runs"],
+        "load1m_start": passes[0]["load1m_start"],
+        "load1m_end": last["load1m_end"],
+        "external_cores": max(
+            (p["external_cores"] for p in passes
+             if p["external_cores"] is not None),
+            default=None,
+        ),
+        "degraded": any(p["degraded"] for p in passes),
     }
+    if nruns > 1:
+        pass_totals = sorted(
+            round(sum(p["timings"].values()), 3) for p in passes
+        )
+        lo_i, hi_i = len(pass_totals) // 4, (3 * len(pass_totals)) // 4
+        result["nruns"] = len(passes)
+        result["pass_totals_sec"] = pass_totals
+        result["suite_total_median_sec"] = round(_median(pass_totals), 3)
+        result["suite_total_iqr_sec"] = round(
+            pass_totals[min(hi_i, len(pass_totals) - 1)] - pass_totals[lo_i],
+            3,
+        )
     result.update(_vs_prev(timings, result["sf"]))
     if result["degraded"] and "vs_prev_common_total" in result:
         # A contended current run can only produce a spurious alert.

@@ -37,6 +37,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Trace of the most recent connected_components run in this process
+# (VERDICT r8 #5 instrumentation): which path labeled the graph, the
+# symmetrized-distinct arc count, and — for the distributed loop — the
+# per-iteration changed-label counts.  Lets scalecheck/SCALING.md
+# attribute a scaling bend to iteration count vs per-iteration blowup
+# without a profiler.
+LAST_CC_STATS: dict = {}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -83,8 +92,13 @@ def connected_components(
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     arcs = fwd.union(rev).na.drop().distinct().localCheckpoint(eager=True)
 
-    if arcs.count() <= driver_threshold:
+    n_arcs = arcs.count()
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS.update({"n_arcs": n_arcs, "changed_per_iter": []})
+    if n_arcs <= driver_threshold:
+        LAST_CC_STATS["path"] = "driver_union_find"
         return _driver_union_find(spark, arcs)
+    LAST_CC_STATS["path"] = "distributed_min_label"
 
     labels = (
         arcs.select(F.col("u").alias("node"))
@@ -121,6 +135,7 @@ def connected_components(
         changed = stepped.filter(
             F.col("component") != F.col("old_component")
         ).count()
+        LAST_CC_STATS["changed_per_iter"].append(changed)
         labels = stepped.select("node", "component")
         if changed == 0:
             return labels

@@ -10945,9 +10945,13 @@ def st17_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_events",
-            (F.col("state_n") == F.col("n_events"))
-            .cast("int")
-            .alias("state_ok"),
+            # coalesce: a batch key absent from the state rows must read
+            # state_ok=0 (the documented bad marker), not NULL — the left
+            # join would otherwise null the comparison (ADVICE r8 low #3).
+            F.coalesce(
+                (F.col("state_n") == F.col("n_events")).cast("int"),
+                F.lit(0),
+            ).alias("state_ok"),
         )
         .orderBy("event_type")
     )
@@ -11324,9 +11328,13 @@ def st18_rocksdb_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n_events",
-            (F.col("state_n") == F.col("n_events"))
-            .cast("int")
-            .alias("state_ok"),
+            # coalesce: a batch key absent from the state rows must read
+            # state_ok=0 (the documented bad marker), not NULL — the left
+            # join would otherwise null the comparison (ADVICE r8 low #3).
+            F.coalesce(
+                (F.col("state_n") == F.col("n_events")).cast("int"),
+                F.lit(0),
+            ).alias("state_ok"),
         )
         .orderBy("event_type")
     )

@@ -469,7 +469,11 @@ class KinesisDataSourceWriter(DataSourceWriter):
             try:
                 if os.path.getsize(os.path.join(staging, name)) == 0:
                     continue
-            except OSError:
+            except FileNotFoundError:
+                # listed-then-vanished is the only skippable case; any
+                # other stat failure must abort the commit loudly —
+                # silently skipping would drop that shard's committed
+                # rows from the live store (ADVICE r8 medium #1).
                 continue
             fd = os.open(
                 os.path.join(self._dir, name),

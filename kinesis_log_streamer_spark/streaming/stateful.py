@@ -30,6 +30,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _round_away(x: float, nd: int = 2) -> float:
+    """Half-away-from-zero rounding — the semantics DuckDB's round()
+    (the oracle side of st16/st19) uses.  Python's builtin round is
+    half-even, so an exactly-representable .xx5 running sum would
+    hash-diverge (ADVICE r8 low #4; same ulp class s19 fixed with its
+    own _round_away, plans/queries.py)."""
+    import math  # noqa: PLC0415
+
+    m = 10.0**nd
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, first_type string, last_type string"
@@ -365,7 +377,7 @@ def running_totals_processor():
                     "key": [int(key[0])],
                     "phase": [phase],
                     "running_n": [n_run],
-                    "running_sum": [round(s_run, 2)],
+                    "running_sum": [_round_away(s_run, 2)],
                 }
             )
 
@@ -438,7 +450,7 @@ def running_totals_with_state(
                 "key": [int(key[0])],
                 "phase": [phase],
                 "running_n": [n_run],
-                "running_sum": [round(s_run, 2)],
+                "running_sum": [_round_away(s_run, 2)],
             }
         )
 
@@ -490,7 +502,7 @@ def running_totals_processor_ttl(ttl_ms: int):
                     "key": [int(key[0])],
                     "phase": [phase],
                     "running_n": [n_run],
-                    "running_sum": [round(s_run, 2)],
+                    "running_sum": [_round_away(s_run, 2)],
                 }
             )
 
@@ -558,7 +570,7 @@ def running_totals_with_state_ttl(
                 "key": [int(key[0])],
                 "phase": [phase],
                 "running_n": [n_run],
-                "running_sum": [round(s_run, 2)],
+                "running_sum": [_round_away(s_run, 2)],
             }
         )
 

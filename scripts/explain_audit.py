@@ -54,6 +54,109 @@ def audit_plan(plan: str) -> dict:
     }
 
 
+def _docs(spark, sf_dir):
+    from kinesis_log_streamer_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _leg_d02(spark, sf_dir):
+    from kinesis_log_streamer_spark.operators import dedup as D
+
+    return D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+def _leg_d03(spark, sf_dir):
+    from kinesis_log_streamer_spark.operators import dedup as D
+
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
+
+
+def _leg_st18(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kinesis_log_streamer_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+
+    return (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 3 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _leg_st19(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinesis_log_streamer_spark.sources.tables import load_table
+    from kinesis_log_streamer_spark.streaming.stateful import (
+        running_totals_with_state_ttl,
+    )
+
+    indir = os.path.join(tempfile.mkdtemp(prefix="klss-audit-st19-"), "in")
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 13 == 0
+    ).select(
+        (F.col("user_id") % 30).cast("int").alias("key"),
+        (F.col("event_id") % 2).cast("int").alias("phase"),
+        "value",
+    ).coalesce(1).write.parquet(indir)
+    stream = (
+        spark.readStream.schema("key int, phase int, value double")
+        .format("parquet")
+        .load(indir)
+    )
+    return running_totals_with_state_ttl(stream, 3_600_000)
+
+
+# Production-leg sub-rows (VERDICT r8 #6): the d02/d03/st18/st19 QUERY
+# wrappers return eagerly-collected gate rows (LocalTableScan — their
+# registry rows are legitimately all-zero), so the audit table was
+# blind to the plans that actually carry the cost.  These builders
+# return the underlying production pipelines lazily; batch legs audit
+# like any registry query, streaming legs drain once (availableNow,
+# memory sink, throwaway checkpoint) and audit the executed
+# micro-batch plan from StreamingQuery.explainInternal.
+PRODUCTION_LEGS: dict[str, tuple] = {
+    "d02_minhash_pairs/lsh_pipeline": ("batch", _leg_d02),
+    "d03_simhash_pairs/chunk_join": ("batch", _leg_d03),
+    "st18_rocksdb_statestore/drain": ("stream", _leg_st18),
+    "st19_state_ttl_totals/drain": ("stream", _leg_st19),
+}
+
+
+def stream_plan(spark, sdf, mode: str) -> str:
+    """Drain a streaming DataFrame once (availableNow) into a memory
+    sink and return the executed micro-batch physical plan."""
+    import tempfile
+    import uuid
+
+    name = "audit_" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="klss-audit-ckpt-"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise RuntimeError("audit drain timed out")
+        return q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or sorted(Q.REGISTRY)
@@ -89,6 +192,27 @@ def main() -> None:
             row = f"| {name} | ERROR: {exc} |"
         print(row)
         lines.append(row)
+        for leg, (kind, builder) in PRODUCTION_LEGS.items():
+            if not leg.startswith(name + "/"):
+                continue
+            try:
+                if kind == "batch":
+                    ldf = builder(spark, sf_dir)
+                    lplan = ldf._jdf.queryExecution().executedPlan().toString()
+                else:
+                    lplan = stream_plan(
+                        spark, builder(spark, sf_dir), "update"
+                    )
+                a = audit_plan(lplan)
+                lrow = (
+                    f"| &nbsp;&nbsp;↳ {leg.split('/', 1)[1]} | {a['scans']} | "
+                    f"{a['scans_with_pushdown']} | {a['bhj']} | {a['smj']} | "
+                    f"{a['bnlj']} | {a['exchanges']} | {a['avg_read_cols']} |"
+                )
+            except Exception as exc:  # pragma: no cover
+                lrow = f"| &nbsp;&nbsp;↳ {leg.split('/', 1)[1]} | ERROR: {exc} |"
+            print(lrow)
+            lines.append(lrow)
     if len(sys.argv) <= 2:
         path = os.path.join(_REPO, "PLANS.md")
         # Preserve hand-written cost-note sections (## ...) appended

@@ -158,11 +158,16 @@ BENDS = {
         "work per user is constant — sub-linear in rows"
     ),
     "d05_dedup_clusters": (
-        "iterative connected components: 10x edges per iteration, "
-        "each iteration a full shuffle + checkpoint, and the larger "
-        "graph can add an iteration — steepest healthy row; the "
-        "driver union-find fast path stays behind its bounded "
-        "(<=250k edges) gate"
+        "MEASURED round 9 (graph.LAST_CC_STATS trace, VERDICT r8 #5): "
+        "the bend is NOT the CC loop — it is 982x true edge growth "
+        "(255 pairs at sf0.1 vs 250,500 at ~sf1: each replica tier "
+        "makes every doc a 10-way exact duplicate, a 10-clique = 45 "
+        "pairs/doc), so the LSH-candidate+verify pairs BUILD carries "
+        "~982x workload in 7.6x time. CC itself crosses the 250k-arc "
+        "gate into the distributed min-label loop at ~sf1 and "
+        "converges in 2 iterations (changed=[45244, 0], ~9s at BOTH "
+        "scales) — iteration count is diameter-bound (cliques: 1 "
+        "step), per-iteration cost linear in arcs"
     ),
     "l09_rolling_anomaly": (
         "per-user rolling window: partitions scale with users (good); "

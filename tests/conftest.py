@@ -4,6 +4,14 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings as _hyp_settings
+
+# Deterministic, reproducible property tests: derandomize seeds each test
+# from its own name (same examples every run, no example-database state),
+# and print_blob emits a @reproduce_failure decorator on any failure so a
+# counterexample found in CI reproduces locally from the log alone.
+_hyp_settings.register_profile("repro", derandomize=True, print_blob=True)
+_hyp_settings.load_profile("repro")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

@@ -277,9 +277,19 @@ class TestSpoolerProperties:
         )
 
         d = tmp_path_factory.mktemp("spool")
-        raw = "".join(
-            seps[i % 8] + json.dumps(v) for i, v in enumerate(values)
-        ).encode("utf-8")
+        # Same boundary rule as TestConcatenatedJsonProperties above:
+        # two adjacent bare numbers with no separator ("0.0" + "0" →
+        # "0.00") concatenate into a single valid JSON number, so no
+        # decoder — Go's json.Decoder included (jsonstreamer.go:40-46)
+        # — can recover the boundary. Force whitespace there.
+        blob = ""
+        for i, v in enumerate(values):
+            dumped = json.dumps(v)
+            sep = seps[i % 8]
+            if blob and (blob[-1].isdigit() or blob[-1] in "+-.eE") and not sep:
+                sep = " "
+            blob += sep + dumped
+        raw = blob.encode("utf-8")
         import os
 
         sp = StdinSpooler(
