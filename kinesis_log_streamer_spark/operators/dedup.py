@@ -786,3 +786,66 @@ def ppjoin_pairs(
             "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide
+    a window of ``window`` consecutive gram hashes, select the MINIMUM
+    hash per window.  Guarantees any shared token run of length
+    ≥ window + k - 1 contributes at least one COMMON fingerprint
+    between the two documents, while selecting only ~2/(window+1) of
+    all gram hashes — the bounded-density substring index a fixed
+    stride (``d11``) cannot promise.
+
+    Hash family is the engine-portable md5-prefix pattern
+    (:func:`portable_minhash_pairs`): 12 lowercase hex chars order
+    lexicographically the same in Spark and DuckDB, so the selected
+    SET is oracle-reproducible across engines.
+
+    Returns one row per selected (document, window): (id, pos, fp) —
+    ``pos`` is the 1-based window start over the gram sequence.
+    Aggregate or ``distinct()`` per caller need.
+
+    Scale: the gram hash is computed scan-side; only
+    (id, pos, 12-char fp) enters the single id-partitioned shuffle
+    feeding the sliding-window min.  Documents shorter than
+    k + window - 1 tokens yield no rows (no full window exists).
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+        F.size("toks") >= k + window - 1
+    )
+    grams = base.select(
+        "id",
+        (F.size("toks") - (k - 1)).alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias(
+            "pos"
+        ),
+        "toks",
+    ).select(
+        "id",
+        "n_grams",
+        "pos",
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("pos"), k))), 1, 12
+        ).alias("h"),
+    )
+    return (
+        grams.withColumn(
+            "fp",
+            F.min("h").over(
+                W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+            ),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - (window - 1))
+        .select("id", "pos", "fp", "n_grams")
+    )

@@ -5349,3 +5349,37 @@ FROM per
 WINDOW w AS (PARTITION BY key ORDER BY phase)
 ORDER BY key, phase
 """
+
+# d21: winnowing fingerprint selection (Schleimer et al. 2003) — the
+# md5-prefix hash family makes the selected set itself (not just the
+# counts) engine-reproducible; window min over 5 consecutive 4-gram
+# hashes, exactly the Spark sliding-window plan.
+ORACLES["d21_winnowing_fingerprints"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           len(t) - 3 AS n_grams,
+           s AS pos,
+           substr(md5(array_to_string(t[s:s+3], ' ')), 1, 12) AS h
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS s) g
+    WHERE len(t) >= 8
+), wmin AS (
+    SELECT doc_id, n_grams, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+    FROM grams
+)
+SELECT doc_id,
+       CAST(max(n_grams) AS BIGINT)       AS n_grams,
+       CAST(count(*) AS BIGINT)           AS n_windows,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+       min(fp)                            AS min_fp
+FROM wmin
+WHERE pos <= n_grams - 4
+GROUP BY doc_id
+ORDER BY doc_id
+"""

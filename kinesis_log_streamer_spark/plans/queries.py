@@ -11431,6 +11431,48 @@ def st19_state_ttl_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "key int, phase int, running_n long, running_sum double"
     ).orderBy("key", "phase")
 
+
+def d21_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): hash every k-gram (k=4 tokens),
+    slide a window of w=5 consecutive gram hashes, keep the MINIMUM
+    hash per window.  Winnowing GUARANTEES any shared substring of
+    length ≥ w+k-1 grams contributes at least one common fingerprint
+    while storing only ~2/(w+1) of all gram hashes — the bounded-
+    density substring-match index d11's raw stride sampling can't
+    promise (a stride can step OVER a short shared span; winnowing
+    cannot).  Per doc: gram/window counts, distinct selected
+    fingerprints, and the lexicographic min fingerprint.
+
+    Hash family is the repo's ENGINE-PORTABLE md5-prefix pattern
+    (`operators/dedup.portable_minhash_pairs`): 12 lowercase hex chars
+    compare lexicographically the same in Spark and DuckDB, so the
+    selected fingerprint SET (not just counts) is oracle-reproducible.
+    Ties between equal 48-bit prefixes are broken by the window min
+    itself — at ~2^-48 per gram pair they are absent at any tested sf.
+
+    Scale: tokens never shuffle — the gram hash is computed in the
+    scan-side projection (explode + slice + md5) and only
+    (doc_id, pos, 12-char hash) enters the ONE doc_id-partitioned
+    shuffle feeding the sliding-window min; state per window is w rows.
+    At 100 TB this is the d11 span shape with a 6x lighter shuffle
+    payload (12-byte fp vs 8-token span text)."""
+    docs = _t(spark, sf_dir, "documents")
+    sel = D.winnowing_fingerprints(docs, k=4, window=5)
+    return (
+        sel.withColumnRenamed("id", "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.countDistinct("fp").alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -11625,6 +11667,7 @@ REGISTRY = {
     # -- block 3 (round 8): new this round ---------------------------
     "st18_rocksdb_statestore": st18_rocksdb_statestore,
     "st19_state_ttl_totals": st19_state_ttl_totals,
+    "d21_winnowing_fingerprints": d21_winnowing_fingerprints,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -11831,7 +11874,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 308
+assert len(REGISTRY) == 309
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -11853,5 +11896,28 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 308
+assert len(REGISTRY) == 309
 
+
+# ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
+# hash-green, so the fresh-verdict set is the four stateful queries
+# whose CODE changed this round — st17/st18 (reconcile state_ok now
+# coalesces missing state keys to 0, ADVICE r8 low #3) and st16/st19
+# (running sums now rounded half-away-from-zero, the DuckDB-round
+# twin, ADVICE r8 low #4) — plus the one brand-new round-9 query.
+# Key-set-preserving by construction (asserted).
+_ROUND9_FRONT = [
+    # block 1: re-checks — code changed this round
+    "st16_transform_with_state", "st17_statestore_reader",
+    "st18_rocksdb_statestore", "st19_state_ttl_totals",
+    # block 3 (round 9): brand-new this round
+    "d21_winnowing_fingerprints",
+]
+assert len(_ROUND9_FRONT) == len(set(_ROUND9_FRONT)) == 5
+_missing9 = [n for n in _ROUND9_FRONT if n not in REGISTRY]
+assert not _missing9, f"reorder names absent from REGISTRY: {_missing9}"
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _ROUND9_FRONT},
+    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND9_FRONT)},
+}
+assert len(REGISTRY) == 309

@@ -171,9 +171,12 @@ def main() -> None:
         "All-zero rows are EAGER queries (streaming drains, conf-window",
         "gates, d02/d03's eager gate rows): their real pipelines execute",
         "inside the function and the returned DataFrame is a",
-        "LocalTableScan of the collected result — audit their plans via",
-        "the underlying operators (operators/*, PLANS cost notes), not",
-        "this table.",
+        "LocalTableScan of the collected result.  For d02/d03/st18/st19",
+        "an indented `↳` sub-row audits the PRODUCTION-leg pipeline",
+        "itself (VERDICT r8 #6): batch legs via executedPlan, streaming",
+        "legs via the drained micro-batch explainInternal.  Remaining",
+        "all-zero rows: audit via the underlying operators",
+        "(operators/*, PLANS cost notes), not this table.",
         "",
         "| query | scans | pushdown | BHJ | SMJ | BNLJ | shuffles | avg cols |",
         "|---|---|---|---|---|---|---|---|",

@@ -186,3 +186,59 @@ class TestPPJoinSkew:
         assert rare_max <= 4, (
             f"rarest-first bucket not bounded: {rare_max} (lex {lex_max})"
         )
+
+
+class TestWinnowing:
+    """winnowing_fingerprints (Schleimer et al. 2003): the selection
+    guarantee and the density bound that make it a fingerprint INDEX
+    rather than a sample."""
+
+    K, W = 4, 5
+
+    def _fps(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = D.winnowing_fingerprints(
+            df, k=self.K, window=self.W
+        ).collect()
+        out: dict[int, set] = {}
+        for r in rows:
+            out.setdefault(r.id, set()).add(r.fp)
+        return out
+
+    def test_guarantee_shared_run_shares_fingerprint(self, spark):
+        # Any shared token run of >= window + k - 1 = 8 tokens MUST
+        # contribute at least one common fingerprint — the winnowing
+        # theorem. The shared run is embedded at different offsets
+        # inside otherwise-disjoint documents.
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+        a = "one two three " + shared + " four five"
+        b = "uno dos " + shared + " tres cuatro cinco seis"
+        fps = self._fps(spark, [a, b])
+        assert fps[0] & fps[1], "shared 8-token run produced no common fp"
+
+    def test_identical_docs_identical_sets(self, spark):
+        t = "the quick brown fox jumps over the lazy dog again and again"
+        fps = self._fps(spark, [t, t])
+        assert fps[0] == fps[1]
+
+    def test_density_bound(self, spark):
+        # Winnowing selects ~2/(w+1) of gram hashes; assert the hard
+        # upper bound (every window picks at most one NEW fp, and
+        # consecutive windows usually share their min): n_fp <=
+        # n_windows, and well below n_grams on a long random-ish doc.
+        words = " ".join(f"w{(i * 7919) % 101}" for i in range(200))
+        df = spark.createDataFrame([(0, words)], "doc_id long, text string")
+        rows = D.winnowing_fingerprints(df, k=self.K, window=self.W).collect()
+        n_grams = rows[0].n_grams
+        n_windows = len(rows)
+        n_fp = len({r.fp for r in rows})
+        assert n_windows == n_grams - (self.W - 1)
+        # expected density 2/(w+1) = 1/3; allow generous slack
+        assert n_fp <= n_windows // 2, (n_fp, n_windows)
+
+    def test_short_doc_no_rows(self, spark):
+        # < k + window - 1 tokens: no full window exists
+        fps = self._fps(spark, ["only six words right here now"])
+        assert fps == {}
