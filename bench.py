@@ -386,11 +386,22 @@ def _measure_suite(spark, sf_dir: str) -> dict:
     # truth-cohort build (~10-15s oracle-evidence setup shared with
     # d03, queries._cohort_truth_pairs) — warm-up by the same logic as
     # the streaming state-store init, so the first sample is dropped.
+    # s01 joins for a DIAGNOSED structural reason (VERDICT r8 #4, the
+    # repeat oscillator): a 20-rep same-session trace shows its
+    # executed plan is STRUCTURALLY IDENTICAL across runs (only lambda
+    # variable ids differ) while its first sample runs 4.3s vs a
+    # 0.35-0.9s warm steady state — the interpreted higher-order
+    # zip_with/aggregate expressions JIT-compile on first execution
+    # and the embeddings parquet enters the page cache.  The 0.997 ->
+    # 1.66 cross-capture swings were that cold sample landing in the
+    # median-of-3, not plan instability; dropping it reports the
+    # steady state.
     noisy = {
         "d05_dedup_clusters",
         "t07_bigram_topk",
         "s08_pq_topk",
         "d02_minhash_pairs",
+        "s01_cosine_topk",
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:
