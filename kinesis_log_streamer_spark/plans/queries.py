@@ -9500,8 +9500,16 @@ def st16_transform_with_state(
         )
         q.awaitTermination(600)
 
-    for p in range(2):
-        drain_phase(p)
+    # 8 state-store tasks instead of 32 for a 30-key state space —
+    # same per-batch-overhead cut as _drain_stream_to_table / st18
+    # (the prefix totals are per-key sums, partition-count-invariant).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for p in range(2):
+            drain_phase(p)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     result = (
         spark.read.parquet(outp)
@@ -11417,8 +11425,17 @@ def st19_state_ttl_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise RuntimeError("st19: availableNow drain timed out (600s)")
 
-    for p in range(2):
-        drain_phase(p)
+    # 8 state-store tasks instead of 32 for a 30-key state space —
+    # st16/st18's per-batch-overhead cut; per-key prefix sums are
+    # partition-count-invariant.  Measured round 9: st19 was the most
+    # expensive headline query (9.4s median) at 32 state partitions.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for p in range(2):
+            drain_phase(p)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     result = (
         spark.read.parquet(outp)
