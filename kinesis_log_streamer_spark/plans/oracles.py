@@ -5383,3 +5383,45 @@ WHERE pos <= n_grams - 4
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# d22: shared winnowing fingerprints per doc pair — identical md5
+# prefix hash family as d21's oracle, inverted-index self-join with
+# the df<=50 stop-fingerprint guard, deterministic top-20.
+ORACLES["d22_winnowing_shared_pairs"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           len(t) - 3 AS n_grams,
+           s AS pos,
+           substr(md5(array_to_string(t[s:s+3], ' ')), 1, 12) AS h
+    FROM toks,
+         LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS s) g
+    WHERE len(t) >= 8
+), wmin AS (
+    SELECT doc_id, n_grams, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+    FROM grams
+), fps AS (
+    SELECT DISTINCT doc_id, fp
+    FROM wmin
+    WHERE pos <= n_grams - 4
+), kept AS (
+    SELECT doc_id, fp FROM fps
+    WHERE fp IN (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(DISTINCT doc_id) <= 50
+    )
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(DISTINCT a.fp) >= 2
+ORDER BY n_shared DESC, id_a, id_b
+LIMIT 20
+"""

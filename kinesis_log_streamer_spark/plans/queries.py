@@ -11490,6 +11490,62 @@ def d21_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d22_winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-fingerprint detection over the winnowing
+    index — d21's actual use-case (MOSS-style contamination /
+    plagiarism pairs): invert the selected fingerprints, equi-join
+    docs sharing one, count DISTINCT shared fingerprints per pair, and
+    emit the top-20 pairs (shared count ≥ 2, desc with (id_a, id_b)
+    tiebreak).  The winnowing guarantee makes this a DETECTION
+    contract, not a sample: any two docs sharing a token run of
+    ≥ w+k-1 = 8 tokens MUST surface with ≥ 1 shared fingerprint —
+    stride sampling (d11) or doc-level banding (d02) can miss such a
+    pair; this index cannot.
+
+    Scale: the inverted-index self-join is the d07/d15 shape — the
+    shuffle carries (fp, doc_id) rows only.  The boilerplate guard
+    drops STOP-FINGERPRINTS first (fps in > 50 distinct docs — a
+    header shared by everything would otherwise quadratically blow
+    the bucket; same df-cap rule as d15's tf-idf and t06's max-df),
+    so bucket fan-out is bounded.  Pair counting is one hash-agg on
+    (id_a, id_b); top-20 is a TakeOrdered, never a full sort."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = (
+        D.winnowing_fingerprints(docs, k=4, window=5)
+        .select("id", "fp")
+        .distinct()
+    )
+    # df guard as a WINDOW over the fp partitioning (fps is already
+    # distinct, so count(1) per fp = distinct docs — no second agg +
+    # join-back shuffle), then ONE eager localCheckpoint: the
+    # fingerprint build (explode + md5 + sliding min over every gram)
+    # is the expensive leg and the self-join references it twice — an
+    # uncheckpointed plan recomputed it 4x (audited).  The checkpoint
+    # stores only (id, 12-char fp) rows, the slimmest form; at 100 TB
+    # a production pipeline persists this index as a table instead.
+    kept = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("fp"))
+        )
+        .filter(F.col("df") <= 50)
+        .select("id", "fp")
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return pairs.orderBy(
+        F.desc("n_shared"), "id_a", "id_b"
+    ).limit(20)
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -11685,6 +11741,7 @@ REGISTRY = {
     "st18_rocksdb_statestore": st18_rocksdb_statestore,
     "st19_state_ttl_totals": st19_state_ttl_totals,
     "d21_winnowing_fingerprints": d21_winnowing_fingerprints,
+    "d22_winnowing_shared_pairs": d22_winnowing_shared_pairs,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -11891,7 +11948,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 309
+assert len(REGISTRY) == 310
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -11913,7 +11970,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 309
+assert len(REGISTRY) == 310
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -11929,12 +11986,13 @@ _ROUND9_FRONT = [
     "st18_rocksdb_statestore", "st19_state_ttl_totals",
     # block 3 (round 9): brand-new this round
     "d21_winnowing_fingerprints",
+    "d22_winnowing_shared_pairs",
 ]
-assert len(_ROUND9_FRONT) == len(set(_ROUND9_FRONT)) == 5
+assert len(_ROUND9_FRONT) == len(set(_ROUND9_FRONT)) == 6
 _missing9 = [n for n in _ROUND9_FRONT if n not in REGISTRY]
 assert not _missing9, f"reorder names absent from REGISTRY: {_missing9}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND9_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND9_FRONT)},
 }
-assert len(REGISTRY) == 309
+assert len(REGISTRY) == 310
