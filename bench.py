@@ -222,6 +222,10 @@ HEADLINE = [
     # the cold first sample dropped like st01-st17.
     "st18_rocksdb_statestore",
     "st19_state_ttl_totals",
+    # round-9 additions: the winnowing fingerprint index and its
+    # shared-pair detection use-case.
+    "d21_winnowing_fingerprints",
+    "d22_winnowing_shared_pairs",
 ]
 
 
@@ -402,6 +406,10 @@ def _measure_suite(spark, sf_dir: str) -> dict:
         "s08_pq_topk",
         "d02_minhash_pairs",
         "s01_cosine_topk",
+        # d22's first sample pays the eager fingerprint-index
+        # localCheckpoint build (measured 13s cold vs 2.6-4s warm at
+        # sf0.1) — same structural warm-up class as d02's cohort memo.
+        "d22_winnowing_shared_pairs",
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:
