@@ -323,10 +323,21 @@ def _reset_warm_state(spark) -> None:
     plan-level speedup vs a cold attempt-1 row from a prior round).
     Codegen/JIT warmth can't be reset without a new JVM; the per-query
     cold-first-sample drop handles that class."""
+    from kinesis_log_streamer_spark.operators import similarity as _S
     from kinesis_log_streamer_spark.plans import queries as _Q
+    from kinesis_log_streamer_spark.sources import tables as _T
 
     spark.catalog.clearCache()
     _Q._COHORT_TRUTH_MEMO.clear()
+    # Round-10 memos (VERDICT r9 #2): loaded-table plans, LSH plane
+    # matrices, the s05 prepared IVF index.  Cleared per pass for the
+    # same reason as the cohort memo — every pass must pay the same
+    # cold first sample so cross-pass medians stay identically
+    # distributed (the per-query median already absorbs the miss:
+    # sample 1 warms the memo, samples 2+ hit it).
+    _T.clear_table_memo()
+    _S.clear_planes_memo()
+    _Q._IVF_PREP_MEMO.clear()
 
 
 def _measure_suite(spark, sf_dir: str) -> dict:
@@ -498,6 +509,14 @@ def main() -> int:
 
     # Warm-up: touch the big fact table so JVM/codegen init is excluded.
     Q.q01_pricing_summary(spark, sf_dir).collect()
+    # Warm the s-family execution path too (VERDICT r9 #2): the
+    # interpreted higher-order zip_with/aggregate vector expressions
+    # JIT-compile on first execution and the embeddings parquet enters
+    # the page cache — a diagnosed 4.3s-cold vs 0.35-0.9s-warm gap
+    # (b021a99) that belongs to process init, not to whichever s-query
+    # happens to run first.  One brute-force cosine pass pays both
+    # costs before any timed sample.
+    Q.s01_cosine_topk(spark, sf_dir).collect()
 
     # WAIT-THEN-RETRY (VERDICT r7 #1): gate each attempt on a quiet
     # host, and if contention arrives MID-run (the gate can't see the

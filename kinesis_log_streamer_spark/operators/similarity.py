@@ -79,6 +79,37 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
+# The plane matrix is a pure function of (dim, bits, seed) — the same
+# 64×(bits+1) local relation was re-built (Python→JVM conversion +
+# analysis) on every lsh_sig_bits call, a fixed ~100 ms driver-side
+# term per s03/s04/s05/s17 sample (VERDICT r9 #2: per-call plan
+# construction dominated the s-family's driver-visible cost).  Keyed
+# by applicationId so a new session rebuilds against its own JVM.
+_PLANES_MEMO: dict = {}
+
+
+def clear_planes_memo() -> None:
+    """Drop memoized plane matrices (bench per-pass reset)."""
+    _PLANES_MEMO.clear()
+
+
+def _planes_df(spark, dim: int, bits: int, seed: int):
+    key = (spark.sparkContext.applicationId, dim, bits, seed)
+    hit = _PLANES_MEMO.get(key)
+    if hit is not None:
+        return hit
+    planes = _hyperplanes(dim, bits, seed)  # bits × dim
+    plane_rows = [
+        (pos, *[float(planes[i][pos]) for i in range(bits)])
+        for pos in range(dim)
+    ]
+    df = spark.createDataFrame(
+        plane_rows, ["pos", *[f"w{i}" for i in range(bits)]]
+    )
+    _PLANES_MEMO[key] = df
+    return df
+
+
 def lsh_sig_bits(
     df: DataFrame,
     dim: int,
@@ -99,14 +130,7 @@ def lsh_sig_bits(
     ``aggregate`` form is ~5× slower at sf0.1).  The plane matrix is
     dim rows × bits cols — broadcast, seeded, deterministic.
     """
-    planes = _hyperplanes(dim, bits, seed)  # bits × dim
-    spark = df.sparkSession
-    plane_rows = [
-        (pos, *[float(planes[i][pos]) for i in range(bits)]) for pos in range(dim)
-    ]
-    planes_df = spark.createDataFrame(
-        plane_rows, ["pos", *[f"w{i}" for i in range(bits)]]
-    )
+    planes_df = _planes_df(df.sparkSession, dim, bits, seed)
     exploded = df.select(
         F.col(id_col),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
