@@ -421,6 +421,12 @@ def _measure_suite(spark, sf_dir: str) -> dict:
         # localCheckpoint build (measured 13s cold vs 2.6-4s warm at
         # sf0.1) — same structural warm-up class as d02's cohort memo.
         "d22_winnowing_shared_pairs",
+        # d03's first sample compiles the 16-agg/64-bit-unpack SWAR
+        # fingerprint codegen unit (measured 3.7s cold vs 2.6-3.0s
+        # warm at sf0.1 post-r10) — the same class as d02/s01; with
+        # the <3s target straddling the noise band (VERDICT r9 #3)
+        # the cold sample was the straddle.
+        "d03_simhash_pairs",
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -936,84 +936,97 @@ def d02_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ANY corpus size), computed once per process and shared with d03
     (`_cohort_truth_pairs`, VERDICT r7 #3); caught is the banded
     equi-join pipeline; the precision audit joins shingle sets back to
-    only |caught| pairs.  The gate row is materialized eagerly so both
-    caches are unpersisted before return (ADVICE r7 low #5)."""
+    only |caught| pairs.  The gate row is materialized eagerly; the
+    intermediate materializations are eager localCheckpoints (not
+    caches) so the fused gate stages ship rows, not lineage — see the
+    inline notes (VERDICT r9: 6.3 MiB task-binary WARN)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # The verified pair set feeds two gate legs (precision audit +
-    # recall semi-join); caching the few-hundred-row result keeps the
-    # banded candidate join + Jaccard verify from running twice
-    # (measured 2x end-to-end without it).
-    caught = D.minhash_dedup_pairs(docs, threshold=0.3).cache()
+    # recall semi-join); materializing the few-hundred-row result
+    # keeps the banded candidate join + Jaccard verify from running
+    # twice (measured 2x end-to-end without it).  Eager
+    # localCheckpoint rather than cache() (VERDICT r9 what's-wrong
+    # #3): cache keeps the full logical lineage, and the fused gate
+    # plan references `caught` from three legs — the serialized task
+    # closure carried the whole minhash pipeline several times over
+    # (a measured 6.3 MiB "Broadcasting large task binary" WARN per
+    # stage; at 100 TB that is multi-MiB of closure per stage
+    # re-shipped to thousands of tasks).  Checkpointing truncates the
+    # plan to the materialized rows; downstream closures are back
+    # under the 1 MiB warning floor.
+    caught = D.minhash_dedup_pairs(docs, threshold=0.3).localCheckpoint(
+        eager=True
+    )
     tok = D.tokens_col(F.col("text"))
     # The precision audit only probes docs that appear in a caught
     # pair — semi-join-filter BEFORE tokenize+shingle so the audit's
     # shingle build is O(|caught|) docs, not the full corpus (round 8:
     # the full-corpus build was ~40% of d02's steady-state cost; at
     # 100 TB it would re-tokenize everything to audit a few thousand
-    # pairs).  AQE broadcasts the tiny id list.  Both audit joins
-    # (sh_a / sh_b side) read this table — cache so it builds once.
+    # pairs).  The id list is checkpointed too — the union+distinct
+    # subtree over the checkpointed RDD still serialized ~4 MiB into
+    # the audit stage's closure — then explicitly broadcast.  Both
+    # audit joins (sh_a / sh_b side) read allsh — checkpoint so it
+    # builds once and joins carry no lineage.
     pair_ids = (
         caught.select(F.col("id_a").alias("doc_id"))
         .union(caught.select(F.col("id_b").alias("doc_id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     allsh = (
-        docs.join(pair_ids, "doc_id", "semi")
+        docs.join(F.broadcast(pair_ids), "doc_id", "semi")
         .filter(F.size(tok) >= 3)
         .select(
             F.col("doc_id").alias("id"),
             F.array_distinct(D.shingles_col(tok, 3)).alias("sh"),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    try:
-        string_j = (
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    string_j = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    )
+    viol = (
+        caught.join(
+            allsh.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+            ),
+            "id_a",
         )
-        viol = (
-            caught.join(
-                allsh.select(
-                    F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-                ),
-                "id_a",
-            )
-            .join(
-                allsh.select(
-                    F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
-                ),
-                "id_b",
-            )
-            .filter(string_j < 0.3)
-            .agg(F.count(F.lit(1)).alias("precision_viol"))
+        .join(
+            allsh.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+            ),
+            "id_b",
         )
-        truth = spark.createDataFrame(
-            [(ia, ib) for ia, ib, j in _cohort_truth_pairs(spark, sf_dir)],
-            "id_a long, id_b long",
-        )
-        # One left join marks hits so the (tiny, memoized) truth table
-        # is scanned once (a count + separate semi-join leg doubled it).
-        th = truth.join(
-            caught.select("id_a", "id_b", F.lit(1).alias("hit")),
-            ["id_a", "id_b"],
-            "left",
-        ).agg(
-            F.count(F.lit(1)).alias("n_true"),
-            F.count("hit").alias("n_hit"),
-        )
-        gate = th.crossJoin(viol).select(
-            "n_true",
-            "precision_viol",
-            F.expr(
-                "cast(n_true = 0 or"
-                " (2*1000*n_hit + n_true) div (2*greatest(n_true, 1)) >= 900"
-                " as int)"
-            ).alias("recall_ok"),
-        )
-        return _eager_gate_row(gate)
-    finally:
-        caught.unpersist()
-        allsh.unpersist()
+        .filter(string_j < 0.3)
+        .agg(F.count(F.lit(1)).alias("precision_viol"))
+    )
+    truth = spark.createDataFrame(
+        [(ia, ib) for ia, ib, j in _cohort_truth_pairs(spark, sf_dir)],
+        "id_a long, id_b long",
+    )
+    # One left join marks hits so the (tiny, memoized) truth table
+    # is scanned once (a count + separate semi-join leg doubled it).
+    th = truth.join(
+        caught.select("id_a", "id_b", F.lit(1).alias("hit")),
+        ["id_a", "id_b"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("hit").alias("n_hit"),
+    )
+    gate = th.crossJoin(viol).select(
+        "n_true",
+        "precision_viol",
+        F.expr(
+            "cast(n_true = 0 or"
+            " (2*1000*n_hit + n_true) div (2*greatest(n_true, 1)) >= 900"
+            " as int)"
+        ).alias("recall_ok"),
+    )
+    return _eager_gate_row(gate)
 
 
 def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,43 +1057,48 @@ def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`_cohort_truth_pairs` memo, VERDICT r7 #3 — this gate filters the
     J ≥ 0.8 table to ≥ 0.9 on the identical collected double); caught
     is the 4-way chunk equi-join over the full corpus — no cross join
-    anywhere.  Eager gate row + unpersist (ADVICE r7 low #5)."""
+    anywhere.  Eager gate row + lineage-truncating localCheckpoint
+    (see inline note; r10)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # Two gate legs read the pair set (order audit + recall semi-join)
-    # — cache so the chunk self-join runs once.
-    caught = D.simhash_pairs(docs, max_hamming=12).cache()
-    try:
-        truth = spark.createDataFrame(
-            [
-                (ia, ib)
-                for ia, ib, j in _cohort_truth_pairs(spark, sf_dir)
-                if j >= 0.9
-            ],
-            "id_a long, id_b long",
-        )
-        th = truth.join(
-            caught.select("id_a", "id_b", F.lit(1).alias("hit")),
-            ["id_a", "id_b"],
-            "left",
-        ).agg(
-            F.count(F.lit(1)).alias("n_true"),
-            F.count("hit").alias("n_hit"),
-        )
-        viol = caught.filter(F.col("id_a") >= F.col("id_b")).agg(
-            F.count(F.lit(1)).alias("order_viol")
-        )
-        gate = th.crossJoin(viol).select(
-            "n_true",
-            "order_viol",
-            F.expr(
-                "cast(n_true = 0 or"
-                " (2*1000*n_hit + n_true) div (2*greatest(n_true, 1)) >= 800"
-                " as int)"
-            ).alias("recall_ok"),
-        )
-        return _eager_gate_row(gate)
-    finally:
-        caught.unpersist()
+    # — eager localCheckpoint so the chunk self-join runs once AND the
+    # gate legs plan against materialized rows instead of re-analyzing
+    # the 16-agg/64-bit-unpack fingerprint tree per leg (same
+    # lineage-truncation rationale as d02; the exec cost of this
+    # pipeline is ~0.4-0.7s, the rest of the old ~3s was per-call plan
+    # processing).
+    caught = D.simhash_pairs(docs, max_hamming=12).localCheckpoint(
+        eager=True
+    )
+    truth = spark.createDataFrame(
+        [
+            (ia, ib)
+            for ia, ib, j in _cohort_truth_pairs(spark, sf_dir)
+            if j >= 0.9
+        ],
+        "id_a long, id_b long",
+    )
+    th = truth.join(
+        caught.select("id_a", "id_b", F.lit(1).alias("hit")),
+        ["id_a", "id_b"],
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("hit").alias("n_hit"),
+    )
+    viol = caught.filter(F.col("id_a") >= F.col("id_b")).agg(
+        F.count(F.lit(1)).alias("order_viol")
+    )
+    gate = th.crossJoin(viol).select(
+        "n_true",
+        "order_viol",
+        F.expr(
+            "cast(n_true = 0 or"
+            " (2*1000*n_hit + n_true) div (2*greatest(n_true, 1)) >= 800"
+            " as int)"
+        ).alias("recall_ok"),
+    )
+    return _eager_gate_row(gate)
 
 def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard similarity over a deterministic FIXED-k
