@@ -43,6 +43,13 @@ from pyspark.sql import functions as F
 # per-iteration changed-label counts.  Lets scalecheck/SCALING.md
 # attribute a scaling bend to iteration count vs per-iteration blowup
 # without a profiler.
+#
+# SINGLE-CALLER ASSUMPTION (ADVICE r9 low #2): this is a module-level
+# mutable global, cleared and repopulated by every connected_components
+# call — concurrent or interleaved CC runs in one process clobber each
+# other's trace.  It is diagnostic-only (no query result reads it) and
+# its consumers (scalecheck, selfcheck notes) run queries serially;
+# read it IMMEDIATELY after the call whose run you want to attribute.
 LAST_CC_STATS: dict = {}
 
 

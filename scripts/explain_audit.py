@@ -87,9 +87,27 @@ def _leg_st18(spark, sf_dir):
     )
 
 
+# Temp dirs created by audit legs/drains, removed at process exit
+# (ADVICE r9 low #3: repeated audits accumulated mkdtemp litter).
+_TMPDIRS: list = []
+
+
+def _tmpdir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _TMPDIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(t, ignore_errors=True) for t in _TMPDIRS]
+        )
+    _TMPDIRS.append(d)
+    return d
+
+
 def _leg_st19(spark, sf_dir):
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -98,7 +116,7 @@ def _leg_st19(spark, sf_dir):
         running_totals_with_state_ttl,
     )
 
-    indir = os.path.join(tempfile.mkdtemp(prefix="klss-audit-st19-"), "in")
+    indir = os.path.join(_tmpdir("klss-audit-st19-"), "in")
     load_table(spark, sf_dir, "events").filter(
         F.col("event_id") % 13 == 0
     ).select(
@@ -133,7 +151,6 @@ PRODUCTION_LEGS: dict[str, tuple] = {
 def stream_plan(spark, sdf, mode: str) -> str:
     """Drain a streaming DataFrame once (availableNow) into a memory
     sink and return the executed micro-batch physical plan."""
-    import tempfile
     import uuid
 
     name = "audit_" + uuid.uuid4().hex[:8]
@@ -143,7 +160,7 @@ def stream_plan(spark, sdf, mode: str) -> str:
         .outputMode(mode)
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="klss-audit-ckpt-"),
+            _tmpdir("klss-audit-ckpt-"),
         )
         .trigger(availableNow=True)
         .start()

@@ -49,7 +49,19 @@ class TestConcatenatedJsonProperties:
         for i, v in enumerate(values):
             dumped = json.dumps(v)
             sep = seps[i % len(seps)] if seps else " "
-            if blob and (blob[-1].isdigit() or blob[-1] in "+-.eE") and not sep:
+            # ADVICE r9 low #4: force a separator only at a genuine
+            # number/number boundary — prev char a digit or '.' AND
+            # the next dumped value starting with a digit, '-', or
+            # '.'.  The old blob[-1]-only rule also fired on 'e'
+            # (true/false endings), injecting whitespace into cases
+            # every decoder can already split and narrowing coverage
+            # of the no-separator path.
+            if (
+                blob
+                and not sep
+                and (blob[-1].isdigit() or blob[-1] == ".")
+                and dumped[0] in "-.0123456789"
+            ):
                 sep = " "
             blob += sep + dumped
             parts.append(dumped)
@@ -286,7 +298,19 @@ class TestSpoolerProperties:
         for i, v in enumerate(values):
             dumped = json.dumps(v)
             sep = seps[i % 8]
-            if blob and (blob[-1].isdigit() or blob[-1] in "+-.eE") and not sep:
+            # ADVICE r9 low #4: force a separator only at a genuine
+            # number/number boundary — prev char a digit or '.' AND
+            # the next dumped value starting with a digit, '-', or
+            # '.'.  The old blob[-1]-only rule also fired on 'e'
+            # (true/false endings), injecting whitespace into cases
+            # every decoder can already split and narrowing coverage
+            # of the no-separator path.
+            if (
+                blob
+                and not sep
+                and (blob[-1].isdigit() or blob[-1] == ".")
+                and dumped[0] in "-.0123456789"
+            ):
                 sep = " "
             blob += sep + dumped
         raw = blob.encode("utf-8")
