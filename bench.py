@@ -572,11 +572,30 @@ def main() -> int:
         for q in passes[0]["timings"]
     }
     total = round(sum(timings.values()), 3)
+    # Per-family rollups (VERDICT r9 #6): suite growth (new members
+    # each round) blurs the headline total, and a family-clustered
+    # regression like r9's s-family cold-start is invisible in a
+    # 155-query dict without a diff tool.  One sub-dict per leading
+    # alpha prefix: n queries, summed seconds (cost share), median
+    # per-query seconds (robust to membership growth).
+    fams: dict[str, list[float]] = {}
+    for q, sec in timings.items():
+        fam = "".join(c for c in q.split("_")[0] if c.isalpha())
+        fams.setdefault(fam, []).append(sec)
+    family_rollup = {
+        fam: {
+            "n": len(xs),
+            "sum_sec": round(sum(xs), 3),
+            "median_sec": round(_median(xs), 3),
+        }
+        for fam, xs in sorted(fams.items())
+    }
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "families": family_rollup,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "host": _host_fingerprint(),
         "attempts": attempt,
