@@ -226,6 +226,11 @@ HEADLINE = [
     # shared-pair detection use-case.
     "d21_winnowing_fingerprints",
     "d22_winnowing_shared_pairs",
+    # round-10 additions: MaxSim late-interaction rerank, exact-
+    # substring removal telemetry, join-key skew profile.
+    "s20_maxsim_topk",
+    "d23_dup_span_removal",
+    "p09_join_skew_profile",
 ]
 
 
@@ -338,6 +343,7 @@ def _reset_warm_state(spark) -> None:
     _T.clear_table_memo()
     _S.clear_planes_memo()
     _Q._IVF_PREP_MEMO.clear()
+    _Q._SIMHASH_FP_MEMO.clear()
 
 
 def _measure_suite(spark, sf_dir: str) -> dict:

@@ -302,6 +302,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ max_hamming.
 
@@ -311,15 +312,28 @@ def simhash_pairs(
     shuffle O(docs × 4) — no cross join.  Recall is exact for
     ``max_hamming`` ≤ 3; for larger radii the chunk filter is a
     high-recall heuristic (a pair may differ in all four chunks).
+
+    ``fingerprints``: an optional pre-built ``(id, simhash)`` table
+    (from :func:`simhash_fingerprints`, typically checkpointed or
+    persisted) — the index-lifecycle shape: at 100 TB the fingerprint
+    scan is built ONCE per corpus and every detection pass joins
+    against it, exactly like the s15 IVF index table.  When omitted,
+    the fingerprints are computed and cached in-plan.
     """
     from kinesis_log_streamer_spark.operators.parallelize import spread_for_compute
 
     # Cache: the 64-bit fingerprint is consumed by both sides of the
     # chunk self-join; without it the fingerprint aggregation would
     # run twice.
-    sh = simhash_fingerprints(
-        spread_for_compute(df.select(id_col, text_col)), text_col, id_col
-    ).cache()
+    sh = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(
+            spread_for_compute(df.select(id_col, text_col)),
+            text_col,
+            id_col,
+        ).cache()
+    )
     chunked = sh.select(
         "id",
         "simhash",

@@ -5455,3 +5455,117 @@ HAVING count(DISTINCT a.fp) >= 2
 ORDER BY n_shared DESC, id_a, id_b
 LIMIT 20
 """
+
+# s20: the 4x4 MaxSim lattice unrolled relationally — query/doc token
+# subvectors exploded, per-token dots integer-quantized exactly like
+# the Spark side (round(dot * 1e4) as BIGINT) so max/sum ranking is
+# exact integer arithmetic on both engines.
+ORACLES["s20_maxsim_topk"] = """
+WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 5
+), qt AS (
+    SELECT qid, i, qv[(i*16+1):(i*16+16)] AS qsub
+    FROM q, (SELECT unnest([0, 1, 2, 3]) AS i) t
+), dt AS (
+    SELECT vec_id, j, (embedding::DOUBLE[])[(j*16+1):(j*16+16)] AS dsub
+    FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS j) t
+), mx AS (
+    SELECT qt.qid, dt.vec_id, qt.i,
+           max(CAST(round(list_dot_product(dt.dsub, qt.qsub) * 10000)
+                    AS BIGINT)) AS m
+    FROM dt JOIN qt ON dt.vec_id <> qt.qid
+    GROUP BY qt.qid, dt.vec_id, qt.i
+), sc AS (
+    SELECT qid, vec_id, CAST(sum(m) AS BIGINT) AS score
+    FROM mx GROUP BY qid, vec_id
+), ranked AS (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id) AS rnk
+    FROM sc
+)
+SELECT qid, vec_id, score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+# d23: stride-1 8-token windows, corpus-wide occurrence counts, covered
+# positions via generate_series, maximal runs via gaps-and-islands.
+ORACLES["d23_dup_span_removal"] = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+    FROM documents
+), base AS (
+    SELECT doc_id, len(t) AS n_toks, t FROM toks WHERE len(t) >= 8
+), wins AS (
+    SELECT doc_id, s, array_to_string(t[s:s+7], ' ') AS span
+    FROM base,
+         LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS s) g
+), counted AS (
+    SELECT span, count(*) AS nocc FROM wins GROUP BY span
+), dup AS (
+    SELECT w.doc_id, w.s
+    FROM wins w JOIN counted c USING (span)
+    WHERE c.nocc >= 2
+), cov AS (
+    SELECT DISTINCT doc_id, p
+    FROM dup, LATERAL (SELECT unnest(generate_series(s, s + 7)) AS p) g
+), isl AS (
+    SELECT doc_id, p,
+           CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+                THEN 0 ELSE 1 END AS strt
+    FROM cov
+), agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_removed,
+           CAST(sum(strt) AS BIGINT) AS n_spans
+    FROM isl GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_toks AS BIGINT)                         AS n_toks,
+       coalesce(a.n_removed, 0)                         AS n_removed,
+       CAST(b.n_toks - coalesce(a.n_removed, 0) AS BIGINT) AS n_kept,
+       coalesce(a.n_spans, 0)                           AS n_spans
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+# p09: per-key count histogram + cumulative coverage; p99 is the value
+# at ordered position ceil(0.99 * n_keys) — exact, never interpolated.
+ORACLES["p09_join_skew_profile"] = """
+WITH prof AS (
+    SELECT 'lineitem.l_orderkey' AS key_name,
+           CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+    UNION ALL
+    SELECT 'orders.o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'events.event_type', CAST(event_type AS VARCHAR) FROM events
+), cnts AS (
+    SELECT key_name, k, count(*) AS cnt
+    FROM prof GROUP BY key_name, k
+), hist AS (
+    SELECT key_name, cnt, count(*) AS freq
+    FROM cnts GROUP BY key_name, cnt
+), cum AS (
+    SELECT key_name, cnt, freq,
+           sum(freq) OVER (PARTITION BY key_name ORDER BY cnt) AS cum,
+           sum(freq) OVER (PARTITION BY key_name) AS k_total
+    FROM hist
+), stats AS (
+    SELECT key_name,
+           CAST(sum(cnt * freq) AS BIGINT)  AS n_rows,
+           CAST(sum(freq) AS BIGINT)        AS n_keys,
+           CAST(max(cnt) AS BIGINT)         AS max_per_key,
+           CAST(min(CASE WHEN cum * 100 >= k_total * 99
+                         THEN cnt END) AS BIGINT) AS p99_per_key
+    FROM cum GROUP BY key_name
+)
+SELECT key_name, n_rows, n_keys, max_per_key, p99_per_key,
+       n_rows * 1000 // n_keys            AS avg_pm,
+       max_per_key * 1000000 // n_rows    AS top1_share_pm,
+       max_per_key * 1000 * n_keys // n_rows AS skew_x_pm
+FROM stats
+ORDER BY key_name
+"""
