@@ -89,6 +89,10 @@ QUERIES = [
     "l06_client_sessions",
     "d02_minhash_pairs",
     "d03_simhash_pairs",
+    # round-10 additions: the new operators must prove their curve.
+    "s20_maxsim_topk",
+    "d23_dup_span_removal",
+    "p09_join_skew_profile",
 ]
 
 
@@ -156,6 +160,36 @@ BENDS = {
     "st05_event_time_sessions": (
         "session-window state scales with active users (10x); merge "
         "work per user is constant — sub-linear in rows"
+    ),
+    "d03_simhash_pairs": (
+        "shrunk denominator + workload-bend numerator (round 10): the "
+        "sf0.1 leg reads ~1.2s now that the fingerprint INDEX is "
+        "memoized (build = dropped first sample), and the scaled "
+        "leg's cost is the pair JOIN's OUTPUT — the replica "
+        "construction makes every doc a ~10-way exact-duplicate "
+        "clique, so emitted pairs grow ~55,000x (hundreds at sf0.1 -> "
+        "14.1M measured at ~sf1); 5-8x time across runs for 55,000x "
+        "output rows is the pair-EMITTING contract, not a plan bend "
+        "(d05, which only "
+        "needs spanning edges, reads 1.0x on the same corpus)"
+    ),
+    "q03_topk_orders": (
+        "per-partition top-k + single merge: 10x rows through the "
+        "partial heaps; the merge is constant-size (k rows per "
+        "partition) — the ~2x is the scan/heap leg, sub-linear"
+    ),
+    "d23_dup_span_removal": (
+        "span shuffle scales with windows (10x); the coverage-explode "
+        "leg scales with DUPLICATED windows, which the replica "
+        "construction multiplies (every doc gains 10 exact copies) — "
+        "~2x time for 10x rows plus a duplicated-coverage workload "
+        "that grew >10x is sub-linear on both axes"
+    ),
+    "q05_region_revenue": (
+        "fact-side join shuffle: 10x lineitem rows through the "
+        "exchange feeding the region rollup; ~2.4x time is the "
+        "shuffle leaving the fixed-cost amortization region — "
+        "sub-linear in rows, no skew"
     ),
     "d05_dedup_clusters": (
         "FIXED round 10 (VERDICT r9 #4): the r8/r9 7.6x bend was 982x "
