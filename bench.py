@@ -227,10 +227,13 @@ HEADLINE = [
     "d21_winnowing_fingerprints",
     "d22_winnowing_shared_pairs",
     # round-10 additions: MaxSim late-interaction rerank, exact-
-    # substring removal telemetry, join-key skew profile.
+    # substring removal telemetry, join-key skew profile, the
+    # IVF->MaxSim serving path, log template mining.
     "s20_maxsim_topk",
     "d23_dup_span_removal",
     "p09_join_skew_profile",
+    "s21_ivf_maxsim_rerank",
+    "l19_log_template_mining",
 ]
 
 

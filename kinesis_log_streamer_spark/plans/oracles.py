@@ -5569,3 +5569,91 @@ SELECT key_name, n_rows, n_keys, max_per_key, p99_per_key,
 FROM stats
 ORDER BY key_name
 """
+
+# s21: the full IVF -> MaxSim serving path replayed relationally —
+# s15's deterministic centroid rule (16 smallest vec_ids), argmax
+# cell assignment on rounded cosine, nprobe=2 probe, then s20's
+# integer-quantized MaxSim lattice over the candidates only.
+ORACLES["s21_ivf_maxsim_rerank"] = """
+WITH corpus AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+    FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 16)
+), assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT c.vec_id, ce.cell,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY round(list_cosine_similarity(c.v, ce.cv), 4)
+                       DESC, ce.cell) AS rn
+        FROM corpus c CROSS JOIN cents ce)
+    WHERE rn = 1
+), q AS (
+    SELECT vec_id AS qid, v AS qv FROM corpus WHERE vec_id < 5
+), probed AS (
+    SELECT qid, cell FROM (
+        SELECT q.qid, ce.cell,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round(list_cosine_similarity(q.qv, ce.cv), 4)
+                       DESC, ce.cell) AS rn
+        FROM q CROSS JOIN cents ce)
+    WHERE rn <= 2
+), cand AS (
+    SELECT p.qid, a.vec_id
+    FROM probed p JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id <> p.qid
+), qt AS (
+    SELECT qid, i, qv[(i*16+1):(i*16+16)] AS qsub
+    FROM q, (SELECT unnest([0, 1, 2, 3]) AS i) t
+), dt AS (
+    SELECT c.qid, c.vec_id, j,
+           co.v[(j*16+1):(j*16+16)] AS dsub
+    FROM cand c
+    JOIN corpus co ON co.vec_id = c.vec_id,
+         (SELECT unnest([0, 1, 2, 3]) AS j) t
+), mx AS (
+    SELECT dt.qid, dt.vec_id, qt.i,
+           max(CAST(round(list_dot_product(dt.dsub, qt.qsub) * 10000)
+                    AS BIGINT)) AS m
+    FROM dt JOIN qt ON qt.qid = dt.qid
+    GROUP BY dt.qid, dt.vec_id, qt.i
+), sc AS (
+    SELECT qid, vec_id, CAST(sum(m) AS BIGINT) AS score
+    FROM mx GROUP BY qid, vec_id
+), ranked AS (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, vec_id) AS rnk
+    FROM sc
+)
+SELECT qid, vec_id, score, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+# l19: identical message rendering (floor keeps the numeric field
+# unambiguous — round() half-case semantics differ across engines),
+# identical [0-9]+ -> <N> masking with the global flag.
+ORACLES["l19_log_template_mining"] = """
+WITH msgs AS (
+    SELECT event_id, user_id,
+           regexp_replace(
+               event_type || ' user=' || CAST(user_id AS VARCHAR)
+               || ' v=' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+               || CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) % 3 = 0
+                       THEN ' retry' ELSE '' END,
+               '[0-9]+', '<N>', 'g') AS template
+    FROM events
+)
+SELECT template,
+       CAST(count(*) AS BIGINT)                 AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT)  AS n_users,
+       CAST(min(event_id) AS BIGINT)            AS first_event
+FROM msgs
+GROUP BY template
+ORDER BY n_events DESC, template
+LIMIT 10
+"""

@@ -11834,6 +11834,147 @@ def p09_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("key_name")
 
 
+def s21_ivf_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The late-interaction SERVING path end-to-end: IVF candidate
+    generation → exact MaxSim rerank — the production shape s20's
+    docstring points at (ANN retrieve, MaxSim rerank), composed from
+    s15's deterministic index lifecycle and s20's integer-quantized
+    scoring lattice so DuckDB replays the WHOLE pipeline, probe to
+    rank.
+
+    Stages: (1) coarse quantizer = the 16 smallest-vec_id vectors
+    (s15's SQL-replayable centroid rule); (2) corpus assignment =
+    argmax rounded cosine per vector (tie → lowest cell); (3) each
+    query (vec_id < 5) probes its nprobe=2 best cells; (4) candidates
+    = corpus vectors in probed cells, self excluded; (5) exact MaxSim
+    (4×16-dim token subvectors, integer-quantized dots — s20's
+    lattice) reranks ONLY the candidates; top-5 per query, (score
+    desc, vec_id) order.
+
+    Scale: the assignment is one broadcast(16) pass over the corpus —
+    built once per index epoch and persisted (s15 shows the on-disk
+    form); per query the rerank touches ~2/16 of the corpus instead
+    of all of it, which is the entire point of IVF candidate
+    generation — and the expensive MaxSim lattice runs on that
+    bounded candidate set only."""
+    from kinesis_log_streamer_spark.functions.vector import cosine_sim, dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    cents = (
+        corpus.orderBy("vec_id")
+        .limit(16)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+
+    def cells(df: DataFrame, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cell",
+            F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 4).alias(
+                "cos"
+            ),
+        )
+        wc = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+        return (
+            scored.withColumn("rn", F.row_number().over(wc))
+            .filter(F.col("rn") <= n)
+            .select("vec_id", "cell")
+        )
+
+    assign = cells(corpus, 1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    probed = cells(
+        queries.select(F.col("qid").alias("vec_id"), F.col("qv").alias("embedding")),
+        2,
+    ).select(F.col("vec_id").alias("qid"), "cell")
+    cand = (
+        probed.join(assign, "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id")
+    )
+    n_tok, dim = 4, 16
+
+    def _idot(a, b):
+        return F.round(dot(a, b) * 10000).cast("long")
+
+    d_subs = [F.slice(F.col("v"), j * dim + 1, dim) for j in range(n_tok)]
+    q_subs = [F.slice(F.col("qv"), i * dim + 1, dim) for i in range(n_tok)]
+    score = None
+    for qs in q_subs:
+        best = F.greatest(*[_idot(qs, ds) for ds in d_subs])
+        score = best if score is None else score + best
+    scored = (
+        cand.join(
+            corpus.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            ),
+            "vec_id",
+        )
+        .join(F.broadcast(queries), "qid")
+        .select("qid", "vec_id", score.alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("qid", "rnk")
+    )
+
+
+def l19_log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log TEMPLATE mining (the Drain/Spell family's core move): mask
+    the variable fields of each rendered log message — digit runs →
+    ``<N>`` — and aggregate the survivors into templates, the
+    operational census that turns millions of distinct log lines into
+    the dozen shapes a human can read.  Messages are rendered from
+    the events schema the reference's upstream emits (README.md:13-24
+    — handler/status log lines; l18 renders the full CLF form), with
+    a retry suffix branching on the payload so masking genuinely
+    merges distinct lines into shared templates.
+
+    Output: top-10 templates by (events desc, template asc) with
+    event count, distinct-user count, and the earliest event id as
+    the exemplar pointer.
+
+    Scale: one scan → per-row regexp mask (codegen) → hash-agg on
+    BOUNDED template cardinality (partial map-side agg; templates
+    number in the dozens however many events exist) → TakeOrdered
+    top-10.  No joins, no windows, one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    msg = F.concat(
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" v="),
+        F.floor(F.col("value")).cast("long").cast("string"),
+        F.when(k % 3 == 0, F.lit(" retry")).otherwise(F.lit("")),
+    )
+    tmpl = F.regexp_replace(msg, "[0-9]+", "<N>")
+    return (
+        ev.select(
+            tmpl.alias("template"),
+            "user_id",
+            "event_id",
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy(F.desc("n_events"), "template")
+        .limit(10)
+    )
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -12034,6 +12175,8 @@ REGISTRY = {
     "s20_maxsim_topk": s20_maxsim_topk,
     "d23_dup_span_removal": d23_dup_span_removal,
     "p09_join_skew_profile": p09_join_skew_profile,
+    "s21_ivf_maxsim_rerank": s21_ivf_maxsim_rerank,
+    "l19_log_template_mining": l19_log_template_mining,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -12240,7 +12383,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 313
+assert len(REGISTRY) == 315
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -12262,7 +12405,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 313
+assert len(REGISTRY) == 315
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -12297,12 +12440,14 @@ _ROUND10_FRONT = [
     "s20_maxsim_topk",
     "d23_dup_span_removal",
     "p09_join_skew_profile",
+    "s21_ivf_maxsim_rerank",
+    "l19_log_template_mining",
 ]
-assert len(_ROUND10_FRONT) == len(set(_ROUND10_FRONT)) == 3
+assert len(_ROUND10_FRONT) == len(set(_ROUND10_FRONT)) == 5
 _missing10 = [n for n in _ROUND10_FRONT if n not in REGISTRY]
 assert not _missing10, f"reorder names absent from REGISTRY: {_missing10}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 313
+assert len(REGISTRY) == 315

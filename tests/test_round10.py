@@ -1,5 +1,6 @@
 """Round-10 queries: s20 MaxSim late-interaction rerank, d23
-exact-substring removal telemetry, p09 join-key skew profile.
+exact-substring removal telemetry, p09 join-key skew profile,
+s21 IVF->MaxSim serving path, l19 log template mining.
 
 Each test recomputes the query's contract INDEPENDENTLY (numpy /
 pure-python / pandas) from the sf0.001 parquet and compares against
@@ -201,3 +202,121 @@ class TestJoinSkewProfile:
         for r in rows.values():
             assert 0 < r.p99_per_key <= r.max_per_key
             assert r.skew_x_pm >= 990  # max >= mean (integer floor)
+
+
+class TestIvfMaxSimRerank:
+    def _expected(self) -> list[tuple]:
+        emb = _pq("embeddings").sort_values("vec_id")
+        ids = emb["vec_id"].astype(int).tolist()
+        vecs = {
+            int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()
+        }
+        cents = [vecs[i] for i in sorted(ids)[:16]]
+
+        def best_cells(v, n):
+            scored = sorted(
+                (
+                    (-round(self._cos(v, c), 4), cell)
+                    for cell, c in enumerate(cents)
+                ),
+            )
+            return [cell for _, cell in scored[:n]]
+
+        assign = {i: best_cells(vecs[i], 1)[0] for i in ids}
+        out = []
+        for qid in sorted(i for i in ids if i < 5):
+            probe = set(best_cells(vecs[qid], 2))
+            cand = [i for i in ids if i != qid and assign[i] in probe]
+            qt = [vecs[qid][i * 16 : (i + 1) * 16] for i in range(4)]
+            scores = []
+            for did in cand:
+                dt = [vecs[did][j * 16 : (j + 1) * 16] for j in range(4)]
+                s = sum(
+                    max(
+                        int(round(float(np.dot(q, d)) * 10000))
+                        for d in dt
+                    )
+                    for q in qt
+                )
+                scores.append((did, s))
+            scores.sort(key=lambda t: (-t[1], t[0]))
+            for rnk, (did, s) in enumerate(scores[:5], start=1):
+                out.append((qid, did, s, rnk))
+        return out
+
+    @staticmethod
+    def _cos(a, b):
+        na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+        return float(np.dot(a, b)) / (na * nb) if na * nb > 0 else 0.0
+
+    def test_matches_numpy_recompute(self, spark):
+        got = [
+            (r.qid, r.vec_id, r.score, r.rnk)
+            for r in Q.s21_ivf_maxsim_rerank(spark, SF_SMOKE).collect()
+        ]
+        assert got == self._expected()
+
+    def test_scores_are_exact_maxsim(self, spark):
+        # the rerank is EXACT on its candidates: every returned
+        # (qid, vec_id, score) must carry the same score the exact
+        # full-corpus MaxSim (s20's lattice) computes for that pair.
+        emb = _pq("embeddings")
+        vecs = {
+            int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()
+        }
+
+        def maxsim(q, d):
+            qt = [q[i * 16 : (i + 1) * 16] for i in range(4)]
+            dt = [d[j * 16 : (j + 1) * 16] for j in range(4)]
+            return sum(
+                max(int(round(float(np.dot(a, b)) * 10000)) for b in dt)
+                for a in qt
+            )
+
+        for r in Q.s21_ivf_maxsim_rerank(spark, SF_SMOKE).collect():
+            assert r.score == maxsim(vecs[r.qid], vecs[r.vec_id])
+
+
+class TestLogTemplateMining:
+    def _expected(self) -> list[tuple]:
+        import json as _json
+
+        ev = _pq("events")
+        rows = {}
+        for r in ev.itertuples():
+            k = int(_json.loads(r.props)["k"])
+            msg = (
+                f"{r.event_type} user={int(r.user_id)} "
+                f"v={int(np.floor(r.value))}"
+                + (" retry" if k % 3 == 0 else "")
+            )
+            tmpl = re.sub(r"[0-9]+", "<N>", msg)
+            agg = rows.setdefault(tmpl, [0, set(), int(r.event_id)])
+            agg[0] += 1
+            agg[1].add(int(r.user_id))
+            agg[2] = min(agg[2], int(r.event_id))
+        ranked = sorted(
+            (
+                (t, c, len(us), fe)
+                for t, (c, us, fe) in rows.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return ranked[:10]
+
+    def test_matches_python_recompute(self, spark):
+        got = [
+            (r.template, r.n_events, r.n_users, r.first_event)
+            for r in Q.l19_log_template_mining(spark, SF_SMOKE).collect()
+        ]
+        assert got == self._expected()
+
+    def test_masking_merges_users(self, spark):
+        # the whole point of template mining: the per-user variable
+        # field must be masked, so every template aggregates MANY
+        # users' lines.
+        rows = Q.l19_log_template_mining(spark, SF_SMOKE).collect()
+        assert rows and all("<N>" in r.template for r in rows)
+        assert any(r.n_users > 1 for r in rows)
