@@ -1817,26 +1817,48 @@ def l01_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON records from events, parse with the declared schema
     (from_json round trip — a parse bug breaks the oracle match), roll
     up requests/bytes/latency by status class."""
-    ev = _t(spark, sf_dir, "events")
-    parsed = LA.parse_access_logs(LA.access_records_from_events(ev))
-    return LA.status_class_rollup(parsed.filter(~F.col("is_corrupt")))
+    return LA.status_class_rollup(_access(spark, sf_dir))
 
 
 def l02_topk_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 URL paths by hits over parsed access records (aggregate
     before sort — the shuffle carries |distinct paths| rows)."""
-    ev = _t(spark, sf_dir, "events")
-    parsed = LA.parse_access_logs(LA.access_records_from_events(ev))
-    return LA.topk_urls(parsed.filter(~F.col("is_corrupt")), k=10).select(
+    return LA.topk_urls(_access(spark, sf_dir), k=10).select(
         F.col("UrlPath").alias("url_path"), "hits", "bytes_sent"
     )
 
 
+# Parsed access-record frame, one parse per (app, corpus) — VERDICT
+# r10 #1: the l-family re-rendered events→JSON and re-regex-parsed it
+# for EACH of its ~9 consumers (l01–l06, l15, l16 + the streaming
+# twins' batch legs), making the family the most expensive suite
+# rollup (24.6 s of 157.8 s) while every individual plan was already
+# the efficient scan→codegen-parse→agg shape.  Same index-lifecycle
+# memo as d03's fingerprint scan (_simhash_fp_index): render+parse
+# once, eager-localCheckpoint the corruption-filtered typed rows, and
+# let every consumer plan against the materialized frame.  `_raw` is
+# dropped before materializing (no l-consumer reads it; keeping it
+# would double the checkpointed bytes).  bench._reset_warm_state
+# clears this per pass so cross-pass medians stay cold-start-fair.
+_ACCESS_MEMO: dict = {}
+
+
 def _access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parsed, corruption-filtered access records (the l0* input)."""
-    ev = _t(spark, sf_dir, "events")
-    parsed = LA.parse_access_logs(LA.access_records_from_events(ev))
-    return parsed.filter(~F.col("is_corrupt"))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ACCESS_MEMO:
+        from kinesis_log_streamer_spark.operators.parallelize import (
+            spread_for_compute,
+        )
+
+        ev = spread_for_compute(_t(spark, sf_dir, "events"))
+        parsed = LA.parse_access_logs(LA.access_records_from_events(ev))
+        _ACCESS_MEMO[key] = (
+            parsed.filter(~F.col("is_corrupt"))
+            .drop("_raw")
+            .localCheckpoint(eager=True)
+        )
+    return _ACCESS_MEMO[key]
 
 
 def l03_windowed_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
