@@ -298,7 +298,7 @@ def simhash_fingerprints(
 
 
 def simhash_pairs(
-    df: DataFrame,
+    df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
@@ -313,15 +313,25 @@ def simhash_pairs(
     ``max_hamming`` ≤ 3; for larger radii the chunk filter is a
     high-recall heuristic (a pair may differ in all four chunks).
 
-    ``fingerprints``: an optional pre-built ``(id, simhash)`` table
-    (from :func:`simhash_fingerprints`, typically checkpointed or
-    persisted) — the index-lifecycle shape: at 100 TB the fingerprint
-    scan is built ONCE per corpus and every detection pass joins
-    against it, exactly like the s15 IVF index table.  When omitted,
-    the fingerprints are computed and cached in-plan.
+    Exactly ONE of ``df`` / ``fingerprints`` must be given (ADVICE r10
+    low #4: accepting both silently ignored ``df``, so a caller
+    passing a FILTERED frame plus a full-corpus index would get pairs
+    outside its intended subset with no error).  The pair universe is
+    always the fingerprint table's: pass ``fingerprints`` — a
+    pre-built ``(id, simhash)`` table from
+    :func:`simhash_fingerprints`, typically checkpointed or persisted
+    — for the index-lifecycle shape: at 100 TB the fingerprint scan is
+    built ONCE per corpus and every detection pass joins against it,
+    exactly like the s15 IVF index table.  Pass ``df`` to compute (and
+    cache in-plan) the fingerprints for precisely that frame.
     """
     from kinesis_log_streamer_spark.operators.parallelize import spread_for_compute
 
+    if (df is None) == (fingerprints is None):
+        raise ValueError(
+            "simhash_pairs: pass exactly one of df / fingerprints — "
+            "the pair universe is defined by whichever is given"
+        )
     # Cache: the 64-bit fingerprint is consumed by both sides of the
     # chunk self-join; without it the fingerprint aggregation would
     # run twice.

@@ -1095,7 +1095,6 @@ def d03_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against the persisted table (bench resets the memo per pass, so
     # each pass's first sample still pays — and drops — the build).
     caught = D.simhash_pairs(
-        docs,
         max_hamming=12,
         fingerprints=_simhash_fp_index(spark, sf_dir),
     ).localCheckpoint(eager=True)
@@ -11888,17 +11887,23 @@ def s21_ivf_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(16)
         .select(
             (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
-            F.col("embedding").alias("cvec"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
         )
     )
 
     def cells(df: DataFrame, n: int) -> DataFrame:
+        # Both legs score in float64 (ADVICE r10 low #1): the corpus
+        # assign previously ran float32×float32 while the probe leg
+        # mixed a double-cast query with float centroids — and the
+        # oracle casts to DOUBLE[] throughout, so a round(cos, 4)
+        # boundary flip could diverge cell assignment cross-engine.
         scored = df.crossJoin(F.broadcast(cents)).select(
             "vec_id",
             "cell",
-            F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 4).alias(
-                "cos"
-            ),
+            F.round(
+                cosine_sim(F.col("embedding").cast("array<double>"), F.col("cvec")),
+                4,
+            ).alias("cos"),
         )
         wc = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
         return (

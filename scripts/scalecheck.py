@@ -93,6 +93,13 @@ QUERIES = [
     "s20_maxsim_topk",
     "d23_dup_span_removal",
     "p09_join_skew_profile",
+    # ADVICE r10 low #5: the two queries added AFTER the round-10
+    # scalecheck regeneration.  s21's watch item (VERDICT r10 #4) is
+    # candidate-set growth: nprobe=2 of 16 cells should hold the
+    # rerank at ~1/8 of the corpus; a super-linear bend means cell
+    # skew in the coarse assignment.
+    "s21_ivf_maxsim_rerank",
+    "l19_log_template_mining",
 ]
 
 

@@ -11,11 +11,25 @@ misreading of the spec can't pass both sides.
 
 from __future__ import annotations
 
+import decimal
 import re
 from collections import Counter
 
 import numpy as np
 import pandas as pd
+
+
+def _half_up(x: float, digits: int = 0):
+    """Round half-away-from-zero, matching Spark F.round / DuckDB
+    round (ADVICE r10 low #2: built-in round() is banker's
+    half-to-even — a dot*10000 landing exactly on .5 would make this
+    'independent third implementation' disagree spuriously).
+    Decimal(repr(x)) mirrors BigDecimal.valueOf's shortest-repr path."""
+    q = decimal.Decimal(1).scaleb(-digits)
+    r = decimal.Decimal(repr(x)).quantize(
+        q, rounding=decimal.ROUND_HALF_UP
+    )
+    return int(r) if digits == 0 else float(r)
 
 from kinesis_log_streamer_spark.plans import queries as Q
 
@@ -47,7 +61,7 @@ class TestMaxSim:
                 dt = toks(dv)
                 s = sum(
                     max(
-                        int(round(float(np.dot(q, d)) * 10000))
+                        _half_up(float(np.dot(q, d)) * 10000)
                         for d in dt
                     )
                     for q in qt
@@ -87,7 +101,11 @@ class TestDupSpanRemoval:
         docs = _pq("documents")
         toked = {}
         for r in docs.itertuples():
-            t = re.split(r"\s+", r.text.strip().lower())
+            # ASCII whitespace only (ADVICE r10 low #3): Spark trim
+            # strips ' ' and Java-regex \s is [ \t\n\x0B\f\r]; Python
+            # str \s/strip() are Unicode-wide and would desync this
+            # recompute from BOTH engines on e.g. \xa0.
+            t = re.split(r"[ \t\n\x0B\f\r]+", r.text.strip(" ").lower())
             if len(t) >= self.W:
                 toked[int(r.doc_id)] = t
         spans = Counter()
@@ -217,7 +235,7 @@ class TestIvfMaxSimRerank:
         def best_cells(v, n):
             scored = sorted(
                 (
-                    (-round(self._cos(v, c), 4), cell)
+                    (-_half_up(self._cos(v, c), 4), cell)
                     for cell, c in enumerate(cents)
                 ),
             )
@@ -234,7 +252,7 @@ class TestIvfMaxSimRerank:
                 dt = [vecs[did][j * 16 : (j + 1) * 16] for j in range(4)]
                 s = sum(
                     max(
-                        int(round(float(np.dot(q, d)) * 10000))
+                        _half_up(float(np.dot(q, d)) * 10000)
                         for d in dt
                     )
                     for q in qt
@@ -271,7 +289,7 @@ class TestIvfMaxSimRerank:
             qt = [q[i * 16 : (i + 1) * 16] for i in range(4)]
             dt = [d[j * 16 : (j + 1) * 16] for j in range(4)]
             return sum(
-                max(int(round(float(np.dot(a, b)) * 10000)) for b in dt)
+                max(_half_up(float(np.dot(a, b)) * 10000) for b in dt)
                 for a in qt
             )
 
