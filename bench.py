@@ -348,6 +348,7 @@ def _reset_warm_state(spark) -> None:
     _Q._IVF_PREP_MEMO.clear()
     _Q._SIMHASH_FP_MEMO.clear()
     _Q._ACCESS_MEMO.clear()
+    _Q._EVFLUSH_MEMO.clear()
 
 
 def _measure_suite(spark, sf_dir: str) -> dict:

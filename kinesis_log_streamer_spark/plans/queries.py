@@ -1921,14 +1921,28 @@ def l06_client_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain_stream_to_table(
-    agg: DataFrame, name: str, mode: str = "complete", n_partitions: int = 8
+    agg: DataFrame,
+    name: str,
+    mode: str = "complete",
+    n_partitions: int = 8,
+    no_data: bool = True,
 ) -> None:
     """Run a bounded streaming query to completion:
     ``Trigger.AvailableNow`` (the reference's EOF drain,
     basestreamer.go:27-33) into a memory sink.  ``complete`` mode for
     aggregations (every window/session emitted regardless of
     watermark); ``append`` for stream-stream joins / dedup, which emit
-    rows as they materialize."""
+    rows as they materialize.
+
+    ``no_data=False`` disables the engine's automatic no-data
+    micro-batch for drains whose OUTPUT cannot depend on it — inner
+    joins / dedup (rows emit as data arrives), complete and update
+    modes (every batch re-emits / emits changes) — saving one full
+    state-store commit cycle (~0.6-0.8 s measured at sf0.1, VERDICT
+    r10 #5).  Append-mode watermark emission (windowed aggs, outer
+    joins, event-time timeouts) NEEDS that batch: results only emit
+    after the watermark advances, which happens between batches —
+    those drains keep the default."""
     spark = agg.sparkSession
     spark.catalog.dropTempView(name)
     # Stateful streaming tasks = shuffle partitions, fixed at first
@@ -1938,7 +1952,14 @@ def _drain_stream_to_table(
     # Python-stateful ops (applyInPandasWithState) pass a higher count:
     # their per-group work runs in Python workers, so parallelism wins.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data else "false",
+    )
     try:
         q = (
             agg.writeStream.format("memory")
@@ -1950,6 +1971,9 @@ def _drain_stream_to_table(
         q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
 
 
 def st01_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1968,7 +1992,7 @@ def st01_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    _drain_stream_to_table(agg, "st01_out")
+    _drain_stream_to_table(agg, "st01_out", no_data=False)
     return spark.table("st01_out").orderBy("bucket_start", "event_type")
 
 
@@ -1982,7 +2006,7 @@ def st02_stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(
         F.session_window("ts", "30 minutes").alias("sw"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    _drain_stream_to_table(agg, "st02_out")
+    _drain_stream_to_table(agg, "st02_out", no_data=False)
     return (
         spark.table("st02_out")
         .select(
@@ -2724,7 +2748,7 @@ def st03_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     joined = stream_stream_join(ev, ev, watermark="10 minutes", max_delay="5 minutes")
-    _drain_stream_to_table(joined, "st03_out", mode="append")
+    _drain_stream_to_table(joined, "st03_out", mode="append", no_data=False)
     return (
         spark.table("st03_out")
         .groupBy("l_type", "r_type")
@@ -2748,7 +2772,7 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     deduped = dedup_stream(ev, keys=["user_id", "event_type"], watermark="10 minutes")
-    _drain_stream_to_table(deduped, "st04_out", mode="append")
+    _drain_stream_to_table(deduped, "st04_out", mode="append", no_data=False)
     return (
         spark.table("st04_out")
         .groupBy("event_type")
@@ -2806,6 +2830,20 @@ def _write_sentinel_parquet(path: str, event_id: int, ts_us: int) -> None:
     )
 
 
+# Staged flush-fixture directory, one build per (app, corpus) —
+# VERDICT r10 #5: st05/st10 each re-wrote the full events table as a
+# single-file batch plus a sentinel on EVERY call (a coalesce(1) write
+# of the whole fact table, ~1-1.5 s at sf0.1), which was most of the
+# st-family's fixed drain floor after the 8-partition state sizing
+# (measured: MORE partitions make st03/st10 slower — state put/get
+# volume is already balanced; the fixture write was the real cost).
+# The directory content is a pure function of sf_dir, so it is built
+# once and shared by every consumer; the app-id in the path keeps
+# concurrent processes (pytest vs selfcheck) off each other's files.
+# bench._reset_warm_state clears this per pass.
+_EVFLUSH_MEMO: dict = {}
+
+
 def _events_stream_with_flush(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Events file stream plus a far-future sentinel file.
 
@@ -2820,28 +2858,37 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str, name: str) -> Da
     filter them.
     """
     import os
+    import re
     import shutil
     import tempfile
 
     # Pin the timezone like sources/tables.py:load_table — timestamps
     # must be oracle-comparable from a bare driver session too.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    tmp = os.path.join(tempfile.gettempdir(), f"klss_{name}_src")
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    # Normalize through the catalog loader: it handles whichever
-    # timestamp encoding the generated parquet carries (NANOS-as-long
-    # or native micros) and always yields an LTZ ``ts``.
-    ev = _t(spark, sf_dir, "events")
-    _write_single_parquet(ev, os.path.join(tmp, "events.parquet"))
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    tmp = _EVFLUSH_MEMO.get(key)
+    if tmp is None:
+        app = re.sub(r"[^A-Za-z0-9_-]", "_", key[0])
+        corp = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(key[1]))
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"klss_evflush_{app}_{corp}_src"
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        # Normalize through the catalog loader: it handles whichever
+        # timestamp encoding the generated parquet carries (NANOS-as-
+        # long or native micros) and always yields an LTZ ``ts``.
+        ev = _t(spark, sf_dir, "events")
+        _write_single_parquet(ev, os.path.join(tmp, "events.parquet"))
 
-    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
-    day_us = 86_400_000_000
-    now = os.path.getmtime(os.path.join(tmp, "events.parquet"))
-    for i in (1,):
-        path = os.path.join(tmp, f"zz_flush_{i}.parquet")
-        _write_sentinel_parquet(path, -i, max_us + i * day_us)
-        os.utime(path, (now + 10 * i, now + 10 * i))
+        max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+        day_us = 86_400_000_000
+        now = os.path.getmtime(os.path.join(tmp, "events.parquet"))
+        for i in (1,):
+            path = os.path.join(tmp, f"zz_flush_{i}.parquet")
+            _write_sentinel_parquet(path, -i, max_us + i * day_us)
+            os.utime(path, (now + 10 * i, now + 10 * i))
+        _EVFLUSH_MEMO[key] = tmp
 
     return (
         spark.readStream.schema(_EVENTS_TS_SCHEMA)
@@ -2997,7 +3044,7 @@ def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    _drain_stream_to_table(agg, "st07_out")
+    _drain_stream_to_table(agg, "st07_out", no_data=False)
     return spark.table("st07_out").orderBy("segment", "event_type")
 
 
@@ -5734,7 +5781,7 @@ def st11_stream_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _drain_stream_to_table(agg, "st11_out", mode="complete")
+    _drain_stream_to_table(agg, "st11_out", mode="complete", no_data=False)
     return spark.table("st11_out").orderBy("hour_start", "event_type")
 
 
@@ -8392,7 +8439,7 @@ def st13_update_mode_counts(
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    _drain_stream_to_table(agg, "st13_out", mode="update")
+    _drain_stream_to_table(agg, "st13_out", mode="update", no_data=False)
     return (
         spark.table("st13_out")
         .groupBy("bucket_start", "event_type")
@@ -11794,65 +11841,91 @@ def p09_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded window over the (much smaller) per-key count table; the
     three profiles are independent and union cheaply.  All-integer
     output — no float crosses the wire."""
-
-    def _profile(df: DataFrame, key: str, label: str) -> DataFrame:
-        cnts = df.groupBy(F.col(key).cast("string").alias("k")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        # Histogram of per-key counts: the windowed cumulative pass
-        # runs over DISTINCT count values (bounded however many keys
-        # exist — at 100 TB the per-key count table may be billions of
-        # rows, but its value histogram stays tiny), never over the
-        # key table itself.
-        hist = cnts.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
-        wh = W.orderBy("cnt").rowsBetween(
-            W.unboundedPreceding, W.currentRow
-        )
-        hist = hist.select(
-            "cnt",
-            "freq",
-            F.sum("freq").over(wh).alias("cum"),
-            F.sum("freq").over(W.partitionBy()).alias("k_total"),
-        )
-        stats = hist.agg(
-            F.sum(F.col("cnt") * F.col("freq")).alias("n_rows"),
-            F.sum("freq").alias("n_keys"),
-            F.max("cnt").alias("max_per_key"),
-            # exact p99: smallest count whose cumulative key coverage
-            # reaches ceil(0.99 * n_keys) — the value at ordered
-            # position ceil(0.99 * k), computed without a total order
-            # over the key table.
-            F.min(
-                F.when(
-                    F.col("cum") * 100 >= F.col("k_total") * 99,
-                    F.col("cnt"),
-                )
-            ).alias("p99_per_key"),
-        )
-        return stats.select(
-            F.lit(label).alias("key_name"),
-            "n_rows",
-            "n_keys",
-            "max_per_key",
-            "p99_per_key",
-            F.expr("n_rows * 1000 div n_keys").alias("avg_pm"),
-            F.expr("max_per_key * 1000000 div n_rows").alias(
-                "top1_share_pm"
-            ),
-            F.expr("max_per_key * 1000 * n_keys div n_rows").alias(
-                "skew_x_pm"
-            ),
-        )
-
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
     ev = _t(spark, sf_dir, "events")
     out = (
-        _profile(li, "l_orderkey", "lineitem.l_orderkey")
-        .unionByName(_profile(od, "o_custkey", "orders.o_custkey"))
-        .unionByName(_profile(ev, "event_type", "events.event_type"))
+        _skew_profile(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(_skew_profile(od, "o_custkey", "orders.o_custkey"))
+        .unionByName(_skew_profile(ev, "event_type", "events.event_type"))
     )
     return out.orderBy("key_name")
+
+
+def _skew_profile(df: DataFrame, key: str, label: str) -> DataFrame:
+    """One p09 profile row for ``key`` — reusable on ANY key column:
+    the exact-p99 prefix sum is two-level (see below), so even a
+    degenerate histogram (one distinct per-key count per key) never
+    funnels into a single-partition window (VERDICT r10 #6)."""
+    cnts = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Histogram of per-key counts: the cumulative pass runs over
+    # DISTINCT count values — tiny for join keys, but VERDICT r10
+    # #6 flags the degenerate case (every key a distinct count,
+    # e.g. someone reusing _profile on a continuous-valued or
+    # rank-like key) where it holds one row per key.  So the
+    # prefix sum is TWO-LEVEL instead of one global-order window:
+    # within-bucket cumulative partitioned by floor(log2(cnt))
+    # (parallel, and ordered buckets ⊂ [0, 64)) plus a ≤64-row
+    # bucket-offset pass — exact at every histogram size, never a
+    # single-partition window over n_keys rows.
+    hist = cnts.groupBy("cnt").agg(F.count(F.lit(1)).alias("freq"))
+    hist = hist.withColumn(
+        "bkt", F.floor(F.log2(F.col("cnt").cast("double"))).cast("int")
+    )
+    wb = W.partitionBy("bkt").orderBy("cnt").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    btot = hist.groupBy("bkt").agg(F.sum("freq").alias("bfreq"))
+    wo = W.orderBy("bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    boff = btot.select(
+        "bkt",
+        F.coalesce(F.sum("bfreq").over(wo), F.lit(0)).alias("boff"),
+        F.sum("bfreq").over(
+            W.orderBy("bkt").rangeBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("k_total"),
+    )
+    hist = hist.join(F.broadcast(boff), "bkt").select(
+        "cnt",
+        "freq",
+        (F.col("boff") + F.sum("freq").over(wb)).alias("cum"),
+        "k_total",
+    )
+    stats = hist.agg(
+        F.sum(F.col("cnt") * F.col("freq")).alias("n_rows"),
+        F.sum("freq").alias("n_keys"),
+        F.max("cnt").alias("max_per_key"),
+        # exact p99: smallest count whose cumulative key coverage
+        # reaches ceil(0.99 * n_keys) — the value at ordered
+        # position ceil(0.99 * k), computed without a total order
+        # over the key table.
+        F.min(
+            F.when(
+                F.col("cum") * 100 >= F.col("k_total") * 99,
+                F.col("cnt"),
+            )
+        ).alias("p99_per_key"),
+    )
+    return stats.select(
+        F.lit(label).alias("key_name"),
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        "p99_per_key",
+        F.expr("n_rows * 1000 div n_keys").alias("avg_pm"),
+        F.expr("max_per_key * 1000000 div n_rows").alias(
+            "top1_share_pm"
+        ),
+        F.expr("max_per_key * 1000 * n_keys div n_rows").alias(
+            "skew_x_pm"
+        ),
+    )
+
 
 
 def s21_ivf_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:

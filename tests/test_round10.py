@@ -221,6 +221,24 @@ class TestJoinSkewProfile:
             assert 0 < r.p99_per_key <= r.max_per_key
             assert r.skew_x_pm >= 990  # max >= mean (integer floor)
 
+    def test_degenerate_histogram_stays_exact(self, spark):
+        # VERDICT r10 #6: a rank-like key where EVERY key has a
+        # DISTINCT per-key count (key i appears i times, i=1..120)
+        # degenerates the count histogram to one row per key.  The
+        # two-level log2-bucketed prefix sum must still return the
+        # EXACT p99 (value at 1-based ordered position ceil(0.99*k))
+        # instead of funneling n_keys rows through one partition.
+        n = 120
+        df = spark.range(1, n + 1).selectExpr(
+            "explode(sequence(1, id)) as dummy", "id as key"
+        )
+        row = Q._skew_profile(df, "key", "degenerate").collect()[0]
+        assert row.n_keys == n
+        assert row.n_rows == n * (n + 1) // 2
+        assert row.max_per_key == n
+        pos = -(-99 * n // 100)  # ceil
+        assert row.p99_per_key == pos  # counts are exactly 1..n
+
 
 class TestIvfMaxSimRerank:
     def _expected(self) -> list[tuple]:
