@@ -5657,3 +5657,34 @@ GROUP BY template
 ORDER BY n_events DESC, template
 LIMIT 10
 """
+
+# l20: the full CustomLog deployment path (accessjson render -> chunked
+# concatenated-JSON spool -> land -> distributed scan -> --add-entry
+# enrichment -> typed parse -> status rollup).  DuckDB replays the
+# record DERIVATION from events directly (the render is integer-exact,
+# FIXTURES SSA1) and asserts the enrichment constants: log_file is the
+# key the entry map ADDS, handler the key it OVERWRITES ('piped'
+# replaces the rendered event_type) -- any torn/dropped/duplicated
+# record or broken entry-wins semantics breaks the hash.
+ORACLES["l20_ingest_rollup_pipeline"] = """
+WITH synth AS (
+    SELECT CASE WHEN event_id % 10 <= 5 THEN 200
+                WHEN event_id % 10 = 6  THEN 301
+                WHEN event_id % 10 = 7  THEN 404
+                WHEN event_id % 10 = 8  THEN 500
+                ELSE 503 END            AS status,
+           (event_id * 37) % 10000     AS bytes,
+           (event_id * 101) % 500000   AS us
+    FROM events
+    WHERE event_id % 7 = 0
+)
+SELECT CAST(status // 100 AS VARCHAR) || 'xx' AS status_class,
+       'piped'                    AS handler,
+       'HTTPAccessLog'            AS log_file,
+       count(*)                   AS n_requests,
+       CAST(sum(bytes) AS BIGINT) AS bytes_sent,
+       round(avg(us), 1)          AS avg_us
+FROM synth
+GROUP BY 1
+ORDER BY status_class
+"""

@@ -10319,6 +10319,33 @@ def q120_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registry
 # ---------------------------------------------------------------------------
 
+class _PartFilesStream:
+    """Byte stream over written part files — bounded reads only,
+    mirroring a stdin pipe (shared by i07 and the l20 composition)."""
+
+    def __init__(self, d: str) -> None:
+        import os
+
+        self._paths = sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith("part-")
+        )
+        self._fh = None
+
+    def read(self, n: int) -> bytes:
+        while True:
+            if self._fh is None:
+                if not self._paths:
+                    return b""
+                self._fh = open(self._paths.pop(0), "rb")  # noqa: SIM115
+            chunk = self._fh.read(n)
+            if chunk:
+                return chunk
+            self._fh.close()
+            self._fh = None
+
+
 def i07_stdin_spool_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CLI STREAMING path's spool stage under the oracle gate
     (round-5 C1 fix; `streaming/stdin_spool.py`): a concatenated-JSON
@@ -10362,30 +10389,6 @@ def i07_stdin_spool_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct("event_id", "event_type", "value")).alias("value")
     )
     payload.write.text(src)
-
-    class _PartFilesStream:
-        """Byte stream over the written part files — bounded reads
-        only, mirroring a stdin pipe."""
-
-        def __init__(self, d: str) -> None:
-            self._paths = sorted(
-                os.path.join(d, f)
-                for f in os.listdir(d)
-                if f.startswith("part-")
-            )
-            self._fh = None
-
-        def read(self, n: int) -> bytes:
-            while True:
-                if self._fh is None:
-                    if not self._paths:
-                        return b""
-                    self._fh = open(self._paths.pop(0), "rb")  # noqa: SIM115
-                chunk = self._fh.read(n)
-                if chunk:
-                    return chunk
-                self._fh.close()
-                self._fh = None
 
     StdinSpooler(
         _PartFilesStream(src), landing, fmt="json", chunk_bytes=97
@@ -12075,6 +12078,93 @@ def l19_log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def l20_ingest_rollup_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's ACTUAL deployment shape, end to end in ONE
+    oracle-gated query (VERDICT r10 #3): Apache renders accessjson
+    lines (functest/apachelogs/httpd.conf:192-204's ``LogFormat`` →
+    ``CustomLog "|kinesis-log-streamer --format json"``), the
+    streamer consumes them as a chunked byte stream with the
+    concatenated-JSON carry (jsonstreamer.go:34-49 ≙
+    ``StdinSpooler``), enriches each object with static entries under
+    entry-wins overwrite (--add-entry, jsonstreamer.go:49-56 /
+    main.go:102-122 ≙ ``transforms.enrich_json_objects``), and the
+    consumer side runs the l01 status-class rollup over the typed
+    parse — previously proven only in two halves (i07 = ingest, l01 =
+    analytics).
+
+    The rollup keys include the enriched fields: ``log_file`` is a
+    NEW key added by the entry map, ``handler`` is an EXISTING key
+    the entry map OVERWRITES — both constants the DuckDB oracle
+    asserts, so a dropped/torn record anywhere in chunk→carry→land→
+    scan→enrich→parse breaks the hash, and so does broken overwrite
+    semantics.
+
+    Scale: the spool stage is the CLI driver's stdin tail (one pipe,
+    O(chunk) memory); everything after the landing dir is an ordinary
+    distributed scan → codegen JSON parse → partial-agg rollup.
+    Chunk size 4096 ≪ the reference's 64 KiB keeps ~1 carry per chunk
+    live in the gate without i07's per-record-file torture cost."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kinesis_log_streamer_spark.operators.transforms import (
+        enrich_json_objects,
+    )
+    from kinesis_log_streamer_spark.streaming.stdin_spool import StdinSpooler
+
+    for stale in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "klss_l20_*")
+    ):
+        if _time.time() - os.path.getmtime(stale) > 3600:
+            shutil.rmtree(stale, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="klss_l20_")
+    src = os.path.join(base, "src")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    LA.access_records_from_events(ev).write.text(src)
+
+    StdinSpooler(
+        _PartFilesStream(src), landing, fmt="json", chunk_bytes=4096
+    ).run()
+
+    raw = spark.read.text(landing)
+    enriched = enrich_json_objects(
+        raw,
+        "value",
+        {"LogFile": "HTTPAccessLog", "RequestHandler": "piped"},
+    )
+    parsed = LA.parse_access_logs(enriched, value_col="data")
+    # LogFile is outside APACHE_ACCESS_SCHEMA (it only exists because
+    # the entry map added it); read it from the raw record the parser
+    # carries alongside the typed struct.
+    acc = parsed.filter(~F.col("is_corrupt")).withColumn(
+        "log_file", F.get_json_object("_raw", "$.LogFile")
+    )
+    cls = F.concat(
+        (F.col("Status") / 100).cast("int").cast("string"), F.lit("xx")
+    )
+    return (
+        acc.groupBy(
+            cls.alias("status_class"),
+            F.col("RequestHandler").alias("handler"),
+            F.col("log_file"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("ResponseBodySize").alias("bytes_sent"),
+            F.round(F.avg("RequestTimeMicroseconds"), 1).alias("avg_us"),
+        )
+        .orderBy("status_class")
+    )
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -12277,6 +12367,8 @@ REGISTRY = {
     "p09_join_skew_profile": p09_join_skew_profile,
     "s21_ivf_maxsim_rerank": s21_ivf_maxsim_rerank,
     "l19_log_template_mining": l19_log_template_mining,
+    # -- block 3 (round 11): new this round --------------------------
+    "l20_ingest_rollup_pipeline": l20_ingest_rollup_pipeline,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -12483,7 +12575,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 315
+assert len(REGISTRY) == 316
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -12505,7 +12597,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 315
+assert len(REGISTRY) == 316
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -12550,4 +12642,20 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 315
+assert len(REGISTRY) == 316
+
+# ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
+# union covers all 315 prior names latest-green, so the front is
+# exactly block (3): the queries brand-new this round.
+# Key-set-preserving (asserted).
+_ROUND11_FRONT = [
+    "l20_ingest_rollup_pipeline",
+]
+assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 1
+_missing11 = [n for n in _ROUND11_FRONT if n not in REGISTRY]
+assert not _missing11, f"reorder names absent from REGISTRY: {_missing11}"
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _ROUND11_FRONT},
+    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
+}
+assert len(REGISTRY) == 316
