@@ -5688,3 +5688,126 @@ FROM synth
 GROUP BY 1
 ORDER BY status_class
 """
+
+# l21: the ErrorLog line-mode pipe (render -> chunked line spool with
+# last-newline carry -> CR strip -> empty drop -> LogEntry wrap +
+# --add-entry -> severity rollup).  DuckDB rederives the rollup from
+# events (the render is integer-exact) applying the SAME blank-line
+# exclusion F1 enforces; log_file asserts the wrapped static entry.
+ORACLES["l21_errorlog_pipeline"] = """
+WITH synth AS (
+    SELECT CASE WHEN event_id % 4 = 0 THEN 'error'
+                WHEN event_id % 4 = 1 THEN 'warn'
+                WHEN event_id % 4 = 2 THEN 'notice'
+                ELSE 'crit' END AS level,
+           user_id % 256       AS octet,
+           event_id            AS err_id
+    FROM events
+    WHERE event_id % 5 = 0 AND event_id % 11 <> 0
+)
+SELECT level,
+       'HTTPErrorLog'                          AS log_file,
+       count(*)                                AS n_lines,
+       CAST(count(DISTINCT octet) AS BIGINT)   AS n_clients,
+       CAST(min(err_id) AS BIGINT)             AS first_err,
+       CAST(max(err_id) AS BIGINT)             AS last_err
+FROM synth
+GROUP BY level
+ORDER BY level
+"""
+
+# w08: contamination-safe train/val split.  Exact-dup groups co-assign
+# by the group KEEPER's md5-prefix bucket (engine-portable, t09's
+# rule); the oracle replays assignment, the structural exact_leak = 0
+# invariant, and the cohort near-dup straddle telemetry with d02's
+# 3-gram J>=0.8 truth CTE.
+ORACLES["w08_leak_safe_split"] = """
+WITH fp AS (
+    SELECT doc_id, md5(text) AS fp FROM documents
+),
+grp AS (
+    SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY fp
+),
+asg AS (
+    SELECT f.doc_id, f.fp,
+           CASE WHEN substr(md5('split:' || CAST(g.keeper AS VARCHAR)),
+                            1, 2) < 'cc'
+                THEN 'train' ELSE 'val' END AS split
+    FROM fp f JOIN grp g USING (fp)
+),
+base AS (
+    SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 500
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM base)
+    WHERE len(t) >= 3
+),
+truth AS (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+    FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+    WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+),
+tots AS (
+    SELECT count(*) AS n_docs,
+           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+           sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)   AS n_val
+    FROM asg
+),
+ex AS (
+    SELECT count(*) AS exact_leak
+    FROM (SELECT fp FROM asg GROUP BY fp
+          HAVING count(DISTINCT split) > 1)
+),
+leak AS (
+    SELECT count(*) AS n_true_pairs,
+           coalesce(sum(CASE WHEN a.split <> b.split
+                             THEN 1 ELSE 0 END), 0) AS cohort_leak
+    FROM truth t
+    JOIN asg a ON t.id_a = a.doc_id
+    JOIN asg b ON t.id_b = b.doc_id
+)
+SELECT CAST(n_docs AS BIGINT)       AS n_docs,
+       CAST(n_train AS BIGINT)      AS n_train,
+       CAST(n_val AS BIGINT)        AS n_val,
+       CAST(n_train * 1000 // n_docs AS BIGINT) AS train_pm,
+       CAST(exact_leak AS BIGINT)   AS exact_leak,
+       CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(cohort_leak AS BIGINT)  AS cohort_leak
+FROM tots, ex, leak
+"""
+
+# p10: bin-packed compaction plan over the deterministic file
+# inventory derived from events; the running-fill group rule is one
+# ordered window per directory in both engines.
+ORACLES["p10_compaction_plan"] = """
+WITH inv AS (
+    SELECT event_type AS dir,
+           event_id   AS file_id,
+           (event_id * 7919) % 262144 + 1024 AS size_bytes
+    FROM events
+),
+planned AS (
+    SELECT dir, size_bytes,
+           sum(size_bytes) OVER (
+               PARTITION BY dir
+               ORDER BY size_bytes DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM inv
+)
+SELECT dir,
+       CAST((cum - size_bytes) // 33554432 AS BIGINT) AS group_no,
+       count(*)                                AS n_files,
+       CAST(sum(size_bytes) AS BIGINT)         AS group_bytes,
+       CAST(max(size_bytes) AS BIGINT)         AS largest,
+       CAST(min(size_bytes) AS BIGINT)         AS smallest
+FROM planned
+GROUP BY dir, (cum - size_bytes) // 33554432
+ORDER BY dir, group_no
+"""

@@ -12165,6 +12165,277 @@ def l20_ingest_rollup_pipeline(
     )
 
 
+def l21_errorlog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OTHER deployment pipe, end to end: ``ErrorLog
+    "|kinesis-log-streamer --format line --output-format json
+    --add-entry LogFile=HTTPErrorLog"`` (functest/apachelogs/
+    httpd.conf:182) — plain error-log LINES through the chunked
+    line-mode spool (S2's last-newline carry, linestreamer.go:49-57 ≙
+    ``StdinSpooler(fmt='line')``), then the full line-mode transform
+    chain: CR strip (linestreamer.go:64-69), empty-line drop
+    (linestreamer.go:86), wrap-under-LogEntry + static entries
+    (linestreamer.go:92-99 ≙ ``transforms.wrap_line_as_json``), then
+    consumer-side severity analytics over the wrapped records.
+    l20 composes the CustomLog/json pipe; this composes the
+    ErrorLog/line pipe, so both httpd.conf dataflows carry a
+    single-query oracle gate.
+
+    The rendered lines exercise the edge rules under the gate: every
+    third line arrives CRLF-terminated, and the ``event_id % 11``
+    cohort renders as BLANK lines that F1 must drop — the DuckDB
+    oracle applies the same exclusion, so a kept blank, a dropped
+    real line, or a CR leaking into the payload breaks the hash.
+
+    Scale: spool = one pipe (O(chunk) memory); the analytics leg is
+    scan → codegen regexp over the wrapped JSON → partial-agg rollup
+    on |levels| × 1 groups."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kinesis_log_streamer_spark.operators import transforms as T
+    from kinesis_log_streamer_spark.streaming.stdin_spool import StdinSpooler
+
+    for stale in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "klss_l21_*")
+    ):
+        if _time.time() - os.path.getmtime(stale) > 3600:
+            shutil.rmtree(stale, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="klss_l21_")
+    src = os.path.join(base, "src")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    level = (
+        F.when(F.col("event_id") % 4 == 0, "error")
+        .when(F.col("event_id") % 4 == 1, "warn")
+        .when(F.col("event_id") % 4 == 2, "notice")
+        .otherwise("crit")
+    )
+    line = F.concat(
+        F.lit("["),
+        level,
+        F.lit("] client 10.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(".1 "),
+        F.col("event_type"),
+        F.lit(" err="),
+        F.col("event_id").cast("string"),
+    )
+    rendered = ev.select(
+        F.when(F.col("event_id") % 11 == 0, F.lit(""))
+        .otherwise(
+            F.when(
+                F.col("event_id") % 3 == 0, F.concat(line, F.lit("\r"))
+            ).otherwise(line)
+        )
+        .alias("value")
+    )
+    rendered.write.text(src)
+
+    StdinSpooler(
+        _PartFilesStream(src), landing, fmt="line", chunk_bytes=4096
+    ).run()
+
+    raw = spark.read.text(landing)
+    # S2 CR strip + F1 empty drop + T2/T4 wrap — the exact line-mode
+    # chain (the text reader may already strip a trailing CR; the
+    # explicit strip keeps transform parity with the reference).
+    wrapped = T.wrap_line_as_json(
+        T.filter_empty_lines(T.strip_cr(raw)),
+        entries={"LogFile": "HTTPErrorLog"},
+    )
+    rec = wrapped.select(
+        F.get_json_object("data", "$.LogEntry").alias("entry"),
+        F.get_json_object("data", "$.LogFile").alias("log_file"),
+    )
+    return (
+        rec.select(
+            F.regexp_extract("entry", r"^\[([a-z]+)\]", 1).alias("level"),
+            "log_file",
+            F.regexp_extract("entry", r"client 10\.0\.([0-9]+)\.1", 1)
+            .cast("long")
+            .alias("octet"),
+            F.regexp_extract("entry", r"err=([0-9]+)$", 1)
+            .cast("long")
+            .alias("err_id"),
+        )
+        .groupBy("level", "log_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("octet").alias("n_clients"),
+            F.min("err_id").alias("first_err"),
+            F.max("err_id").alias("last_err"),
+        )
+        .orderBy("level")
+    )
+
+
+def w08_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe TRAIN/VAL split — the assignment step every
+    training pipeline runs after dedup, done so that no exact
+    duplicate ever straddles the split (train/test contamination, the
+    failure t13 measures against external benchmarks, applied to the
+    pipeline's OWN eval set): documents are grouped by content
+    fingerprint (md5), the group KEEPER's hash — not the member's —
+    decides the split (hash-bucket sampling, t09's engine-portable
+    md5-prefix rule, ~80 % train at prefix < 'cc' = 204/256), and
+    every member inherits it.
+
+    Gate columns: ``exact_leak`` = fingerprint groups spanning both
+    splits (structurally 0 — any nonzero means the co-assignment
+    machinery broke); ``n_true_pairs``/``cohort_leak`` = the d02
+    truth cohort's NEAR-dup pairs (500-smallest-doc, 3-gram string
+    Jaccard ≥ 0.8) and how many of them straddle the split — honest
+    telemetry: exact-group co-assignment does NOT co-assign near-dups
+    with differing bytes, and this is the number that tells an
+    operator whether to upgrade the split key to d05's near-dup
+    cluster representative.
+
+    Scale: one md5-group shuffle over (doc_id, fp) — never the text —
+    plus a window min per group; the split decision is scan-local
+    arithmetic on the keeper id; the cohort legs are the fixed-size
+    memoized verifier shared with d02/d03."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    asg = docs.withColumn(
+        "keeper", F.min("doc_id").over(W.partitionBy("fp"))
+    ).withColumn(
+        "split",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"), F.col("keeper").cast("string")
+                    )
+                ),
+                1,
+                2,
+            )
+            < F.lit("cc"),
+            F.lit("train"),
+        ).otherwise(F.lit("val")),
+    )
+    asg = asg.localCheckpoint(eager=True)
+    tots = asg.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+    )
+    ex = (
+        asg.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("ns") > 1).cast("long")), F.lit(0)
+            ).alias("exact_leak")
+        )
+    )
+    truth = spark.createDataFrame(
+        [
+            (ia, ib)
+            for ia, ib, j in _cohort_truth_pairs(spark, sf_dir)
+            if j >= 0.8
+        ]
+        or [],
+        "id_a long, id_b long",
+    )
+    leak = (
+        truth.join(
+            asg.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            asg.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "id_b",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.coalesce(
+                F.sum(
+                    (F.col("split_a") != F.col("split_b")).cast("long")
+                ),
+                F.lit(0),
+            ).alias("cohort_leak"),
+        )
+    )
+    gate = (
+        tots.crossJoin(ex)
+        .crossJoin(leak)
+        .select(
+            "n_docs",
+            "n_train",
+            "n_val",
+            F.expr("n_train * 1000 div n_docs").alias("train_pm"),
+            "exact_leak",
+            "n_true_pairs",
+            "cohort_leak",
+        )
+    )
+    return _eager_gate_row(gate)
+
+
+def p10_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION planner — the table-maintenance pass a
+    100 TB lakehouse runs nightly (Delta OPTIMIZE / Iceberg rewrite's
+    planning step): given a file inventory, emit bin-packed merge
+    groups targeting a fixed output size, so millions of
+    streaming-landed small files become scan-efficient ~32 MiB
+    objects.  The inventory here is derived deterministically from
+    ``events`` (file per event, size = integer function of the id,
+    directory = the event_type partition) so DuckDB replays the
+    whole plan.
+
+    Packing rule (engine-portable, one window pass): within each
+    directory order files largest-first (FFD's ordering) and assign
+    ``group_no = preceding_fill div target`` off the running byte
+    sum — the streaming bin-fill used by AQE partition coalescing,
+    deterministic and exactly replayable, unlike true FFD whose
+    per-bin state is inherently sequential.
+
+    Scale: the only shuffle is the per-DIRECTORY window (directories
+    = date/type partitions, thousands at 100 TB → full parallelism;
+    never a global order over the inventory); the group rollup is a
+    partial agg on (dir, group)."""
+    target = 32 * 1024 * 1024
+    ev = _t(spark, sf_dir, "events")
+    inv = ev.select(
+        F.col("event_type").alias("dir"),
+        F.col("event_id").alias("file_id"),
+        ((F.col("event_id") * 7919) % 262144 + 1024).alias("size_bytes"),
+    )
+    w = (
+        W.partitionBy("dir")
+        .orderBy(F.desc("size_bytes"), F.asc("file_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    planned = inv.withColumn(
+        "cum", F.sum("size_bytes").over(w)
+    ).withColumn(
+        "group_no", F.expr(f"(cum - size_bytes) div {target}L")
+    )
+    return (
+        planned.groupBy("dir", "group_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").alias("group_bytes"),
+            F.max("size_bytes").alias("largest"),
+            F.min("size_bytes").alias("smallest"),
+        )
+        .orderBy("dir", "group_no")
+    )
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -12369,6 +12640,9 @@ REGISTRY = {
     "l19_log_template_mining": l19_log_template_mining,
     # -- block 3 (round 11): new this round --------------------------
     "l20_ingest_rollup_pipeline": l20_ingest_rollup_pipeline,
+    "l21_errorlog_pipeline": l21_errorlog_pipeline,
+    "w08_leak_safe_split": w08_leak_safe_split,
+    "p10_compaction_plan": p10_compaction_plan,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -12575,7 +12849,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 316
+assert len(REGISTRY) == 319
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -12597,7 +12871,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 316
+assert len(REGISTRY) == 319
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -12642,7 +12916,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 316
+assert len(REGISTRY) == 319
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so the front is
@@ -12650,12 +12924,15 @@ assert len(REGISTRY) == 316
 # Key-set-preserving (asserted).
 _ROUND11_FRONT = [
     "l20_ingest_rollup_pipeline",
+    "l21_errorlog_pipeline",
+    "w08_leak_safe_split",
+    "p10_compaction_plan",
 ]
-assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 1
+assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 4
 _missing11 = [n for n in _ROUND11_FRONT if n not in REGISTRY]
 assert not _missing11, f"reorder names absent from REGISTRY: {_missing11}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 316
+assert len(REGISTRY) == 319

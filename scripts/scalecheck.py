@@ -156,8 +156,18 @@ BENDS = {
     ),
     "st03_stream_stream_join": (
         "stream-stream inner join: state rows scale with keys in the "
-        "watermark horizon (10x), time grows 2x — the state store's "
-        "put/get volume, amortized over micro-batch fixed cost"
+        "watermark horizon (10x), time grows 2-3.5x — the state "
+        "store's put/get volume; the ratio STEEPENED in round 11 "
+        "because the sf0.1 denominator shrank (the no-data "
+        "micro-batch skip cut the small-scale fixed cost), not "
+        "because the scaled leg got slower"
+    ),
+    "s21_ivf_maxsim_rerank": (
+        "IVF serving path: candidates = nprobe/16 of the corpus, so "
+        "the MaxSim rerank leg is LINEAR in corpus size by design — "
+        "~2.6x time for 10x rows is the rerank lattice leaving the "
+        "fixed-cost region, sub-linear and cell-skew-free (a "
+        "super-linear bend here would mean skewed coarse cells)"
     ),
     "st10_stream_left_outer_join": (
         "left-outer adds the unmatched-row eviction scan at watermark "
