@@ -234,6 +234,11 @@ HEADLINE = [
     "p09_join_skew_profile",
     "s21_ivf_maxsim_rerank",
     "l19_log_template_mining",
+    # round-11 additions (l20/l21's single-stream spool stages are
+    # CLI-path fixture builds like i07 — selfcheck-covered, not
+    # headline; w08's gate legs ride the memoized d02 cohort).
+    "w08_leak_safe_split",
+    "p10_compaction_plan",
 ]
 
 
