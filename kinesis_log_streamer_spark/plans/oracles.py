@@ -5811,3 +5811,18 @@ FROM planned
 GROUP BY dir, (cum - size_bytes) // 33554432
 ORDER BY dir, group_no
 """
+
+# i08: the live spool->stream drain; the oracle recomputes the rollup
+# straight from events, so a lost or duplicated landing file anywhere
+# in the concurrent land/list/clean path breaks the hash.
+ORACLES["i08_live_spool_stream"] = """
+SELECT event_type,
+       count(*)                        AS n_records,
+       CAST(min(event_id) AS BIGINT)   AS min_id,
+       CAST(max(event_id) AS BIGINT)   AS max_id,
+       round(sum(value), 2)            AS sum_value
+FROM events
+WHERE event_id % 9 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -12385,6 +12385,93 @@ def w08_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager_gate_row(gate)
 
 
+def i08_live_spool_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI STREAMING mode's LIVE concurrency under the oracle
+    gate (cli.py:147-225): the spooler thread lands 64 KiB chunks
+    (the reference's read size, linestreamer.go:34) WHILE a
+    ``processingTime`` micro-batch query tails the landing directory
+    with ``maxFilesPerTrigger`` backpressure (the cap-5 channel,
+    linestreamer.go:37) and ``cleanSource=delete`` keeps the listing
+    bounded; ``drain_and_stop`` applies the reference's EOF-or-idle
+    stop rule (basestreamer.go:27-46).  i07 proves the chunk-carry
+    SPLIT is correct synchronously; this proves the concurrent
+    land/list/clean machinery drops or duplicates nothing — the
+    oracle recomputes the rollup from events, so one lost or re-read
+    landing file breaks the hash.
+
+    Scale: the spool is the single-stream CLI tail; the query side is
+    the ordinary file-source micro-batch engine — the same pipeline
+    shape that runs against a never-EOF Apache pipe in production."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kinesis_log_streamer_spark.streaming.stdin_spool import (
+        StdinSpooler,
+        drain_and_stop,
+    )
+
+    for stale in _glob.glob(
+        os.path.join(tempfile.gettempdir(), "klss_i08_*")
+    ):
+        if _time.time() - os.path.getmtime(stale) > 3600:
+            shutil.rmtree(stale, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="klss_i08_")
+    src = os.path.join(base, "src")
+    landing = os.path.join(base, "landing")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(landing)
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
+    ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("value")
+    ).write.text(src)
+
+    raw = (
+        spark.readStream.schema("value string")
+        .format("text")
+        .option("maxFilesPerTrigger", "16")
+        .option("cleanSource", "delete")
+        .load(landing)
+    )
+    parsed = raw.select(
+        F.from_json(
+            "value", "event_id long, event_type string, value double"
+        ).alias("r")
+    )
+    # countDistinct is unsupported in streaming aggregation; min/max
+    # ids plus exact counts give the same lost/duplicated signal.
+    agg = parsed.groupBy(F.col("r.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("r.event_id").alias("min_id"),
+        F.max("r.event_id").alias("max_id"),
+        F.round(F.sum("r.value"), 2).alias("sum_value"),
+    )
+    spark.catalog.dropTempView("i08_out")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("i08_out")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    spooler = StdinSpooler(_PartFilesStream(src), landing, fmt="json")
+    try:
+        spooler.start_thread()
+        drain_and_stop(
+            q, spooler, trigger_interval_s=0.25, timeout_s=300
+        )
+    finally:
+        if q.isActive:
+            q.stop()
+    if spooler.error is not None:
+        raise spooler.error
+    return spark.table("i08_out").orderBy("event_type")
+
+
 def p10_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file COMPACTION planner — the table-maintenance pass a
     100 TB lakehouse runs nightly (Delta OPTIMIZE / Iceberg rewrite's
@@ -12643,6 +12730,7 @@ REGISTRY = {
     "l21_errorlog_pipeline": l21_errorlog_pipeline,
     "w08_leak_safe_split": w08_leak_safe_split,
     "p10_compaction_plan": p10_compaction_plan,
+    "i08_live_spool_stream": i08_live_spool_stream,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -12849,7 +12937,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 319
+assert len(REGISTRY) == 320
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -12871,7 +12959,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 319
+assert len(REGISTRY) == 320
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -12916,7 +13004,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 319
+assert len(REGISTRY) == 320
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so the front is
@@ -12927,12 +13015,13 @@ _ROUND11_FRONT = [
     "l21_errorlog_pipeline",
     "w08_leak_safe_split",
     "p10_compaction_plan",
+    "i08_live_spool_stream",
 ]
-assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 4
+assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 5
 _missing11 = [n for n in _ROUND11_FRONT if n not in REGISTRY]
 assert not _missing11, f"reorder names absent from REGISTRY: {_missing11}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 319
+assert len(REGISTRY) == 320

@@ -161,6 +161,29 @@ class TestLeakSafeSplit:
         assert all(len(s) == 1 for s in by_fp.values())
 
 
+class TestLiveSpoolStream:
+    def test_matches_python_recompute(self, spark):
+        ev = _pq("events")
+        ev = ev[ev["event_id"] % 9 == 0]
+        exp = []
+        for et, g in ev.groupby("event_type"):
+            exp.append(
+                (
+                    str(et),
+                    len(g),
+                    int(g["event_id"].min()),
+                    int(g["event_id"].max()),
+                    round(float(g["value"].sum()), 2),
+                )
+            )
+        exp.sort()
+        got = [
+            (r.event_type, r.n_records, r.min_id, r.max_id, r.sum_value)
+            for r in Q.i08_live_spool_stream(spark, SF_SMOKE).collect()
+        ]
+        assert got == exp
+
+
 class TestCompactionPlan:
     TARGET = 32 * 1024 * 1024
 
