@@ -100,6 +100,12 @@ QUERIES = [
     # skew in the coarse assignment.
     "s21_ivf_maxsim_rerank",
     "l19_log_template_mining",
+    # round-11 additions.  l20/l21/i08 are EXCLUDED like i07: their
+    # dominant leg is the single-stream CLI spool tail (one pipe, by
+    # design not a cluster query), so a 10x ratio would measure the
+    # spooler's Python loop, not a Spark plan.
+    "w08_leak_safe_split",
+    "p10_compaction_plan",
 ]
 
 
@@ -232,6 +238,26 @@ BENDS = {
     "q46_recursive_cte": (
         "recursion depth is fixed by the org hierarchy, not row "
         "count; per-level joins scan 10x rows"
+    ),
+    "s04_embedding_near_dups": (
+        "measured pair-OUTPUT growth, the d02/d03 class: the replica "
+        "construction copies every embedding 10x verbatim, so "
+        "identical vectors share every LSH bucket and the emitted "
+        "pair set grows ~178x (1,160 -> 206,000 measured) while time "
+        "grows 12x — strongly sub-linear per emitted pair; candidate "
+        "generation stays bucketed, never all-pairs"
+    ),
+    "p10_compaction_plan": (
+        "the synthetic inventory has FIVE directories at every scale "
+        "(event_type), so the per-dir ordered window gets 10x rows "
+        "with fixed 5-way parallelism — a replica-corpus artifact; "
+        "at 100 TB directories are date x type partitions (thousands) "
+        "and the same plan parallelizes fully"
+    ),
+    "q109_asof_nearest": (
+        "as-of nearest: both join legs grow 10x through the per-key "
+        "sorted merge; ~2.4x time is the sort leg leaving the "
+        "fixed-cost region, sub-linear in rows"
     ),
 }
 
