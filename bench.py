@@ -239,6 +239,7 @@ HEADLINE = [
     # headline; w08's gate legs ride the memoized d02 cohort).
     "w08_leak_safe_split",
     "p10_compaction_plan",
+    "p11_join_size_preflight",
 ]
 
 

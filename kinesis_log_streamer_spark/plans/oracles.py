@@ -5826,3 +5826,61 @@ WHERE event_id % 9 = 0
 GROUP BY event_type
 ORDER BY event_type
 """
+
+# p11: the sum-product join-size formula from per-key histograms,
+# verified against the actual join count per pair in both engines.
+ORACLES["p11_join_size_preflight"] = """
+WITH est1 AS (
+    SELECT 'lineitem*orders' AS pair,
+           count(*) AS n_common_keys,
+           CAST(sum(ca * cb) AS BIGINT) AS est_rows,
+           CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+    FROM (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) a
+    JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1) b
+    USING (k)
+),
+act1 AS (
+    SELECT count(*) AS actual_rows
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+est2 AS (
+    SELECT 'events*events' AS pair,
+           count(*) AS n_common_keys,
+           CAST(sum(ca * cb) AS BIGINT) AS est_rows,
+           CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+    FROM (SELECT user_id AS k, count(*) AS ca FROM events GROUP BY 1) a
+    JOIN (SELECT user_id AS k, count(*) AS cb FROM events GROUP BY 1) b
+    USING (k)
+),
+act2 AS (
+    SELECT count(*) AS actual_rows
+    FROM events x JOIN events y ON x.user_id = y.user_id
+),
+est3 AS (
+    SELECT 'orders*events' AS pair,
+           count(*) AS n_common_keys,
+           CAST(sum(ca * cb) AS BIGINT) AS est_rows,
+           CAST(max(ca * cb) AS BIGINT) AS max_key_rows
+    FROM (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1) a
+    JOIN (SELECT user_id AS k, count(*) AS cb FROM events GROUP BY 1) b
+    USING (k)
+),
+act3 AS (
+    SELECT count(*) AS actual_rows
+    FROM orders o JOIN events e ON o.o_custkey = e.user_id
+)
+SELECT pair, n_common_keys, est_rows,
+       CAST(max_key_rows * 1000000 // greatest(est_rows, 1) AS BIGINT)
+           AS top_key_share_pm,
+       CAST(actual_rows AS BIGINT) AS actual_rows,
+       CAST(CASE WHEN est_rows = actual_rows THEN 1 ELSE 0 END AS INT)
+           AS match
+FROM (
+    SELECT e.*, a.actual_rows FROM est1 e, act1 a
+    UNION ALL
+    SELECT e.*, a.actual_rows FROM est2 e, act2 a
+    UNION ALL
+    SELECT e.*, a.actual_rows FROM est3 e, act3 a
+)
+ORDER BY pair
+"""

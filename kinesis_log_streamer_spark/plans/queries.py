@@ -12385,6 +12385,67 @@ def w08_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager_gate_row(gate)
 
 
+def p11_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join OUTPUT-SIZE pre-flight — the planner arithmetic that
+    decides broadcast vs shuffle vs salt BEFORE paying for the join
+    (p09 profiles per-key skew; this computes the other number the
+    decision needs): ``|A ⋈ B on k| = Σ_k cnt_A(k)·cnt_B(k)`` from the
+    two per-key count histograms, plus the single hottest key's share
+    of the output.  The gate also RUNS each equi-join and reports the
+    actual row count with a match flag, so the formula itself is
+    oracle-verified — est_rows must equal actual_rows exactly on every
+    pair, in both engines.
+
+    Scale: per side one partial-agg count per key; the histogram join
+    shuffles |distinct keys| rows, never the fact rows — at 100 TB
+    this costs two scans and a key-sized join while the real join it
+    predicts costs the full shuffle.  (The verification leg that runs
+    the actual join exists for the gate; a production pre-flight emits
+    only the estimate.)"""
+
+    def _pair(left, lk, right, rk, label):
+        cl = left.groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("ca")
+        )
+        cr = right.groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cb")
+        )
+        est = cl.join(cr, "k").agg(
+            F.count(F.lit(1)).alias("n_common_keys"),
+            F.sum(F.col("ca") * F.col("cb")).alias("est_rows"),
+            F.max(F.col("ca") * F.col("cb")).alias("max_key_rows"),
+        )
+        actual = left.select(F.col(lk).alias("k")).join(
+            right.select(F.col(rk).alias("k")), "k"
+        ).agg(F.count(F.lit(1)).alias("actual_rows"))
+        return est.crossJoin(actual).select(
+            F.lit(label).alias("pair"),
+            "n_common_keys",
+            "est_rows",
+            F.expr(
+                "max_key_rows * 1000000 div greatest(est_rows, 1)"
+            ).alias("top_key_share_pm"),
+            "actual_rows",
+            (F.col("est_rows") == F.col("actual_rows"))
+            .cast("int")
+            .alias("match"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        _pair(li, "l_orderkey", od, "o_orderkey", "lineitem*orders")
+        .unionByName(
+            _pair(ev, "user_id", ev, "user_id", "events*events")
+        )
+        .unionByName(
+            _pair(od, "o_custkey", ev, "user_id", "orders*events")
+        )
+    )
+    return out.orderBy("pair")
+
+
 def i08_live_spool_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CLI STREAMING mode's LIVE concurrency under the oracle
     gate (cli.py:147-225): the spooler thread lands 64 KiB chunks
@@ -12731,6 +12792,7 @@ REGISTRY = {
     "w08_leak_safe_split": w08_leak_safe_split,
     "p10_compaction_plan": p10_compaction_plan,
     "i08_live_spool_stream": i08_live_spool_stream,
+    "p11_join_size_preflight": p11_join_size_preflight,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -12937,7 +12999,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 320
+assert len(REGISTRY) == 321
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -12959,7 +13021,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 320
+assert len(REGISTRY) == 321
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13004,7 +13066,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 320
+assert len(REGISTRY) == 321
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so the front is
@@ -13016,12 +13078,13 @@ _ROUND11_FRONT = [
     "w08_leak_safe_split",
     "p10_compaction_plan",
     "i08_live_spool_stream",
+    "p11_join_size_preflight",
 ]
-assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 5
+assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 6
 _missing11 = [n for n in _ROUND11_FRONT if n not in REGISTRY]
 assert not _missing11, f"reorder names absent from REGISTRY: {_missing11}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 320
+assert len(REGISTRY) == 321

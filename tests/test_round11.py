@@ -184,6 +184,24 @@ class TestLiveSpoolStream:
         assert got == exp
 
 
+class TestJoinSizePreflight:
+    def test_formula_matches_and_verifies(self, spark):
+        rows = Q.p11_join_size_preflight(spark, SF_SMOKE).collect()
+        assert len(rows) == 3
+        # the sum-product formula is EXACT: every pair must verify
+        for r in rows:
+            assert r.match == 1
+            assert r.est_rows == r.actual_rows
+            assert 0 < r.top_key_share_pm <= 1_000_000
+        # independent recompute of one pair in pandas
+        ev = _pq("events")
+        cnt = ev.groupby("user_id").size()
+        est = int((cnt * cnt).sum())
+        got = {r.pair: r for r in rows}["events*events"]
+        assert got.est_rows == est
+        assert got.n_common_keys == len(cnt)
+
+
 class TestCompactionPlan:
     TARGET = 32 * 1024 * 1024
 
