@@ -240,6 +240,7 @@ HEADLINE = [
     "w08_leak_safe_split",
     "p10_compaction_plan",
     "p11_join_size_preflight",
+    "k06_shard_balance",
 ]
 
 

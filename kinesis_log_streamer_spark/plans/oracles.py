@@ -5884,3 +5884,35 @@ FROM (
 )
 ORDER BY pair
 """
+
+# k06: Kinesis shard-balance diagnosis; both engines route by the
+# first md5 nibble over 8 equal hash ranges.
+ORACLES["k06_shard_balance"] = """
+WITH recs AS (
+    SELECT 'host' AS mode,
+           (instr('0123456789abcdef',
+                  substr(md5('i-0abc.example.internal'), 1, 1)) - 1) // 2
+               AS shard_no
+    FROM events
+    UNION ALL
+    SELECT 'per_user',
+           (instr('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) // 2
+    FROM events
+),
+per AS (
+    SELECT mode, shard_no, count(*) AS n_records
+    FROM recs GROUP BY 1, 2
+)
+SELECT mode,
+       CAST(shard_no AS INT) AS shard_no,
+       n_records,
+       CAST(n_records * 1000
+            // sum(n_records) OVER (PARTITION BY mode) AS BIGINT)
+           AS share_pm,
+       CAST(max(n_records) OVER (PARTITION BY mode) * 1000
+            // sum(n_records) OVER (PARTITION BY mode) AS BIGINT)
+           AS hottest_pm
+FROM per
+ORDER BY mode, shard_no
+"""

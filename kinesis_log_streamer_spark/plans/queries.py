@@ -12385,6 +12385,57 @@ def w08_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager_gate_row(gate)
 
 
+def k06_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kinesis SHARD-BALANCE diagnosis — the operational gotcha the
+    reference's design bakes in: its partition key is the HOST
+    identity (linestreamer.go:102, hostid.go:22-199), so every record
+    one host produces lands on ONE shard (Kinesis routes by
+    MD5(partition_key) over the hash-key range) and a single chatty
+    Apache box hot-shards the stream no matter how many shards it
+    has.  This query quantifies that for both keying modes over the
+    same records: ``host`` mode (one literal key, the reference's
+    default) vs ``per_user`` mode (partition key = user id, the
+    fan-out a consumer-side aggregator needs).
+
+    Shard model: 8 equal hash ranges; shard_no = first hex nibble of
+    md5(key) div 2 — the same prefix-range routing Kinesis applies to
+    the 128-bit space, engine-portable via the t09 md5 rule.  Output
+    per (mode, shard_no): records + that shard's per-mille share,
+    plus the mode's hottest-shard share — host mode reads 1000 ‰ on
+    one shard (the diagnosis), per_user mode reads ~125 ‰ × 8.
+
+    Scale: one scan per mode, partial-agg on ≤8 groups; the md5
+    routing is scan-local codegen."""
+    ev = _t(spark, sf_dir, "events")
+
+    def _mode(key_col, label):
+        nib = F.substring(F.md5(key_col), 1, 1)
+        shard = (
+            (F.instr(F.lit("0123456789abcdef"), nib) - 1) / 2
+        ).cast("int")
+        per = ev.select(shard.alias("shard_no")).groupBy("shard_no").agg(
+            F.count(F.lit(1)).alias("n_records")
+        )
+        tot = W.partitionBy()
+        return per.select(
+            F.lit(label).alias("mode"),
+            "shard_no",
+            "n_records",
+            F.expr(
+                "n_records * 1000 div (sum(n_records) over ())"
+            ).alias("share_pm"),
+            F.expr(
+                "max(n_records) over () * 1000"
+                " div (sum(n_records) over ())"
+            ).alias("hottest_pm"),
+        )
+
+    out = _mode(F.lit("i-0abc.example.internal"), "host").unionByName(
+        _mode(F.col("user_id").cast("string"), "per_user")
+    )
+    return out.orderBy("mode", "shard_no")
+
+
 def p11_join_size_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join OUTPUT-SIZE pre-flight — the planner arithmetic that
     decides broadcast vs shuffle vs salt BEFORE paying for the join
@@ -12793,6 +12844,7 @@ REGISTRY = {
     "p10_compaction_plan": p10_compaction_plan,
     "i08_live_spool_stream": i08_live_spool_stream,
     "p11_join_size_preflight": p11_join_size_preflight,
+    "k06_shard_balance": k06_shard_balance,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -12999,7 +13051,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 321
+assert len(REGISTRY) == 322
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13021,7 +13073,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 321
+assert len(REGISTRY) == 322
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13066,7 +13118,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 321
+assert len(REGISTRY) == 322
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so the front is
@@ -13079,12 +13131,13 @@ _ROUND11_FRONT = [
     "p10_compaction_plan",
     "i08_live_spool_stream",
     "p11_join_size_preflight",
+    "k06_shard_balance",
 ]
-assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 6
+assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 7
 _missing11 = [n for n in _ROUND11_FRONT if n not in REGISTRY]
 assert not _missing11, f"reorder names absent from REGISTRY: {_missing11}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 321
+assert len(REGISTRY) == 322

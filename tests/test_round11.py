@@ -184,6 +184,38 @@ class TestLiveSpoolStream:
         assert got == exp
 
 
+class TestShardBalance:
+    def test_host_mode_hot_shards_per_user_spreads(self, spark):
+        rows = Q.k06_shard_balance(spark, SF_SMOKE).collect()
+        host = [r for r in rows if r.mode == "host"]
+        per = [r for r in rows if r.mode == "per_user"]
+        # the reference's single host key routes EVERYTHING to one
+        # shard — the diagnosis the query exists to surface.
+        assert len(host) == 1
+        assert host[0].share_pm == 1000
+        assert host[0].hottest_pm == 1000
+        # per-user keys spread across shards; with 8 hash ranges the
+        # hottest shard should carry well under half the stream.
+        assert len(per) >= 4
+        assert per[0].hottest_pm < 500
+        assert sum(r.n_records for r in per) == sum(
+            r.n_records for r in host
+        )
+
+    def test_matches_hashlib_recompute(self, spark):
+        ev = _pq("events")
+        shards = defaultdict(int)
+        for uid in ev["user_id"]:
+            nib = _md5(str(int(uid)))[0]
+            shards["0123456789abcdef".index(nib) // 2] += 1
+        got = {
+            r.shard_no: r.n_records
+            for r in Q.k06_shard_balance(spark, SF_SMOKE).collect()
+            if r.mode == "per_user"
+        }
+        assert got == dict(shards)
+
+
 class TestJoinSizePreflight:
     def test_formula_matches_and_verifies(self, spark):
         rows = Q.p11_join_size_preflight(spark, SF_SMOKE).collect()
