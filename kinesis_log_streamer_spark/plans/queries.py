@@ -13121,10 +13121,23 @@ REGISTRY = {
 assert len(REGISTRY) == 322
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
-# union covers all 315 prior names latest-green, so the front is
-# exactly block (3): the queries brand-new this round.
-# Key-set-preserving (asserted).
+# union covers all 315 prior names latest-green, so block (1) is the
+# seventeen queries whose CODE changed this round and therefore need
+# a fresh driver verdict (the l-family consumers of the new _access
+# memo; the st drains that took the no-data skip or the evflush
+# fixture memo — all tri-scale selfchecked green), then block (3):
+# the queries brand-new this round.  Key-set-preserving (asserted).
 _ROUND11_FRONT = [
+    # block 1: code-changed green queries (fresh verdict wanted)
+    "l01_status_rollup", "l02_topk_urls", "l03_windowed_error_rate",
+    "l04_request_line_split", "l05_latency_percentiles",
+    "l06_client_sessions", "l15_apdex", "l16_slo_burn_rate",
+    "st01_stream_window_counts", "st02_stream_session_counts",
+    "st03_stream_stream_join", "st04_stream_dedup",
+    "st05_event_time_sessions", "st07_stream_static_join",
+    "st10_stream_left_outer_join", "st11_stream_source_union",
+    "st13_update_mode_counts",
+    # block 3: brand-new this round
     "l20_ingest_rollup_pipeline",
     "l21_errorlog_pipeline",
     "w08_leak_safe_split",
@@ -13133,7 +13146,7 @@ _ROUND11_FRONT = [
     "p11_join_size_preflight",
     "k06_shard_balance",
 ]
-assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 7
+assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 24
 _missing11 = [n for n in _ROUND11_FRONT if n not in REGISTRY]
 assert not _missing11, f"reorder names absent from REGISTRY: {_missing11}"
 REGISTRY = {
