@@ -241,6 +241,7 @@ HEADLINE = [
     "p10_compaction_plan",
     "p11_join_size_preflight",
     "k06_shard_balance",
+    "w09_point_in_time_matrix",
 ]
 
 

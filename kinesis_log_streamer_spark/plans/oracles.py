@@ -5916,3 +5916,60 @@ SELECT mode,
 FROM per
 ORDER BY mode, shard_no
 """
+
+# w09: point-in-time feature assembly; each as-of leg is the q23
+# rn=1 pattern, the 90-day staleness null and the leak flag are
+# shared post-projections.
+ORACLES["w09_point_in_time_matrix"] = """
+WITH labels AS (
+    SELECT event_id, user_id, ts, event_type AS label
+    FROM events WHERE event_id % 3 = 0
+),
+f1src AS (
+    SELECT o_custkey AS user_id, o_orderdate AS fts,
+           round(max(o_totalprice), 2) AS f1_raw
+    FROM orders GROUP BY 1, 2
+),
+j1 AS (
+    SELECT event_id, f1_raw, fts FROM (
+        SELECT l.event_id, f.f1_raw, f.fts,
+               row_number() OVER (PARTITION BY l.event_id
+                                  ORDER BY f.fts DESC) AS rn
+        FROM labels l
+        LEFT JOIN f1src f
+          ON f.user_id = l.user_id AND f.fts <= l.ts
+    ) WHERE rn = 1
+),
+f2src AS (
+    SELECT o.o_custkey AS user_id, li.l_shipdate AS fts,
+           CAST(sum(li.l_quantity) AS BIGINT) AS f2
+    FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+),
+j2 AS (
+    SELECT event_id, f2, fts FROM (
+        SELECT l.event_id, f.f2, f.fts,
+               row_number() OVER (PARTITION BY l.event_id
+                                  ORDER BY f.fts DESC) AS rn
+        FROM labels l
+        LEFT JOIN f2src f
+          ON f.user_id = l.user_id AND f.fts <= l.ts
+    ) WHERE rn = 1
+)
+SELECT l.event_id, l.user_id, l.label,
+       CASE WHEN j1.fts IS NOT NULL
+             AND date_diff('day', CAST(j1.fts AS DATE),
+                           CAST(l.ts AS DATE)) <= 90
+            THEN j1.f1_raw END AS f1,
+       CASE WHEN j1.fts IS NOT NULL
+            THEN CAST(date_diff('day', CAST(j1.fts AS DATE),
+                                CAST(l.ts AS DATE)) AS INT)
+            END AS f1_age_days,
+       j2.f2 AS f2,
+       CAST(CASE WHEN j1.fts > l.ts OR j2.fts > l.ts
+                 THEN 1 ELSE 0 END AS INT) AS leak_viol
+FROM labels l
+LEFT JOIN j1 USING (event_id)
+LEFT JOIN j2 USING (event_id)
+ORDER BY event_id
+"""

@@ -12385,6 +12385,78 @@ def w08_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _eager_gate_row(gate)
 
 
+def w09_point_in_time_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time TRAINING-MATRIX assembly — the feature-store
+    join every supervised pipeline runs: each labeled example is
+    enriched with the latest value of every feature STRICTLY AS OF
+    its own timestamp, never after it (future leakage is the w08
+    failure mode on the time axis).  Two temporal feature sources at
+    different cadences join the label stream via the as-of operator
+    (`operators/asof.py` — union + last(ignorenulls), one shuffle,
+    no join explosion): the user's most recent order value, and the
+    user's most recent shipment-day quantity (lineitem⋈orders).
+
+    Contract columns the oracle pins: ``f1`` is NULLED when the
+    matched feature is older than 90 days (staleness tolerance —
+    applied in a post-projection on the carried feature timestamp so
+    both engines share one rule), ``f1_age_days`` exposes the
+    freshness the null rule used, and ``leak_viol`` asserts no
+    matched feature postdates its example (structurally 0 — the
+    as-of direction is backward).
+
+    Scale: each as-of is the q23 union trick (shuffle carries
+    labels + |distinct (user, day)| feature rows, O(1) window state
+    per key); features pre-aggregate to unique (key, ts) so
+    equal-timestamp ties cannot flip across engines."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("event_type").alias("label"),
+        )
+    )
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    f1src = (
+        od.groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("fts"),
+        )
+        .agg(F.round(F.max("o_totalprice"), 2).alias("f1_raw"))
+        .select("user_id", "fts", "f1_raw", F.col("fts").alias("f1_ts"))
+    )
+    f2src = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_shipdate").alias("fts"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("f2"))
+        .select("user_id", "fts", "f2", F.col("fts").alias("f2_ts"))
+    )
+    m1 = asof_join(ev, f1src, key="user_id", left_ts="ts", right_ts="fts")
+    m2 = asof_join(m1, f2src, key="user_id", left_ts="ts", right_ts="fts")
+    age = F.datediff(F.col("ts").cast("date"), F.col("f1_ts").cast("date"))
+    viol = (
+        F.coalesce((F.col("f1_ts") > F.col("ts")).cast("int"), F.lit(0))
+        + F.coalesce((F.col("f2_ts") > F.col("ts")).cast("int"), F.lit(0))
+    )
+    return m2.select(
+        "event_id",
+        "user_id",
+        "label",
+        F.when(age <= 90, F.col("f1_raw")).alias("f1"),
+        F.when(F.col("f1_ts").isNotNull(), age).alias("f1_age_days"),
+        "f2",
+        (viol > 0).cast("int").alias("leak_viol"),
+    ).orderBy("event_id")
+
+
 def k06_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kinesis SHARD-BALANCE diagnosis — the operational gotcha the
     reference's design bakes in: its partition key is the HOST
@@ -12845,6 +12917,7 @@ REGISTRY = {
     "i08_live_spool_stream": i08_live_spool_stream,
     "p11_join_size_preflight": p11_join_size_preflight,
     "k06_shard_balance": k06_shard_balance,
+    "w09_point_in_time_matrix": w09_point_in_time_matrix,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -13051,7 +13124,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 322
+assert len(REGISTRY) == 323
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13073,7 +13146,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 322
+assert len(REGISTRY) == 323
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13118,7 +13191,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 322
+assert len(REGISTRY) == 323
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -13145,12 +13218,13 @@ _ROUND11_FRONT = [
     "i08_live_spool_stream",
     "p11_join_size_preflight",
     "k06_shard_balance",
+    "w09_point_in_time_matrix",
 ]
-assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 24
+assert len(_ROUND11_FRONT) == len(set(_ROUND11_FRONT)) == 25
 _missing11 = [n for n in _ROUND11_FRONT if n not in REGISTRY]
 assert not _missing11, f"reorder names absent from REGISTRY: {_missing11}"
 REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 322
+assert len(REGISTRY) == 323
