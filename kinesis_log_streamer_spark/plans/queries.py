@@ -68,6 +68,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _sweep_stale_tmp(prefix: str, max_age_s: float = 3600.0) -> None:
+    """Remove abandoned ``/tmp/<prefix>*`` fixture dirs older than an hour.
+
+    Shared by every query that stages a per-invocation tempdir (i07,
+    i08, l20, l21) and by the evflush memo.  Two processes (pytest vs
+    selfcheck — the scenario the evflush comment anticipates) can race:
+    one rmtrees a dir between the other's glob and getmtime, so the
+    stat is guarded — a vanished path is exactly the swept state we
+    wanted (ADVICE r11).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            old = time.time() - os.path.getmtime(stale) > max_age_s
+        except OSError:
+            continue
+        if old:
+            shutil.rmtree(stale, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Scan / filter / aggregation core
 # ---------------------------------------------------------------------------
@@ -2868,6 +2893,10 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str, name: str) -> Da
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
     tmp = _EVFLUSH_MEMO.get(key)
     if tmp is None:
+        # The dir is keyed by applicationId, so every process run
+        # leaves one behind; sweep abandoned copies like l20/l21/i08
+        # do before building ours (ADVICE r11).
+        _sweep_stale_tmp("klss_evflush_")
         app = re.sub(r"[^A-Za-z0-9_-]", "_", key[0])
         corp = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(key[1]))
         tmp = os.path.join(
@@ -10362,11 +10391,8 @@ def i07_stdin_spool_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the spool stage is the CLI driver's stdin tail — inherently
     single-stream (one pipe) and O(chunk) memory; everything after the
     landing dir is ordinary distributed scan."""
-    import glob as _glob
     import os
-    import shutil
     import tempfile
-    import time as _time
 
     from kinesis_log_streamer_spark.streaming.stdin_spool import StdinSpooler
 
@@ -10374,11 +10400,7 @@ def i07_stdin_spool_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (selfcheck vs pytest vs bench) rmtree each other's landing
     # files mid-scan (r5 ADVICE).  Stale dirs from crashed runs are
     # swept opportunistically; live dirs are unique so never shared.
-    for stale in _glob.glob(
-        os.path.join(tempfile.gettempdir(), "klss_i07_*")
-    ):
-        if _time.time() - os.path.getmtime(stale) > 3600:
-            shutil.rmtree(stale, ignore_errors=True)
+    _sweep_stale_tmp("klss_i07_")
     base = tempfile.mkdtemp(prefix="klss_i07_")
     src = os.path.join(base, "src")
     landing = os.path.join(base, "landing")
@@ -12089,7 +12111,11 @@ def l20_ingest_rollup_pipeline(
     concatenated-JSON carry (jsonstreamer.go:34-49 ≙
     ``StdinSpooler``), enriches each object with static entries under
     entry-wins overwrite (--add-entry, jsonstreamer.go:49-56 /
-    main.go:102-122 ≙ ``transforms.enrich_json_objects``), and the
+    main.go:102-122 ≙ ``transforms.enrich_json_objects`` — note the
+    entry map here is a FIXTURE choice exercising the --add-entry
+    mechanism: httpd.conf:203's json CustomLog pipe carries no
+    --add-entry flags, only the ErrorLog line at :182 does, and the
+    LogFile/RequestHandler constants are gate-invented), and the
     consumer side runs the l01 status-class rollup over the typed
     parse — previously proven only in two halves (i07 = ingest, l01 =
     analytics).
@@ -12106,22 +12132,15 @@ def l20_ingest_rollup_pipeline(
     distributed scan → codegen JSON parse → partial-agg rollup.
     Chunk size 4096 ≪ the reference's 64 KiB keeps ~1 carry per chunk
     live in the gate without i07's per-record-file torture cost."""
-    import glob as _glob
     import os
-    import shutil
     import tempfile
-    import time as _time
 
     from kinesis_log_streamer_spark.operators.transforms import (
         enrich_json_objects,
     )
     from kinesis_log_streamer_spark.streaming.stdin_spool import StdinSpooler
 
-    for stale in _glob.glob(
-        os.path.join(tempfile.gettempdir(), "klss_l20_*")
-    ):
-        if _time.time() - os.path.getmtime(stale) > 3600:
-            shutil.rmtree(stale, ignore_errors=True)
+    _sweep_stale_tmp("klss_l20_")
     base = tempfile.mkdtemp(prefix="klss_l20_")
     src = os.path.join(base, "src")
     landing = os.path.join(base, "landing")
@@ -12189,20 +12208,13 @@ def l21_errorlog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: spool = one pipe (O(chunk) memory); the analytics leg is
     scan → codegen regexp over the wrapped JSON → partial-agg rollup
     on |levels| × 1 groups."""
-    import glob as _glob
     import os
-    import shutil
     import tempfile
-    import time as _time
 
     from kinesis_log_streamer_spark.operators import transforms as T
     from kinesis_log_streamer_spark.streaming.stdin_spool import StdinSpooler
 
-    for stale in _glob.glob(
-        os.path.join(tempfile.gettempdir(), "klss_l21_*")
-    ):
-        if _time.time() - os.path.getmtime(stale) > 3600:
-            shutil.rmtree(stale, ignore_errors=True)
+    _sweep_stale_tmp("klss_l21_")
     base = tempfile.mkdtemp(prefix="klss_l21_")
     src = os.path.join(base, "src")
     landing = os.path.join(base, "landing")
@@ -12320,7 +12332,11 @@ def w08_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("train"),
         ).otherwise(F.lit("val")),
     )
-    asg = asg.localCheckpoint(eager=True)
+    # cache + unpersist in the finally (the d02 pattern) rather than an
+    # eager localCheckpoint: the gate row is collected before return,
+    # so nothing downstream needs the blocks, and a checkpoint would
+    # linger until GC across 323-query sweeps (ADVICE r11).
+    asg = asg.cache()
     tots = asg.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
@@ -12382,7 +12398,10 @@ def w08_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_leak",
         )
     )
-    return _eager_gate_row(gate)
+    try:
+        return _eager_gate_row(gate)
+    finally:
+        asg.unpersist()
 
 
 def w09_point_in_time_matrix(
@@ -12488,7 +12507,6 @@ def k06_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         per = ev.select(shard.alias("shard_no")).groupBy("shard_no").agg(
             F.count(F.lit(1)).alias("n_records")
         )
-        tot = W.partitionBy()
         return per.select(
             F.lit(label).alias("mode"),
             "shard_no",
@@ -12586,22 +12604,15 @@ def i08_live_spool_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the spool is the single-stream CLI tail; the query side is
     the ordinary file-source micro-batch engine — the same pipeline
     shape that runs against a never-EOF Apache pipe in production."""
-    import glob as _glob
     import os
-    import shutil
     import tempfile
-    import time as _time
 
     from kinesis_log_streamer_spark.streaming.stdin_spool import (
         StdinSpooler,
         drain_and_stop,
     )
 
-    for stale in _glob.glob(
-        os.path.join(tempfile.gettempdir(), "klss_i08_*")
-    ):
-        if _time.time() - os.path.getmtime(stale) > 3600:
-            shutil.rmtree(stale, ignore_errors=True)
+    _sweep_stale_tmp("klss_i08_")
     base = tempfile.mkdtemp(prefix="klss_i08_")
     src = os.path.join(base, "src")
     landing = os.path.join(base, "landing")
