@@ -242,6 +242,9 @@ HEADLINE = [
     "p11_join_size_preflight",
     "k06_shard_balance",
     "w09_point_in_time_matrix",
+    # round 12
+    "k07_reshard_plan",
+    "f25_zonemap_prune",
 ]
 
 

@@ -5973,3 +5973,108 @@ LEFT JOIN j1 USING (event_id)
 LEFT JOIN j2 USING (event_id)
 ORDER BY event_id
 """
+
+# k07: reshard planner; both engines route by first md5 nibble over 8
+# equal ranges, surface zero-load shards via a range(8) dimension, and
+# apply the same integer split/merge thresholds.
+ORACLES["k07_reshard_plan"] = """
+WITH recs AS (
+    SELECT 'host' AS mode,
+           (instr('0123456789abcdef',
+                  substr(md5('i-0abc.example.internal'), 1, 1)) - 1) // 2
+               AS shard_no
+    FROM events
+    UNION ALL
+    SELECT 'by_type',
+           (instr('0123456789abcdef',
+                  substr(md5(event_type), 1, 1)) - 1) // 2
+    FROM events
+),
+loads AS (SELECT mode, shard_no, count(*) AS n FROM recs GROUP BY 1, 2),
+shards AS (
+    SELECT m.mode, r.range AS shard_no, COALESCE(l.n, 0) AS n_records
+    FROM (SELECT DISTINCT mode FROM loads) m
+    CROSS JOIN range(8) r
+    LEFT JOIN loads l ON l.mode = m.mode AND l.shard_no = r.range
+),
+acted AS (
+    SELECT mode, shard_no, n_records,
+           n_records * 1000
+               // (sum(n_records) OVER (PARTITION BY mode)) AS share_pm,
+           CASE WHEN n_records * 8
+                     > 2 * sum(n_records) OVER (PARTITION BY mode)
+                THEN 'split'
+                WHEN n_records * 32
+                     < sum(n_records) OVER (PARTITION BY mode)
+                THEN 'merge'
+                ELSE 'keep' END AS action,
+           CASE WHEN n_records * 8
+                     > 2 * sum(n_records) OVER (PARTITION BY mode)
+                THEN least(4, (n_records * 8
+                               + sum(n_records) OVER (PARTITION BY mode)
+                               - 1)
+                              // (sum(n_records) OVER (PARTITION BY mode)))
+                ELSE 1 END AS n_children
+    FROM shards
+)
+SELECT mode, CAST(shard_no AS INT) AS shard_no, n_records,
+       CAST(share_pm AS BIGINT) AS share_pm, action,
+       CAST(n_children AS INT) AS n_children,
+       CAST(sum(CASE WHEN action <> 'merge' THEN n_children ELSE 0 END)
+                OVER (PARTITION BY mode)
+            + (sum(CASE WHEN action = 'merge' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY mode) + 1) // 2
+            AS BIGINT) AS plan_total_shards
+FROM acted
+ORDER BY mode, shard_no
+"""
+
+# f25: zone-map file skipping; files are scan-local half-year date
+# buckets, zones are min/max/count per file, probes are a shared
+# literal panel — files_pruned/rows_scanned from zones, rows_matching
+# from the facts.
+ORACLES["f25_zonemap_prune"] = """
+WITH filed AS (
+    SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice AS p,
+           (year(o_orderdate) - 1992) * 2
+             + CASE WHEN month(o_orderdate) > 6 THEN 1 ELSE 0 END AS file_id
+    FROM orders
+),
+zones AS (
+    SELECT file_id, min(d) AS d_min, max(d) AS d_max,
+           min(p) AS p_min, max(p) AS p_max, count(*) AS n_rows
+    FROM filed GROUP BY 1
+),
+probes AS (
+    SELECT * FROM (VALUES
+        ('year_1996', DATE '1996-01-01', DATE '1996-12-31', 0.0, 1e9),
+        ('h1_1998',   DATE '1998-01-01', DATE '1998-06-30', 0.0, 1e9),
+        ('day_1997_03_15', DATE '1997-03-15', DATE '1997-03-15', 0.0, 1e9),
+        ('price_over_400k', DATE '1992-01-01', DATE '2001-12-31',
+         400000.0, 1e9),
+        ('none_2005', DATE '2005-01-01', DATE '2005-12-31', 0.0, 1e9)
+    ) AS t(probe, d_lo, d_hi, p_lo, p_hi)
+),
+agg AS (
+    SELECT pr.probe,
+           count(*) AS files_total,
+           CAST(sum(CASE WHEN z.d_max < pr.d_lo OR z.d_min > pr.d_hi
+                           OR z.p_max < pr.p_lo OR z.p_min > pr.p_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+           CAST(sum(CASE WHEN z.d_max < pr.d_lo OR z.d_min > pr.d_hi
+                           OR z.p_max < pr.p_lo OR z.p_min > pr.p_hi
+                         THEN 0 ELSE z.n_rows END) AS BIGINT) AS rows_scanned
+    FROM probes pr CROSS JOIN zones z GROUP BY 1
+),
+truth AS (
+    SELECT pr.probe,
+           CAST(sum(CASE WHEN f.d BETWEEN pr.d_lo AND pr.d_hi
+                          AND f.p BETWEEN pr.p_lo AND pr.p_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching
+    FROM probes pr CROSS JOIN filed f GROUP BY 1
+)
+SELECT a.probe, a.files_total, a.files_pruned, a.rows_scanned,
+       t.rows_matching
+FROM agg a JOIN truth t USING (probe)
+ORDER BY probe
+"""

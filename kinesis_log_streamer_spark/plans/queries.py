@@ -12718,6 +12718,179 @@ def p10_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k07_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kinesis RESHARD planner — what UpdateShardCount arithmetic
+    would do to the reference's stream, computed per keying mode over
+    the same records (companion to k06's balance diagnosis): route by
+    md5 first-nibble over 8 equal hash ranges (linestreamer.go:102
+    partition key → Kinesis MD5 hash-range routing), measure per-shard
+    load INCLUDING the zero-load shards, then emit the plan a capacity
+    manager applies — ``split`` a shard over 2× the mean (into
+    ``least(4, ceil(load/mean))`` children), ``merge`` one under
+    mean/4 (pairwise, so k merges yield ceil(k/2) shards), ``keep``
+    otherwise, and the projected post-plan shard count.
+
+    The two modes are the diagnosis: ``host`` mode (the reference's
+    host-identity key, hostid.go:22-199) concentrates 1000 ‰ on one
+    shard and the planner maxes out its split — which is FUTILE,
+    because a single partition key occupies a point in the hash range
+    and every child inherits all of it; resharding fixes shard-count
+    problems, never key-design problems (k06's lesson).  ``by_type``
+    mode (5 keys) shows the complement: balanced-enough shards plus
+    empty ones the plan merges away.
+
+    Scale: one scan per mode with scan-local md5 routing, partial agg
+    to ≤8 groups, an 8-row shard dimension left-joined so empty
+    shards surface; all window math runs over ≤16 rows."""
+    ev = _t(spark, sf_dir, "events")
+
+    def _loads(key_col, label):
+        nib = F.substring(F.md5(key_col), 1, 1)
+        shard = (
+            (F.instr(F.lit("0123456789abcdef"), nib) - 1) / 2
+        ).cast("int")
+        return ev.select(
+            F.lit(label).alias("mode"), shard.alias("shard_no")
+        ).groupBy("mode", "shard_no").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    loads = _loads(F.lit("i-0abc.example.internal"), "host").unionByName(
+        _loads(F.col("event_type"), "by_type")
+    )
+    dim = loads.select("mode").distinct().crossJoin(
+        F.broadcast(spark.range(8).select(F.col("id").alias("shard_no")))
+    )
+    shards = (
+        dim.join(loads, ["mode", "shard_no"], "left")
+        .select(
+            "mode",
+            F.col("shard_no").cast("int").alias("shard_no"),
+            F.coalesce("n", F.lit(0)).alias("n_records"),
+        )
+    )
+    tot = "sum(n_records) over (partition by mode)"
+    acted = shards.select(
+        "mode",
+        "shard_no",
+        "n_records",
+        F.expr(f"n_records * 1000 div ({tot})").alias("share_pm"),
+        F.expr(
+            f"case when n_records * 8 > 2 * ({tot}) then 'split'"
+            f" when n_records * 32 < ({tot}) then 'merge'"
+            " else 'keep' end"
+        ).alias("action"),
+        F.expr(
+            f"cast(case when n_records * 8 > 2 * ({tot})"
+            f" then least(4, (n_records * 8 + ({tot}) - 1) div ({tot}))"
+            " else 1 end as int)"
+        ).alias("n_children"),
+    )
+    return acted.select(
+        "mode",
+        "shard_no",
+        "n_records",
+        "share_pm",
+        "action",
+        "n_children",
+        F.expr(
+            "sum(case when action <> 'merge' then n_children else 0 end)"
+            " over (partition by mode)"
+            " + (sum(case when action = 'merge' then 1 else 0 end)"
+            " over (partition by mode) + 1) div 2"
+        ).alias("plan_total_shards"),
+    ).orderBy("mode", "shard_no")
+
+
+def f25_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map FILE-SKIPPING planner — the data-skipping arithmetic
+    behind parquet row-group stats, Iceberg/Delta manifest pruning,
+    and Spark's own partition pruning, made explicit and
+    oracle-checked: model orders as half-year date-partitioned files
+    (the layout a `partitionBy(date_trunc)` writer produces —
+    scan-local bucketing, NOT a global ntile, which would be a total
+    sort), build each file's two-column zone map (min/max orderdate,
+    min/max totalprice, row count), then for a panel of probe
+    predicates count prunable files and the rows a zone-aware scan
+    still reads vs the rows that actually match.
+
+    The panel is the lesson: date probes prune 12–14 of 14 files
+    because the layout CLUSTERS the date column (h1_1998 reads
+    exactly its matching rows — perfect alignment), while the
+    price-only probe prunes ZERO files because price is unclustered
+    within every file — zone maps only skip what the layout sorted.
+
+    Scale: zone maps are one partial agg per file over min/max/count
+    (metadata-sized — this is what a manifest stores); the pruning
+    decision joins |files| × |probes| rows, never facts.  The truth
+    leg scans facts once with the 5-probe literal broadcast — it
+    exists for the gate; a production planner emits only the
+    estimate."""
+    probes = F.broadcast(
+        spark.createDataFrame(
+            [
+                ("year_1996", "1996-01-01", "1996-12-31", 0.0, 1e9),
+                ("h1_1998", "1998-01-01", "1998-06-30", 0.0, 1e9),
+                ("day_1997_03_15", "1997-03-15", "1997-03-15", 0.0, 1e9),
+                ("price_over_400k", "1992-01-01", "2001-12-31", 400000.0, 1e9),
+                ("none_2005", "2005-01-01", "2005-12-31", 0.0, 1e9),
+            ],
+            "probe string, d_lo string, d_hi string, p_lo double, p_hi double",
+        ).select(
+            "probe",
+            F.col("d_lo").cast("date").alias("d_lo"),
+            F.col("d_hi").cast("date").alias("d_hi"),
+            "p_lo",
+            "p_hi",
+        )
+    )
+    filed = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").alias("p"),
+        (
+            (F.year("o_orderdate") - 1992) * 2
+            + (F.month("o_orderdate") > 6).cast("int")
+        ).alias("file_id"),
+    )
+    zones = filed.groupBy("file_id").agg(
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+        F.min("p").alias("p_min"),
+        F.max("p").alias("p_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    pruned = (
+        (F.col("d_max") < F.col("d_lo"))
+        | (F.col("d_min") > F.col("d_hi"))
+        | (F.col("p_max") < F.col("p_lo"))
+        | (F.col("p_min") > F.col("p_hi"))
+    )
+    agg = (
+        zones.crossJoin(probes)
+        .groupBy("probe")
+        .agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(pruned.cast("long")).alias("files_pruned"),
+            F.sum(
+                F.when(pruned, F.lit(0)).otherwise(F.col("n_rows"))
+            ).alias("rows_scanned"),
+        )
+    )
+    truth = (
+        filed.crossJoin(probes)
+        .groupBy("probe")
+        .agg(
+            F.sum(
+                (
+                    F.col("d").between(F.col("d_lo"), F.col("d_hi"))
+                    & F.col("p").between(F.col("p_lo"), F.col("p_hi"))
+                ).cast("long")
+            ).alias("rows_matching")
+        )
+    )
+    return agg.join(truth, "probe").orderBy("probe")
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -12929,6 +13102,9 @@ REGISTRY = {
     "p11_join_size_preflight": p11_join_size_preflight,
     "k06_shard_balance": k06_shard_balance,
     "w09_point_in_time_matrix": w09_point_in_time_matrix,
+    # -- block 3 (round 12): new this round --------------------------
+    "k07_reshard_plan": k07_reshard_plan,
+    "f25_zonemap_prune": f25_zonemap_prune,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -13135,7 +13311,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 323
+assert len(REGISTRY) == 325
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13157,7 +13333,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 323
+assert len(REGISTRY) == 325
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13202,7 +13378,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 323
+assert len(REGISTRY) == 325
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -13238,4 +13414,49 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 323
+assert len(REGISTRY) == 325
+
+# ROUND-12 FRONT (VERDICT r11 #1 — evidence freshness): CORRECTNESS_r11
+# was 50/50 green and the r01-r11 union covers all 323 prior names
+# latest-green, but 147 of them carry a latest driver verdict from
+# rounds 1-4 — 45 from r01 alone, all predating the session-memoization
+# layers (tables.py load memo, _ACCESS_MEMO, gate fusions) that touched
+# shared helpers.  Block (2-stale): rotate ALL 45 r01-verdict names to
+# the front for a fresh hard verdict (verified against the
+# CORRECTNESS_r01-r11 union).  Block (1): the three queries whose CODE
+# changed this round (w08 cache+unpersist swap; st05/st10 consume the
+# evflush fixture that now sweeps stale dirs).  Block (3): brand-new
+# round-12 queries.  45 + 3 + 2 = 50 = exactly the driver window.
+# Key-set-preserving (asserted).
+_ROUND12_FRONT = [
+    # block 2-stale: latest driver verdict is from round 1
+    "q01_pricing_summary", "q02_filter_project", "q03_topk_orders",
+    "q04_broadcast_join", "q05_region_revenue", "q06_semi_join",
+    "q07_anti_join", "q08_outer_join", "q09_cross_join",
+    "q10_range_join", "q11_window_rank", "q12_window_running",
+    "q13_rollup", "q14_cube", "q15_set_ops", "q16_distinct_agg",
+    "q17_conditional_agg", "q18_string_funcs", "q19_date_funcs",
+    "q20_json_funcs", "q21_exists_subquery", "q22_scalar_subquery",
+    "q23_asof_join", "q24_tumbling_window", "q25_sessionize",
+    "q26_pivot", "q27_percentiles", "q29_grouping_sets",
+    "q30_lead_ntile", "q31_token_explode", "q32_array_funcs",
+    "q33_except_all", "q34_map_funcs", "q35_sliding_window",
+    "q36_binned_range_join", "q37_unpivot", "q38_salted_join",
+    "d01_exact_dedup", "d04_ngram_jaccard", "s01_cosine_topk",
+    "t01_text_quality", "t02_lang_scores", "t04_token_stats",
+    "t05_fingerprint", "u01_pandas_udaf",
+    # block 1: code changed this round (fresh verdict wanted)
+    "w08_leak_safe_split", "st05_event_time_sessions",
+    "st10_stream_left_outer_join",
+    # block 3: brand-new this round
+    "k07_reshard_plan",
+    "f25_zonemap_prune",
+]
+assert len(_ROUND12_FRONT) == len(set(_ROUND12_FRONT)) == 50
+_missing12 = [n for n in _ROUND12_FRONT if n not in REGISTRY]
+assert not _missing12, f"reorder names absent from REGISTRY: {_missing12}"
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _ROUND12_FRONT},
+    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND12_FRONT)},
+}
+assert len(REGISTRY) == 325
