@@ -1,0 +1,139 @@
+"""Physical-plan regression pins for the most expensive headline
+queries (VERDICT r11 #7): a broadcast flipping to sort-merge, a new
+Exchange appearing on a hot path, or a join degenerating to a
+cartesian product should fail the SUITE, not surface as a bench
+drift three rounds later.
+
+st10/st05 are excluded (streaming micro-batch plans live in
+PLANS.md via explainInternal); d02's registry entry returns an
+eager 1-row gate, so its production leg is audited through the
+operator API it wraps (`dedup.minhash_dedup_pairs`).
+
+Assertions target the AQE-initial executed plan at sf0.001 — join
+strategies here come from explicit `F.broadcast` hints and
+statistics available at plan time, so the initial plan is the
+committed strategy, not a runtime accident.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kinesis_log_streamer_spark.operators import dedup as D
+from kinesis_log_streamer_spark.operators.asof import asof_join
+from kinesis_log_streamer_spark.plans import queries as Q
+from kinesis_log_streamer_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_blowups(plan: str) -> None:
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin is only legitimate for the 1-row gate
+    # fusions; none of the paths audited here may carry one.
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDedupClustersPlan:
+    def test_no_cartesian_and_bounded_shuffles(self, spark):
+        """d05: star edges per LSH bucket + connected components.
+        The returned rollup must stay an equi-join pipeline — no
+        cartesian, no nested-loop — and its shuffle count is pinned
+        so a new Exchange on the path fails here."""
+        df = Q.REGISTRY["d05_dedup_clusters"](spark, SF)
+        plan = _plan(df)
+        _no_blowups(plan)
+        assert plan.count("Exchange") <= 4
+
+
+class TestContaminationPlan:
+    def test_gram_side_broadcasts(self, spark):
+        """t13: the contamination gram table is the SMALL side and
+        must broadcast — a flip to SortMergeJoin re-shuffles the
+        exploded document grams (the big side) and is the regression
+        this test exists to catch."""
+        df = Q.REGISTRY["t13_contamination"](spark, SF)
+        plan = _plan(df)
+        _no_blowups(plan)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestMinhashBandedJoinPlan:
+    def test_candidates_via_hash_equi_join(self, spark):
+        """d02's production leg: banded LSH candidates must pair via
+        a HASH equi-join on (band, signature) — never a cartesian or
+        nested-loop — which is the whole O(docs x bands) scale
+        argument."""
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        pairs = D.minhash_dedup_pairs(docs, threshold=0.3)
+        plan = _plan(pairs)
+        _no_blowups(plan)
+        assert (
+            "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+            or "SortMergeJoin" in plan
+        )
+        # the join keys must include the band/bucket column, i.e. the
+        # join is the banded candidate join, not a degenerate rewrite
+        assert "band" in plan
+
+
+class TestAsofJoinPlan:
+    def test_single_shuffle_per_asof(self, spark):
+        """w09's building block: the union+last(ignorenulls) as-of
+        carries ONE shuffle (the per-key window) — a second Exchange
+        means the union trick regressed to a join+re-shuffle."""
+        ev = load_table(spark, SF, "events").select(
+            "event_id", "user_id", F.col("ts")
+        )
+        feat = (
+            load_table(spark, SF, "orders")
+            .groupBy(
+                F.col("o_custkey").alias("user_id"),
+                F.col("o_orderdate").alias("fts"),
+            )
+            .agg(F.round(F.max("o_totalprice"), 2).alias("f1_raw"))
+        )
+        out = asof_join(
+            ev, feat, key="user_id", left_ts="ts", right_ts="fts"
+        )
+        plan = _plan(out)
+        _no_blowups(plan)
+        assert "SortMergeJoin" not in plan and "Join" not in plan
+        # one hash-partitioning exchange for the window; the feature
+        # pre-aggregate reuses the same partitioning (ENSURE_REQUIREMENTS
+        # may add its agg exchange upstream — allow at most 2 total)
+        assert plan.count("Exchange") <= 2
+
+    def test_w09_full_matrix_stays_join_free(self, spark):
+        """The assembled w09 plan: two chained as-ofs plus the final
+        sort — still no join operator anywhere (both features attach
+        via the union trick) and a pinned shuffle budget."""
+        df = Q.REGISTRY["w09_point_in_time_matrix"](spark, SF)
+        plan = _plan(df)
+        _no_blowups(plan)
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange") <= 7
+
+
+class TestJoinPreflightPlan:
+    def test_histograms_never_shuffle_facts(self, spark):
+        """p11: the estimate joins per-key COUNT HISTOGRAMS.  Every
+        hash-aggregate must sit below its exchange (partial map-side
+        agg), so what shuffles is the key histogram, never fact rows;
+        the histogram-vs-histogram joins stay hash joins.  The 1-row
+        gate fusions are LocalTableScan-backed broadcasts, which is
+        why BroadcastNestedLoopJoin is tolerated HERE only."""
+        df = Q.REGISTRY["p11_join_size_preflight"](spark, SF)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        # partial aggregation: every shuffle of a histogram is fed by
+        # a map-side HashAggregate, visible as at least as many
+        # partial_count aggregates as final ones
+        assert plan.count("partial_count") >= 3
