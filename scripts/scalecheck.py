@@ -100,12 +100,22 @@ QUERIES = [
     # skew in the coarse assignment.
     "s21_ivf_maxsim_rerank",
     "l19_log_template_mining",
-    # round-11 additions.  l20/l21/i08 are EXCLUDED like i07: their
-    # dominant leg is the single-stream CLI spool tail (one pipe, by
-    # design not a cluster query), so a 10x ratio would measure the
-    # spooler's Python loop, not a Spark plan.
+    # round-11 additions (VERDICT r11 #3: all six measured).  l20/l21/
+    # i08's dominant leg is the single-stream CLI spool tail (one
+    # pipe, by design not a cluster query), so their ratios measure
+    # the spooler's Python loop ~linearly in lines — included anyway
+    # with that diagnosis so the ledger has a row per query.
     "w08_leak_safe_split",
     "p10_compaction_plan",
+    "p11_join_size_preflight",
+    "k06_shard_balance",
+    "w09_point_in_time_matrix",
+    "l20_ingest_rollup_pipeline",
+    "l21_errorlog_pipeline",
+    "i08_live_spool_stream",
+    # round-12 additions.
+    "k07_reshard_plan",
+    "f25_zonemap_prune",
 ]
 
 
@@ -258,6 +268,33 @@ BENDS = {
         "as-of nearest: both join legs grow 10x through the per-key "
         "sorted merge; ~2.4x time is the sort leg leaving the "
         "fixed-cost region, sub-linear in rows"
+    ),
+    "w09_point_in_time_matrix": (
+        "two union-trick as-ofs: labels AND both feature "
+        "pre-aggregates (orders, lineitem x orders) grow 10x through "
+        "one window shuffle each with O(1) state per key — a bend "
+        "past ~3x would mean the per-key window state is not O(1)"
+    ),
+    "l20_ingest_rollup_pipeline": (
+        "dominant leg is the single-stream CLI spool tail (one pipe, "
+        "O(chunk) memory — the reference's own shape, linestreamer."
+        "go:34): the Python chunk/carry loop is ~linear in landed "
+        "lines by design, so ~10x lines -> up to ~10x time measures "
+        "the spooler, not a Spark plan; the analytics leg after the "
+        "landing dir is an ordinary distributed scan -> partial agg"
+    ),
+    "l21_errorlog_pipeline": (
+        "same diagnosis as l20: the line-mode spool tail is "
+        "single-stream by design; ratio tracks landed-line count, "
+        "the Spark leg is a codegen regexp -> partial agg on "
+        "|levels| groups"
+    ),
+    "i08_live_spool_stream": (
+        "the concurrent land/tail/clean gate: spool tail is "
+        "single-stream (as deployed); the micro-batch drain adds "
+        "per-batch fixed cost bounded by maxFilesPerTrigger "
+        "backpressure — ratio tracks landed files + lines, not a "
+        "plan bend"
     ),
 }
 
