@@ -12888,7 +12888,9 @@ def f25_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rows_matching")
         )
     )
-    return agg.join(truth, "probe").orderBy("probe")
+    # 5-row gate join: broadcast so the initial plan is a BHJ rather
+    # than waiting for AQE to demote the SMJ at runtime.
+    return agg.join(F.broadcast(truth), "probe").orderBy("probe")
 
 
 REGISTRY = {
