@@ -157,3 +157,47 @@ class TestZonemapPrune:
             assert r.files_pruned >= r.files_total - 3
             # a zone-aware scan never reads fewer rows than match
             assert r.rows_scanned >= r.rows_matching
+
+
+class TestSweepStaleTmp:
+    """The shared stale-fixture sweeper (ADVICE r11: guarded getmtime,
+    evflush cleanup) — pinned so the race tolerance can't regress."""
+
+    def test_sweeps_old_keeps_fresh(self, tmp_path, monkeypatch):
+        import os
+        import tempfile
+
+        monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+        old = tmp_path / "klss_t12_old"
+        new = tmp_path / "klss_t12_new"
+        old.mkdir()
+        new.mkdir()
+        past = os.path.getmtime(str(old)) - 7200
+        os.utime(str(old), (past, past))
+        Q._sweep_stale_tmp("klss_t12_")
+        assert not old.exists() and new.exists()
+
+    def test_vanished_path_between_glob_and_stat_is_tolerated(
+        self, tmp_path, monkeypatch
+    ):
+        import os
+        import tempfile
+
+        monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+        gone = tmp_path / "klss_t12_gone"
+        gone.mkdir()
+        real_getmtime = os.path.getmtime
+
+        def racy_getmtime(p):
+            if "klss_t12_gone" in str(p):
+                # simulate the concurrent process rmtree-ing between
+                # the sweeper's glob and its stat
+                import shutil
+
+                shutil.rmtree(str(gone), ignore_errors=True)
+                raise FileNotFoundError(p)
+            return real_getmtime(p)
+
+        monkeypatch.setattr(os.path, "getmtime", racy_getmtime)
+        # must not raise
+        Q._sweep_stale_tmp("klss_t12_")
