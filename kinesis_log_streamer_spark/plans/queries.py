@@ -13418,6 +13418,26 @@ REGISTRY = {
 }
 assert len(REGISTRY) == 325
 
+# PREPARED FOR ROUND 13 (do not apply before CORRECTNESS_r12 lands):
+# once the r12 window re-greens the 45 r01 names below, the stalest
+# tail becomes the 44 round-2-verdict names — front those next, after
+# any fail-rechecks and r13 code-changed/new queries:
+#   d05_dedup_clusters d06_dedup_keep f05_zorder_layout
+#   f06_schema_evolution f07_compaction f08_malformed_csv
+#   k01_kinesis_roundtrip l07_funnel l08_cohort_retention
+#   l09_rolling_anomaly m04_binary_file_scan p01_table_profile
+#   p02_dq_checks p03_observed_metrics q41_histogram q42_upsert_merge
+#   q43_window_misc q45_string_agg q46_recursive_cte q47_market_share
+#   q48_fuzzy_join q49_null_safe_join q50_median_quantiles q51_gap_fill
+#   q52_join_hints q54_scd2_join q55_dynamic_partition_pruning
+#   q56_pagerank q58_not_in_null_semantics q59_null_ordering
+#   s07_label_centroids st08_foreachbatch_upsert st09_checkpoint_resume
+#   t08_quality_budget t09_hash_sample t10_sequence_packing
+#   t11_split_assignment t12_winsorize t13_contamination t14_pii_scrub
+#   t15_repetition_rules ts01_series_similarity u04_grouped_map_zscore
+#   u05_map_in_arrow
+# (recompute against the CORRECTNESS_r01..r12 union before applying.)
+
 # ROUND-12 FRONT (VERDICT r11 #1 — evidence freshness): CORRECTNESS_r11
 # was 50/50 green and the r01-r11 union covers all 323 prior names
 # latest-green, but 147 of them carry a latest driver verdict from
