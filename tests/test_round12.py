@@ -201,3 +201,17 @@ class TestSweepStaleTmp:
         monkeypatch.setattr(os.path, "getmtime", racy_getmtime)
         # must not raise
         Q._sweep_stale_tmp("klss_t12_")
+
+
+def test_bench_headline_names_all_registered():
+    """Every bench HEADLINE member must exist in the registry AND have
+    a DuckDB oracle — a typo here would crash the driver's bench run,
+    so catch it in pytest instead."""
+    import bench
+    from kinesis_log_streamer_spark.plans import oracles as O
+
+    missing = [n for n in bench.HEADLINE if n not in Q.REGISTRY]
+    assert not missing, f"HEADLINE names absent from REGISTRY: {missing}"
+    no_oracle = [n for n in bench.HEADLINE if n not in O.ORACLES]
+    assert not no_oracle, f"HEADLINE names without oracles: {no_oracle}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
