@@ -12335,7 +12335,11 @@ def w08_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache + unpersist in the finally (the d02 pattern) rather than an
     # eager localCheckpoint: the gate row is collected before return,
     # so nothing downstream needs the blocks, and a checkpoint would
-    # linger until GC across 323-query sweeps (ADVICE r11).
+    # linger until GC across 325-query sweeps (ADVICE r11).  Lazy
+    # cache measured equal to a forced pre-materialization here
+    # (1.0-1.6 s warm at sf0.1 either way): any duplicated compute
+    # from the three gate legs racing the first fill is under the
+    # noise floor, so the version without the extra count() job wins.
     asg = asg.cache()
     tots = asg.agg(
         F.count(F.lit(1)).alias("n_docs"),
