@@ -137,3 +137,42 @@ class TestJoinPreflightPlan:
         # a map-side HashAggregate, visible as at least as many
         # partial_count aggregates as final ones
         assert plan.count("partial_count") >= 3
+
+
+class TestExplodeAggPlan:
+    def test_t07_partial_agg_under_single_shuffle(self, spark):
+        """t07: exploded bigrams must partial-aggregate map-side and
+        shuffle ONCE — a second Exchange means the explode output
+        (the biggest intermediate in the text family) started
+        travelling un-combined."""
+        df = Q.REGISTRY["t07_bigram_topk"](spark, SF)
+        plan = _plan(df)
+        _no_blowups(plan)
+        assert "Generate" in plan  # the explode survives as a generator
+        assert plan.count("Exchange") <= 1
+        assert "partial" in plan  # map-side combine below the shuffle
+
+
+class TestKmeansPlan:
+    def test_s09_assignment_is_scan_local(self, spark):
+        """s09: Lloyd assignment must stay broadcast-centroid
+        scan-local work — one Exchange (the per-cluster re-center
+        agg), never a join of points against centroids."""
+        df = Q.REGISTRY["s09_kmeans"](spark, SF)
+        plan = _plan(df)
+        _no_blowups(plan)
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Exchange") <= 1
+
+
+class TestHllMergePlan:
+    def test_q64_sketches_merge_not_rows(self, spark):
+        """q64: per-shard HLL sketches must build partial (map-side,
+        ObjectHashAggregate) and MERGE as sketches — the scale
+        argument is that shuffles carry sketch bytes, not rows."""
+        df = Q.REGISTRY["q64_hll_partial_union"](spark, SF)
+        plan = _plan(df)
+        _no_blowups(plan)
+        assert "SortMergeJoin" not in plan
+        assert plan.count("ObjectHashAggregate") >= 2  # partial + final
+        assert "partial" in plan

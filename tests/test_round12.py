@@ -215,3 +215,41 @@ def test_bench_headline_names_all_registered():
     no_oracle = [n for n in bench.HEADLINE if n not in O.ORACLES]
     assert not no_oracle, f"HEADLINE names without oracles: {no_oracle}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+class TestConcurrentSpoolPipelines:
+    """End-to-end pin of the ADVICE r11 race fix: two spool-staging
+    pipelines running simultaneously must neither interfere (their
+    fixture dirs are per-invocation mkdtemps; the shared sweeper
+    tolerates vanished paths) nor change their answers vs serial."""
+
+    NAMES = ["l20_ingest_rollup_pipeline", "l21_errorlog_pipeline"]
+
+    def test_parallel_matches_serial(self, spark):
+        import threading
+
+        serial = {
+            n: [tuple(r) for r in Q.REGISTRY[n](spark, SF_SMOKE).collect()]
+            for n in self.NAMES
+        }
+        results: dict[str, list] = {}
+        errors: list[Exception] = []
+
+        def run(name: str) -> None:
+            try:
+                results[name] = [
+                    tuple(r)
+                    for r in Q.REGISTRY[name](spark, SF_SMOKE).collect()
+                ]
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=run, args=(n,)) for n in self.NAMES
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert results == serial
