@@ -4490,6 +4490,81 @@ ORDER BY id_a, id_b
 
 ORACLES["d17_portable_simhash_pairs"] = _d17_oracle()
 
+
+def _d24_oracle() -> str:
+    # Verbatim replay of operators/dedup.portable_simhash_star_edges
+    # over the query's replica-augmented corpus: the d17 signature CTEs,
+    # then (1) sig-collapse via window-min (hamming-0 star edges),
+    # (2) per-(band,key) min-id bucket reps over the sig
+    # representatives only, (3) map-side hamming<=3 verify.
+    odd = "('1','3','5','7','9','b','d','f')"
+    bit_terms = "\n         + ".join(
+        f"CASE WHEN 2 * len(list_filter(dg, d -> substr(d, {i + 1}, 1) "
+        f"IN {odd})) >= n THEN (1::BIGINT << {i}) ELSE 0 END"
+        for i in range(32)
+    )
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+),
+base AS (
+    SELECT doc_id,
+           list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM corpus
+),
+dig AS (
+    SELECT doc_id, list_transform(t, x -> md5(x)) AS dg,
+           CAST(len(t) AS BIGINT) AS n
+    FROM base WHERE len(t) >= 1
+),
+sigs AS (
+    SELECT doc_id,
+           ({bit_terms}) AS sig
+    FROM dig
+),
+mapping AS (
+    SELECT doc_id, sig,
+           min(doc_id) OVER (PARTITION BY sig) AS rep
+    FROM sigs
+),
+exact_edges AS (
+    SELECT rep AS id_a, doc_id AS id_b, CAST(0 AS INT) AS hamming
+    FROM mapping WHERE doc_id <> rep
+),
+rep_sigs AS (
+    SELECT doc_id, sig FROM mapping WHERE doc_id = rep
+),
+chunks AS (
+    SELECT doc_id, sig, b.i AS band, (sig >> (8 * b.i)) & 255 AS key
+    FROM rep_sigs, (SELECT unnest(range(0, 4)) AS i) b
+),
+breps AS (
+    SELECT band, key,
+           min(doc_id) AS rep_id,
+           arg_min(sig, doc_id) AS rep_sig
+    FROM chunks GROUP BY band, key
+),
+near_edges AS (
+    SELECT DISTINCT r.rep_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(r.rep_sig, c.sig)) AS INT) AS hamming
+    FROM chunks c
+    JOIN breps r ON c.band = r.band AND c.key = r.key
+    WHERE c.doc_id > r.rep_id
+      AND bit_count(xor(r.rep_sig, c.sig)) <= 3
+)
+SELECT id_a, id_b, hamming FROM exact_edges
+UNION ALL
+SELECT id_a, id_b, hamming FROM near_edges
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["d24_simhash_star_edges"] = _d24_oracle()
+
 # q126: closed form of the doubling loop — smallest k in
 # thr = 1000*2^k with exceed-count under 100 (k=0 when already under,
 # matching the script's no-iteration path).

@@ -2892,6 +2892,20 @@ def _events_stream_with_flush(spark: SparkSession, sf_dir: str, name: str) -> Da
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
     tmp = _EVFLUSH_MEMO.get(key)
+    if tmp is not None:
+        # ADVICE r12: a second process started after this session is
+        # >1h old can _sweep_stale_tmp our live dir (its mtime is never
+        # refreshed after creation) — revalidate the memo and touch the
+        # dir so it stops looking stale to other sweepers.
+        if os.path.isdir(tmp):
+            try:
+                now = __import__("time").time()
+                os.utime(tmp, (now, now))
+            except OSError:
+                pass
+        else:
+            tmp = None
+            _EVFLUSH_MEMO.pop(key, None)
     if tmp is None:
         # The dir is keyed by applicationId, so every process run
         # leaves one behind; sweep abandoned copies like l20/l21/i08
@@ -11849,6 +11863,38 @@ def d23_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d24_simhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup with LINEAR-in-duplication candidate volume —
+    the d03/d17→d24 twin of the d02/d05 star-edge relationship
+    (VERDICT r12 #4: d03's pair contract is quadratic in the
+    duplication factor; SCALING measured 6.72× time for 10× rows on
+    the replica corpus).  `operators/dedup.portable_simhash_star_edges`
+    collapses sig-identical documents to one representative FIRST
+    (hamming-0 star edges, linear in copies), then emits min-id star
+    edges per pigeonhole bucket over the representatives only — a
+    spanning edge set whose connected components match the pair
+    emitter's on duplicate clusters.
+
+    The corpus carries almost no byte-identical duplicates, so every
+    tenth document is unioned back TWICE under offset ids — the
+    replica-heavy shape this operator exists for: those 3-cliques must
+    come out as two hamming-0 star edges each, never enter banding,
+    and the near-dup leg must match d17's components over the
+    representatives.  DuckDB replays signature, sig-collapse, bucket
+    reps, and verification bit-for-bit."""
+    off = 1_000_000
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.unionByName(
+        rep.select((F.col("doc_id") + off).alias("doc_id"), "text")
+    ).unionByName(
+        rep.select((F.col("doc_id") + 2 * off).alias("doc_id"), "text")
+    )
+    return D.portable_simhash_star_edges(corpus, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def p09_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key SKEW profile — the pre-join diagnosis that decides
     whether a shuffle join needs salting (`operators/skew.py`) or an
@@ -13111,6 +13157,8 @@ REGISTRY = {
     # -- block 3 (round 12): new this round --------------------------
     "k07_reshard_plan": k07_reshard_plan,
     "f25_zonemap_prune": f25_zonemap_prune,
+    # -- block 3 (round 13): new this round --------------------------
+    "d24_simhash_star_edges": d24_simhash_star_edges,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -13317,7 +13365,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 325
+assert len(REGISTRY) == 326
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13339,7 +13387,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 325
+assert len(REGISTRY) == 326
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13384,7 +13432,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 325
+assert len(REGISTRY) == 326
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -13420,7 +13468,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 325
+assert len(REGISTRY) == 326
 
 # PREPARED FOR ROUND 13 (do not apply before CORRECTNESS_r12 lands):
 # once the r12 window re-greens the 45 r01 names below, the stalest
@@ -13485,4 +13533,4 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND12_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND12_FRONT)},
 }
-assert len(REGISTRY) == 325
+assert len(REGISTRY) == 326

@@ -116,6 +116,10 @@ QUERIES = [
     # round-12 additions.
     "k07_reshard_plan",
     "f25_zonemap_prune",
+    # round-13 additions.  d24 exists BECAUSE of this file's d03 row
+    # (6.72x on the replica corpus): the star emitter must hold ~linear
+    # on the exact corpus where the pair contract bends quadratic.
+    "d24_simhash_star_edges",
 ]
 
 

@@ -98,6 +98,52 @@ class TestStarEdges:
         assert D.portable_minhash_star_edges(df).count() == 0
 
 
+class TestSimhashStarEdges:
+    """portable_simhash_star_edges (r13): cluster-equivalent to the
+    pair emitter, candidate volume linear in the duplication factor."""
+
+    def test_components_match_pair_build(self, spark, docs):
+        from kinesis_log_streamer_spark.operators import graph as G
+
+        by_pairs = {
+            (r.doc_id, r.cluster_id)
+            for r in G.dedup_clusters(
+                D.portable_simhash_pairs(docs), docs
+            ).collect()
+        }
+        by_star = {
+            (r.doc_id, r.cluster_id)
+            for r in G.dedup_clusters(
+                D.portable_simhash_star_edges(docs), docs
+            ).collect()
+        }
+        assert by_star == by_pairs
+
+    def test_sig_replicas_collapse_linearly(self, spark):
+        # 8 identical-text replicas share one signature: the sig
+        # collapse must emit exactly k-1 = 7 hamming-0 star edges
+        # anchored at the min id (the pair emitter would verify
+        # C(8,2) = 28), and only ONE representative may enter banding.
+        base = "alpha beta gamma delta epsilon zeta eta theta iota"
+        rows = [(i, base) for i in range(8)] + [
+            (99, "totally unrelated words about storage engines here")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        edges = D.portable_simhash_star_edges(df).collect()
+        exact = [e for e in edges if e.hamming == 0]
+        assert len(exact) == 7
+        assert all(e.id_a == 0 and e.id_b in range(1, 8) for e in exact)
+        # doc 99's signature is far from the replicas': no near edges.
+        assert all(e.id_b != 99 for e in edges)
+
+    def test_near_edges_are_bucket_stars(self, spark, docs):
+        # every near edge must verify hamming in (0, max] and anchor
+        # at an id smaller than its member; exact edges are hamming 0.
+        edges = D.portable_simhash_star_edges(docs, max_hamming=16).collect()
+        assert all(e.id_a < e.id_b for e in edges)
+        assert all(0 <= e.hamming <= 16 for e in edges)
+
+
 class TestSimHash:
     def test_identical_texts_same_hash(self, spark, docs):
         sh = docs.select("doc_id", D.simhash64("text").alias("h")).collect()
