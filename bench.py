@@ -245,6 +245,10 @@ HEADLINE = [
     # round 12
     "k07_reshard_plan",
     "f25_zonemap_prune",
+    # round 13 (k08's moto-server transport roundtrip is a
+    # multi-pipeline gate like k01/k02 — selfcheck-covered, not
+    # headline).
+    "d24_simhash_star_edges",
 ]
 
 

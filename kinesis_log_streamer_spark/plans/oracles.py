@@ -1909,6 +1909,17 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+ORACLES["k08_aws_transport_roundtrip"] = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT event_id) AS n_distinct,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id % 20 = 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES["f09_jsonlines_nested_roundtrip"] = """
 SELECT c.c_nationkey,
        n.n_name,

@@ -12852,6 +12852,135 @@ def k07_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("mode", "shard_no")
 
 
+def k08_aws_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k01 no-loss/no-dup/no-alteration roundtrip through the REAL
+    transport stack: events JSON-wrapped and shipped by
+    `streaming/kinesis_sink.KinesisSink` through its real
+    ``_boto3_factory`` (PutRecords over HTTP — request signing,
+    serialization, 500-record sub-batching against a live wire
+    protocol), then read back with `sources/kinesis_source.
+    AwsKinesisStreamReader` (ListShards → GetShardIterator →
+    GetRecords, per-shard string sequence-number offsets, executor-side
+    refetch) and rolled up.  The Kinesis service is an in-process moto
+    server — real boto3 client end to end, no network beyond loopback.
+
+    boto3+moto landed in this image in round 13 (COVERAGE.md probe
+    history); leaner images fall back to the k01 ``dir:`` fake over
+    the SAME slice and rollup, so the gate stays green either way and
+    the result hash is transport-independent by construction.
+
+    A 1-in-20 slice: the roundtrip contract is row-for-row regardless
+    of volume (k01's own argument) and every record crosses the HTTP
+    wire twice on the driver probe plus once per executor refetch."""
+    from kinesis_log_streamer_spark.sources.kinesis_source import (
+        KinesisDataSource,
+    )
+    from kinesis_log_streamer_spark.streaming.kinesis_sink import KinesisSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    payload = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 20 == 0
+    ).select(
+        F.to_json(
+            F.struct("event_id", "event_type", "value")
+        ).alias("data"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 8).cast("string")).alias(
+            "partitionKey"
+        ),
+    )
+    spark.dataSource.register(KinesisDataSource)
+
+    try:
+        import boto3  # noqa: PLC0415
+        from moto.server import ThreadedMotoServer  # noqa: PLC0415
+
+        server = ThreadedMotoServer(port=0)
+        server.start()
+    except ImportError:
+        server = None
+
+    if server is not None:
+        try:
+            import uuid
+
+            port = server._server.socket.getsockname()[1]
+            url = f"http://127.0.0.1:{port}"
+            region, ak, sk = "us-east-1", "testing", "testing"
+            # moto backends are module-global (they outlive the
+            # server object), so a repeated invocation in one process
+            # must not reuse the stream name.
+            stream = "klss-k08-" + uuid.uuid4().hex[:8]
+            boto3.client(
+                "kinesis",
+                region_name=region,
+                endpoint_url=url,
+                aws_access_key_id=ak,
+                aws_secret_access_key=sk,
+            ).create_stream(StreamName=stream, ShardCount=2)
+            sink = KinesisSink(
+                stream,
+                region=region,
+                endpoint_url=url,
+                access_key=ak,
+                secret_key=sk,
+            )
+            # Few fat PutRecords chunks beat 32 thin ones (k01).
+            sink.write_batch(payload.coalesce(2), epoch_id=0)
+            raw = (
+                spark.readStream.format("kinesis_py")
+                .option("endpoint", "aws")
+                .option("stream", stream)
+                .option("client", "boto3")
+                .option("endpoint_url", url)
+                .option("region", region)
+                .option("access_key", ak)
+                .option("secret_key", sk)
+                .load()
+            )
+            _drain_stream_to_table(
+                raw, "k08_out", mode="append", no_data=False
+            )
+            # Materialize before the server dies: the memory sink
+            # already holds the rows, but keep the contract explicit.
+            spark.table("k08_out").count()
+        finally:
+            server.stop()
+    else:  # pragma: no cover - exercised only in leaner images
+        import os
+        import shutil
+        import tempfile
+
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            DirKinesisClient,
+        )
+
+        ep = os.path.join(tempfile.gettempdir(), "klss_k08_stream")
+        shutil.rmtree(ep, ignore_errors=True)
+        sink = KinesisSink("k08", client_factory=lambda: DirKinesisClient(ep))
+        sink.write_batch(payload.coalesce(2), epoch_id=0)
+        raw = (
+            spark.readStream.format("kinesis_py")
+            .option("endpoint", f"dir:{ep}")
+            .load()
+        )
+        _drain_stream_to_table(raw, "k08_out", mode="append", no_data=False)
+
+    parsed = spark.table("k08_out").select(
+        F.from_json(
+            "data", "event_id long, event_type string, value double"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("r.event_id").alias("n_distinct"),
+            F.round(F.sum("r.value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def f25_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map FILE-SKIPPING planner — the data-skipping arithmetic
     behind parquet row-group stats, Iceberg/Delta manifest pruning,
@@ -13159,6 +13288,7 @@ REGISTRY = {
     "f25_zonemap_prune": f25_zonemap_prune,
     # -- block 3 (round 13): new this round --------------------------
     "d24_simhash_star_edges": d24_simhash_star_edges,
+    "k08_aws_transport_roundtrip": k08_aws_transport_roundtrip,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -13365,7 +13495,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 326
+assert len(REGISTRY) == 327
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13387,7 +13517,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 326
+assert len(REGISTRY) == 327
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13432,7 +13562,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 326
+assert len(REGISTRY) == 327
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -13468,7 +13598,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 326
+assert len(REGISTRY) == 327
 
 # PREPARED FOR ROUND 13 (do not apply before CORRECTNESS_r12 lands):
 # once the r12 window re-greens the 45 r01 names below, the stalest
@@ -13533,4 +13663,73 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND12_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND12_FRONT)},
 }
-assert len(REGISTRY) == 326
+assert len(REGISTRY) == 327
+
+# PREPARED FOR ROUND 14 (do not apply before CORRECTNESS_r13 lands):
+# once the r13 window re-greens the 44 r02 names below, the stalest
+# tail becomes the 37 round-3-verdict names (36 after d07 rides the
+# r13 window's spare slot) — front those next, after any
+# fail-rechecks and r14 code-changed/new queries:
+#   f01_csv_roundtrip f02_partitioned_parquet_roundtrip
+#   f03_orc_roundtrip f04_bucketed_join f09_jsonlines_nested_roundtrip
+#   f10_corrupt_json_permissive f11_csv_quoted_multiline i01_wrap_lines
+#   i02_enrich_json i03_enrich_nested_json i04_line_pipeline_roundtrip
+#   i05_concat_json_decode l10_burst_clients m01_multimodal_meta
+#   m02_multimodal_decode m03_frame_sample q39_range_frame_window
+#   q40_stat_aggregates q44_running_distinct q57_predicate_collect
+#   q60_lateral_topk q61_approx_quantile_gate
+#   q62_correlated_scalar_subquery q63_asof_tolerance s02_norm_stats
+#   s03_lsh_topk s05_ivf_topk s06_cosine_pairs_exact s09_kmeans
+#   st06_watermark_late_drop t06_tfidf_topterms t07_bigram_topk
+#   t16_unigram_entropy t17_minhash_estimate_gate u02_scalar_pandas_udf
+#   u03_udtf_kv_explode
+# (recompute against the CORRECTNESS_r01..r13 union before applying.)
+
+# ROUND-13 FRONT (VERDICT r12 #1 — evidence freshness): rotate ALL 44
+# names whose latest driver verdict is from round 2 (recomputed this
+# round against the CORRECTNESS_r01..r12 union; it matches the list
+# prepared in round 12 exactly).  Block (1): queries whose CODE
+# changed this round — d17 rides the reworked codegen
+# _portable_simhash_sigs; st05/st10 consume the evflush fixture whose
+# memo now revalidates+touches the staged dir (ADVICE r12).  Block
+# (3): brand-new round-13 queries (d24 star-edge SimHash, k08
+# real-boto3 moto transport roundtrip).  44 + 3 + 2 + 1 spare
+# (d07_containment_pairs, the first r03-stale name — retiring the
+# next block early) = exactly the 50-name driver window.
+# Key-set-preserving (asserted).
+_ROUND13_FRONT = [
+    # block 1: code changed this round (fresh verdict wanted)
+    "d17_portable_simhash_pairs",
+    "st05_event_time_sessions",
+    "st10_stream_left_outer_join",
+    # block 2-stale: latest driver verdict is from round 2
+    "d05_dedup_clusters", "d06_dedup_keep", "f05_zorder_layout",
+    "f06_schema_evolution", "f07_compaction", "f08_malformed_csv",
+    "k01_kinesis_roundtrip", "l07_funnel", "l08_cohort_retention",
+    "l09_rolling_anomaly", "m04_binary_file_scan", "p01_table_profile",
+    "p02_dq_checks", "p03_observed_metrics", "q41_histogram",
+    "q42_upsert_merge", "q43_window_misc", "q45_string_agg",
+    "q46_recursive_cte", "q47_market_share", "q48_fuzzy_join",
+    "q49_null_safe_join", "q50_median_quantiles", "q51_gap_fill",
+    "q52_join_hints", "q54_scd2_join", "q55_dynamic_partition_pruning",
+    "q56_pagerank", "q58_not_in_null_semantics", "q59_null_ordering",
+    "s07_label_centroids", "st08_foreachbatch_upsert",
+    "st09_checkpoint_resume", "t08_quality_budget", "t09_hash_sample",
+    "t10_sequence_packing", "t11_split_assignment", "t12_winsorize",
+    "t13_contamination", "t14_pii_scrub", "t15_repetition_rules",
+    "ts01_series_similarity", "u04_grouped_map_zscore",
+    "u05_map_in_arrow",
+    # block 2b: spare slot — first name of the r03-stale block
+    "d07_containment_pairs",
+    # block 3: brand-new this round
+    "d24_simhash_star_edges",
+    "k08_aws_transport_roundtrip",
+]
+assert len(_ROUND13_FRONT) == len(set(_ROUND13_FRONT)) == 50
+_missing13 = [n for n in _ROUND13_FRONT if n not in REGISTRY]
+assert not _missing13, f"reorder names absent from REGISTRY: {_missing13}"
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _ROUND13_FRONT},
+    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND13_FRONT)},
+}
+assert len(REGISTRY) == 327

@@ -24,8 +24,9 @@ driver-side poller:
   - ``aws`` drives the real consumer API sequence —
     ``list_shards`` → ``get_shard_iterator`` → ``get_records`` —
     against a ``stream`` option.  The *client* is injected via the
-    ``client`` option: default ``boto3`` (import-gated; not in this
-    container), or ``module.path:factory`` resolving to
+    ``client`` option: default ``boto3`` (import-gated; verified
+    against an in-process moto server, tests/test_moto_aws.py), or
+    ``module.path:factory`` resolving to
     ``factory(options) -> client`` — tests pass
     ``kinesis_log_streamer_spark.sources.fake_aws:client_for``, a
     boto3-shaped fake over the same shard files, so the whole aws
@@ -97,8 +98,19 @@ def make_read_client(options: dict):
                 "endpoint=aws with client=boto3 requires boto3; pass "
                 "client=module.path:factory to inject one"
             ) from exc
-        session = boto3.Session(region_name=options.get("region"))
-        return session.client("kinesis")
+        # endpoint_url / access_key / secret_key ride the options dict
+        # (NOT the process environment) because `read` rebuilds the
+        # client on EXECUTOR python workers, which don't inherit env
+        # vars set after the JVM started.  endpoint_url targets any
+        # Kinesis-compatible HTTP endpoint (the moto server in tests).
+        session = boto3.Session(
+            region_name=options.get("region"),
+            aws_access_key_id=options.get("access_key"),
+            aws_secret_access_key=options.get("secret_key"),
+        )
+        return session.client(
+            "kinesis", endpoint_url=options.get("endpoint_url")
+        )
     mod_name, _, fn_name = spec.partition(":")
     return getattr(importlib.import_module(mod_name), fn_name)(options)
 

@@ -17,10 +17,12 @@ basestreamer.go:73-83).  The engine upgrades this deliberately:
   (E1); ``df.repartition("partitionKey")`` before the write reproduces
   the reference's per-key ordering into shards.
 
-boto3 is not in this container, so the client is injected /
-import-gated; tests use ``CollectingSink`` (a local stand-in with the
-same record contract) — SURVEY.md §2.1 row K1 prescribes exactly this
-substitution.
+The client is injected / import-gated: tests use ``CollectingSink``
+(a local stand-in with the same record contract — SURVEY.md §2.1 row
+K1 prescribes the substitution) and, since boto3+moto landed in this
+image (round 13), the REAL ``_boto3_factory`` path is exercised
+against an in-process moto Kinesis server over HTTP
+(tests/test_moto_aws.py).
 """
 
 from __future__ import annotations
@@ -186,6 +188,9 @@ class KinesisSink:
         profile: str | None = None,
         on_drop: Callable[[list[tuple[bytes, str]]], None] | None = None,
         delivery: str = "at_least_once",
+        endpoint_url: str | None = None,
+        access_key: str | None = None,
+        secret_key: str | None = None,
     ) -> None:
         if delivery not in ("at_least_once", "at_most_once"):
             raise ValueError(
@@ -195,6 +200,15 @@ class KinesisSink:
         self.stream_name = stream_name
         self.region = region
         self.profile = profile
+        # Kinesis-compatible HTTP endpoint override (the moto server in
+        # tests); None = the real service.  Explicit credentials ride
+        # the sink object (executor python workers don't see env vars
+        # set after the JVM started); None = boto3's default chain.
+        # All plain strings, so the sink pickles into foreachBatch
+        # partitions unchanged.
+        self.endpoint_url = endpoint_url
+        self.access_key = access_key
+        self.secret_key = secret_key
         self.client_factory = client_factory or self._boto3_factory
         # Dead-letter hook for records that exhaust retries; None means
         # raise → task retry → micro-batch replay (at-least-once).
@@ -210,9 +224,12 @@ class KinesisSink:
                 "CollectingSink for local runs"
             ) from exc
         session = boto3.Session(
-            profile_name=self.profile, region_name=self.region
+            profile_name=self.profile,
+            region_name=self.region,
+            aws_access_key_id=self.access_key,
+            aws_secret_access_key=self.secret_key,
         )
-        return session.client("kinesis")
+        return session.client("kinesis", endpoint_url=self.endpoint_url)
 
     def write_batch(self, df: DataFrame, epoch_id: int) -> None:
         """foreachBatch entry point: executor-side partition iteration,

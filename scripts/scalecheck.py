@@ -210,6 +210,15 @@ BENDS = {
         "(d05, which only "
         "needs spanning edges, reads 1.0x on the same corpus)"
     ),
+    "d24_simhash_star_edges": (
+        "the star emitter exists to FLATTEN d03's duplication bend: "
+        "replica copies collapse on the signature (linear hamming-0 "
+        "edges) and only one rep per distinct signature enters "
+        "banding, so candidate volume is O(distinct sigs x 4) at any "
+        "duplication skew; a ratio here above ~2x would mean the "
+        "sig-collapse window or the bucket-rep aggregation stopped "
+        "scaling with DISTINCT texts"
+    ),
     "q03_topk_orders": (
         "per-partition top-k + single merge: 10x rows through the "
         "partial heaps; the merge is constant-size (k rows per "
@@ -458,6 +467,29 @@ def main() -> int:
         "micro-batch fixed cost reads as a LOW ratio, so any ratio "
         "near or above linear would flag state growing faster than "
         "rows.",
+        "",
+        "## Watch items (diagnosed, not measurable by this harness)",
+        "",
+        "- **AWS-mode Kinesis source driver probe** "
+        "(`sources/kinesis_source.py` `latestOffset`): Kinesis has no "
+        "peek-tip API, so the probe downloads each micro-batch once on "
+        "the DRIVER before executors re-fetch their shard slices — a "
+        "driver funnel that scales with SHARD COUNT x "
+        "`maxRecordsPerShard`, not with table size (this harness "
+        "replicates tables, not shards, so no row above can show it). "
+        "Mitigation math: at the service's 2 MB/s/shard read ceiling "
+        "and ~1 KiB records, `maxRecordsPerShard=10000` bounds the "
+        "probe at ~10 MB/shard/batch; a 512-shard stream probes at "
+        "most ~5 GB/batch on the driver, so drop the cap toward ~1000 "
+        "(~0.5 GB/batch) past a few hundred shards, or shrink the "
+        "trigger interval — throughput is then bounded by the trigger "
+        "cadence, never by driver memory.",
+        "- **d03/d17 pair-emission contract** is quadratic in the "
+        "duplication factor by definition (the d03 row above); "
+        "`d24_simhash_star_edges` is the linear-emission mode for "
+        "cluster builds — replica-heavy corpora should route through "
+        "it (or d05 for MinHash) and keep the pair emitters for "
+        "pair-set consumers.",
     ]
     with open(os.path.join(REPO, "SCALING.md"), "w") as fh:
         fh.write("\n".join(md) + "\n")

@@ -1,0 +1,227 @@
+"""REAL-boto3 Kinesis transport tests against an in-process moto
+server (import-gated — boto3 1.43 and moto 5.2 appeared in this image
+in round 13; COVERAGE.md tracks the probe history).
+
+These activate the leg VERDICT r12 listed as env-blocked: the
+`AwsKinesisStreamReader` consumer sequence (ListShards →
+GetShardIterator → GetRecords) and the `KinesisSink._boto3_factory`
+producer path run against real boto3 request signing, serialization,
+and pagination over HTTP — the same client the real service gets —
+instead of the boto3-shaped in-process fake (fake_aws.py, still
+exercised by TestAwsKinesisTransport as the no-network twin).
+
+ThreadedMotoServer (not the @mock_aws decorator) because the source's
+``read`` and the sink's partition writers rebuild their client on
+EXECUTOR python workers: an in-process mock can't cross that process
+boundary, an HTTP endpoint on 127.0.0.1 can.  Credentials and the
+endpoint URL ride the reader options / sink fields, never the process
+environment (workers don't inherit env vars set after the JVM starts).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+moto = pytest.importorskip("moto")
+boto3 = pytest.importorskip("boto3")
+
+from moto.server import ThreadedMotoServer  # noqa: E402
+
+REGION = "us-east-1"
+CREDS = {"access_key": "testing", "secret_key": "testing"}
+
+
+@pytest.fixture(scope="module")
+def moto_url():
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    port = server._server.socket.getsockname()[1]
+    yield f"http://127.0.0.1:{port}"
+    server.stop()
+
+
+@pytest.fixture()
+def kinesis(moto_url):
+    return boto3.client(
+        "kinesis",
+        region_name=REGION,
+        endpoint_url=moto_url,
+        aws_access_key_id=CREDS["access_key"],
+        aws_secret_access_key=CREDS["secret_key"],
+    )
+
+
+def _make_stream(kinesis, n_shards: int) -> str:
+    name = "klss-" + uuid.uuid4().hex[:8]
+    kinesis.create_stream(StreamName=name, ShardCount=n_shards)
+    return name
+
+
+class TestRealBoto3Source:
+    def _read_available(self, spark, moto_url, stream):
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            KinesisDataSource,
+        )
+
+        spark.dataSource.register(KinesisDataSource)
+        sdf = (
+            spark.readStream.format("kinesis_py")
+            .option("endpoint", "aws")
+            .option("stream", stream)
+            .option("client", "boto3")
+            .option("endpoint_url", moto_url)
+            .option("region", REGION)
+            .option("access_key", CREDS["access_key"])
+            .option("secret_key", CREDS["secret_key"])
+            .load()
+        )
+        name = "moto_src_" + uuid.uuid4().hex[:8]
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(300), "moto source drain timed out"
+        finally:
+            q.stop()
+        rows = spark.table(name).collect()
+        spark.catalog.dropTempView(name)
+        return rows
+
+    def test_reads_all_shards_via_real_client(self, spark, moto_url, kinesis):
+        stream = _make_stream(kinesis, 2)
+        sent = []
+        for i in range(25):
+            payload = json.dumps({"line": f"rec-{i}"})
+            kinesis.put_record(
+                StreamName=stream, Data=payload.encode(), PartitionKey=f"k{i % 4}"
+            )
+            sent.append(payload)
+        rows = self._read_available(spark, moto_url, stream)
+        assert sorted(r.data for r in rows) == sorted(sent)
+        # both shards served records and the executor-side refetch kept
+        # the real (string, ~186-bit) sequence numbers
+        assert len({r.shardId for r in rows}) == 2
+        assert all(isinstance(r.sequenceNumber, str) for r in rows)
+        assert all(int(r.sequenceNumber) >= 0 for r in rows)
+
+    def test_per_shard_order_and_offset_resume(self, spark, moto_url, kinesis):
+        """Two drains: records put after the first batch's offset must
+        arrive in the second, none duplicated — the replayable-offset
+        contract over real AFTER_SEQUENCE_NUMBER iterators."""
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            AwsKinesisStreamReader,
+        )
+
+        stream = _make_stream(kinesis, 1)
+        opts = {
+            "stream": stream,
+            "client": "boto3",
+            "endpoint_url": moto_url,
+            "region": REGION,
+            **CREDS,
+        }
+        reader = AwsKinesisStreamReader(opts)
+        start = reader.initialOffset()
+        for i in range(5):
+            kinesis.put_record(
+                StreamName=stream, Data=f"a{i}".encode(), PartitionKey="p"
+            )
+        mid = reader.latestOffset()
+        for i in range(3):
+            kinesis.put_record(
+                StreamName=stream, Data=f"b{i}".encode(), PartitionKey="p"
+            )
+        end = reader.latestOffset()
+
+        def drain(lo, hi):
+            out = []
+            for part in reader.partitions(lo, hi):
+                out.extend(reader.read(part))
+            return [r[0] for r in out if r]
+
+        first = drain(start, mid)
+        second = drain(mid, end)
+        assert first == [f"a{i}" for i in range(5)]
+        assert second == [f"b{i}" for i in range(3)]
+
+
+class TestRealBoto3Sink:
+    def test_foreachbatch_put_records_via_real_client(
+        self, spark, moto_url, kinesis
+    ):
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            KinesisSink,
+        )
+
+        stream = _make_stream(kinesis, 1)
+        sink = KinesisSink(
+            stream,
+            region=REGION,
+            endpoint_url=moto_url,
+            **CREDS,
+        )
+        df = spark.createDataFrame(
+            [(f"payload-{i}", f"host-{i % 3}") for i in range(12)],
+            "data string, partitionKey string",
+        )
+        sink.write_batch(df, epoch_id=0)
+
+        shard = kinesis.list_shards(StreamName=stream)["Shards"][0]["ShardId"]
+        it = kinesis.get_shard_iterator(
+            StreamName=stream, ShardId=shard, ShardIteratorType="TRIM_HORIZON"
+        )["ShardIterator"]
+        got = []
+        while it:
+            resp = kinesis.get_records(ShardIterator=it, Limit=100)
+            if not resp["Records"]:
+                break
+            got.extend(resp["Records"])
+            it = resp.get("NextShardIterator")
+        assert sorted(r["Data"].decode() for r in got) == sorted(
+            f"payload-{i}" for i in range(12)
+        )
+        assert {r["PartitionKey"] for r in got} == {"host-0", "host-1", "host-2"}
+
+    def test_at_most_once_never_raises_on_dead_endpoint(self, spark):
+        """Strict-parity delivery through the REAL client against a
+        refused connection: the reference logs and drops
+        (basestreamer.go:73-83) — the call must return 0 accepted, not
+        raise."""
+        from kinesis_log_streamer_spark.streaming.kinesis_sink import (
+            KinesisSink,
+            put_records_at_most_once,
+        )
+
+        sink = KinesisSink(
+            "no-such-stream",
+            region=REGION,
+            endpoint_url="http://127.0.0.1:1",  # nothing listens here
+            delivery="at_most_once",
+            **CREDS,
+        )
+        import botocore.config  # noqa: PLC0415
+
+        client = boto3.Session(
+            region_name=REGION,
+            aws_access_key_id=CREDS["access_key"],
+            aws_secret_access_key=CREDS["secret_key"],
+        ).client(
+            "kinesis",
+            endpoint_url=sink.endpoint_url,
+            config=botocore.config.Config(
+                retries={"max_attempts": 0}, connect_timeout=1, read_timeout=1
+            ),
+        )
+        dropped = []
+        n = put_records_at_most_once(
+            client, sink.stream_name, [(b"x", "k")], on_drop=dropped.append
+        )
+        assert n == 0
+        assert dropped and dropped[0] == [(b"x", "k")]
