@@ -249,6 +249,8 @@ HEADLINE = [
     # multi-pipeline gate like k01/k02 — selfcheck-covered, not
     # headline).
     "d24_simhash_star_edges",
+    "m08_ppm_decode_stats",
+    "m09_wav_decode_stats",
 ]
 
 

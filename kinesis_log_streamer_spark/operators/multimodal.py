@@ -299,3 +299,189 @@ def audio_frame_energy(
             )
 
     return df.mapInPandas(featurize, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL uncompressed-format codecs (round 13) — zero external libraries
+# ---------------------------------------------------------------------------
+# The compressed codecs above stay import-gated on PIL/soundfile (absent
+# in this image).  Uncompressed raster/PCM formats need no library at
+# all: PPM (P6) and RIFF/WAVE PCM-16 decode with a header parser plus
+# ``numpy.frombuffer`` — so the engine carries a REAL decode leg the
+# oracle can hash exactly, not just the deterministic byte-stat stub.
+# Encoders live alongside so the gates round-trip real bytes: the
+# fixture is written in the actual wire format, then parsed back by a
+# parser that never sees the generator's variables.
+
+
+def ppm_bytes(img_id: int, width: int, height: int) -> bytes:
+    """Encode a valid binary PPM (P6) image whose pixel (x, y, c) is
+    the closed form ``(img_id*31 + 7x + 13y + 97c) mod 256`` — real
+    header + raster bytes, oracle-recomputable without parsing."""
+    import numpy as np  # noqa: PLC0415
+
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)
+    px = (
+        img_id * 31
+        + 7 * x[None, :, None]
+        + 13 * y[:, None, None]
+        + 97 * c[None, None, :]
+    ) % 256
+    return header + px.astype(np.uint8).tobytes()
+
+
+def _ppm_header(b: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header (whitespace/comment tolerant per the netpbm
+    spec): returns (width, height, maxval, raster_offset)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    i, fields = 2, []
+    while len(fields) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        fields.append(int(b[i:j]))
+        i = j
+    # exactly ONE whitespace byte separates maxval from the raster
+    return fields[0], fields[1], fields[2], i + 1
+
+
+PPM_STATS_SCHEMA = (
+    "img_id long, width int, height int, "
+    "r_sum long, g_sum long, b_sum long"
+)
+
+
+def decode_ppm_stats(
+    df: DataFrame, id_col: str = "img_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode over binary payloads: parse the P6 header,
+    ``numpy.frombuffer`` the raster, reshape (h, w, 3), and emit exact
+    int64 per-channel pixel sums — Arrow-batched ``mapInPandas``, all
+    pixel math vectorized in numpy inside the batch.
+
+    At 100 TB the shape is identical: payloads stream through executor
+    record batches (binaryFile scan or parquet binary column), each
+    batch decodes locally, only (id, 5 ints) leave the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for iid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                w, h, maxval, off = _ppm_header(b)
+                if maxval != 255:
+                    raise ValueError(f"unsupported maxval {maxval}")
+                px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=off)
+                sums = px.reshape(h, w, 3).sum(axis=(0, 1), dtype=np.int64)
+                rows.append(
+                    (int(iid), w, h, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=PPM_STATS_SCHEMA)
+
+
+def wav_bytes(clip_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Encode a valid RIFF/WAVE (PCM, mono, 16-bit LE) clip whose
+    sample i is ``((clip_id*7 + 11i) mod 65536) - 32768`` — a real
+    44-byte canonical header + data chunk."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((clip_id * 7 + 11 * i) % 65536) - 32768
+    data = samples.astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+WAV_STATS_SCHEMA = (
+    "clip_id long, sample_rate int, n_channels int, "
+    "n_samples long, sum_samples long, peak int"
+)
+
+
+def decode_wav_stats(
+    df: DataFrame, id_col: str = "clip_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode over binary payloads: walk the RIFF chunk
+    list (the real container structure — ``fmt `` may be followed by
+    optional chunks before ``data``), validate PCM-16 mono, decode
+    samples via ``numpy.frombuffer('<i2')``, and emit exact integer
+    telemetry (int64 sample sum, peak amplitude)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for cid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(b):
+                    tag = b[pos : pos + 4]
+                    (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                    body = b[pos + 8 : pos + 8 + size]
+                    if tag == b"fmt ":
+                        fmt = struct.unpack("<HHIIHH", body[:16])
+                    elif tag == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)  # chunks are word-aligned
+                if fmt is None or data is None:
+                    raise ValueError("missing fmt/data chunk")
+                audio_fmt, n_ch, sr, _brate, _align, bits = fmt
+                if (audio_fmt, n_ch, bits) != (1, 1, 16):
+                    raise ValueError(
+                        f"unsupported encoding fmt={audio_fmt} ch={n_ch} "
+                        f"bits={bits}; this decoder is PCM-16 mono"
+                    )
+                s = np.frombuffer(data, "<i2").astype(np.int64)
+                rows.append(
+                    (
+                        int(cid),
+                        int(sr),
+                        int(n_ch),
+                        int(s.size),
+                        int(s.sum()),
+                        int(np.abs(s).max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "sample_rate", "n_channels",
+                    "n_samples", "sum_samples", "peak",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=WAV_STATS_SCHEMA)

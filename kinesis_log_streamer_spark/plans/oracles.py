@@ -1909,6 +1909,56 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# m08/m09: the decoders parse real PPM/WAV bytes; the oracles recompute
+# the identical stats from the pixel/sample CLOSED FORMS alone (the
+# encoders' formulas), so the hash proves the parse, not the formula.
+ORACLES["m08_ppm_decode_stats"] = """
+WITH imgs AS (
+    SELECT doc_id AS img_id,
+           8 + (doc_id % 5) * 4 AS w,
+           6 + (doc_id % 3) * 4 AS h
+    FROM documents WHERE doc_id < 24
+),
+px AS (
+    SELECT img_id, w, h, xs.x AS x, ys.y AS y
+    FROM imgs,
+         LATERAL (SELECT unnest(range(w)) AS x) xs,
+         LATERAL (SELECT unnest(range(h)) AS y) ys
+)
+SELECT img_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sum((img_id * 31 + 7 * x + 13 * y) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((img_id * 31 + 7 * x + 13 * y + 97) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((img_id * 31 + 7 * x + 13 * y + 194) % 256) AS BIGINT) AS b_sum
+FROM px
+GROUP BY img_id, w, h
+ORDER BY img_id
+"""
+
+ORACLES["m09_wav_decode_stats"] = """
+WITH clips AS (
+    SELECT doc_id AS clip_id,
+           500 + (doc_id % 7) * 250 AS n,
+           8000 + (doc_id % 3) * 4000 AS sr
+    FROM documents WHERE doc_id < 16
+),
+s AS (
+    SELECT clip_id, n, sr,
+           ((clip_id * 7 + 11 * t.i) % 65536) - 32768 AS v
+    FROM clips, LATERAL (SELECT unnest(range(n)) AS i) t
+)
+SELECT clip_id,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_samples,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM s
+GROUP BY clip_id, n, sr
+ORDER BY clip_id
+"""
+
 ORACLES["k08_aws_transport_roundtrip"] = """
 SELECT event_type,
        count(*) AS n_events,

@@ -1836,6 +1836,76 @@ def m07_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.orderBy("doc_id", "cell_no")
 
 
+def m08_ppm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the oracle — no stub, no PIL: 24
+    binary PPM (P6) images are ENCODED executor-side in the actual
+    wire format (`operators/multimodal.ppm_bytes` — real header +
+    raster whose pixel (x,y,c) is a closed form), then DECODED by a
+    parser that never sees the generator (`decode_ppm_stats`: netpbm
+    header tokenizer with comment handling, numpy.frombuffer raster,
+    exact int64 per-channel sums).  DuckDB recomputes the sums from
+    the closed form alone, so a single mis-parsed header byte or
+    channel-order swap breaks the hash.  Upgrades the m-family's
+    import-gated compressed-codec stub posture: uncompressed formats
+    decode for real in any image."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("binary")
+    def encode(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                M.ppm_bytes(int(i), 8 + (int(i) % 5) * 4, 6 + (int(i) % 3) * 4)
+                for i in ids
+            ]
+        )
+
+    imgs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select(F.col("doc_id").alias("img_id"))
+        .withColumn("payload", encode("img_id"))
+    )
+    return M.decode_ppm_stats(imgs).orderBy("img_id")
+
+
+def m09_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the oracle — no stub, no soundfile: 16
+    RIFF/WAVE PCM-16 mono clips encoded executor-side
+    (`operators/multimodal.wav_bytes` — canonical 44-byte header +
+    data chunk, sample i a closed form), decoded by a real RIFF chunk
+    walker (`decode_wav_stats`: word-aligned chunk list, fmt
+    validation, numpy '<i2' sample decode) into exact integer
+    telemetry (int64 sample sum, peak amplitude).  DuckDB recomputes
+    both from the closed form; m06's frame-energy pass is the
+    downstream consumer of exactly these samples."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("binary")
+    def encode(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                M.wav_bytes(
+                    int(i),
+                    500 + (int(i) % 7) * 250,
+                    8000 + (int(i) % 3) * 4000,
+                )
+                for i in ids
+            ]
+        )
+
+    clips = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 16)
+        .select(F.col("doc_id").alias("clip_id"))
+        .withColumn("payload", encode("clip_id"))
+    )
+    return M.decode_wav_stats(clips).orderBy("clip_id")
+
+
 def l01_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache access-log analytics end to end: synthesize FIXTURES §A1
     JSON records from events, parse with the declared schema
@@ -13289,6 +13359,8 @@ REGISTRY = {
     # -- block 3 (round 13): new this round --------------------------
     "d24_simhash_star_edges": d24_simhash_star_edges,
     "k08_aws_transport_roundtrip": k08_aws_transport_roundtrip,
+    "m08_ppm_decode_stats": m08_ppm_decode_stats,
+    "m09_wav_decode_stats": m09_wav_decode_stats,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -13495,7 +13567,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 327
+assert len(REGISTRY) == 329
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13517,7 +13589,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 327
+assert len(REGISTRY) == 329
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13562,7 +13634,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 327
+assert len(REGISTRY) == 329
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -13598,7 +13670,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 327
+assert len(REGISTRY) == 329
 
 # PREPARED FOR ROUND 13 (do not apply before CORRECTNESS_r12 lands):
 # once the r12 window re-greens the 45 r01 names below, the stalest
@@ -13663,13 +13735,14 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND12_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND12_FRONT)},
 }
-assert len(REGISTRY) == 327
+assert len(REGISTRY) == 329
 
 # PREPARED FOR ROUND 14 (do not apply before CORRECTNESS_r13 lands):
 # once the r13 window re-greens the 44 r02 names below, the stalest
-# tail becomes the 37 round-3-verdict names (36 after d07 rides the
-# r13 window's spare slot) — front those next, after any
-# fail-rechecks and r14 code-changed/new queries:
+# tail becomes the 37 round-3-verdict names — front those next,
+# after any fail-rechecks and r14 code-changed/new queries
+# (d07_containment_pairs heads the list):
+#   d07_containment_pairs
 #   f01_csv_roundtrip f02_partitioned_parquet_roundtrip
 #   f03_orc_roundtrip f04_bucketed_join f09_jsonlines_nested_roundtrip
 #   f10_corrupt_json_permissive f11_csv_quoted_multiline i01_wrap_lines
@@ -13693,15 +13766,16 @@ assert len(REGISTRY) == 327
 # _portable_simhash_sigs; st05/st10 consume the evflush fixture whose
 # memo now revalidates+touches the staged dir (ADVICE r12).  Block
 # (3): brand-new round-13 queries (d24 star-edge SimHash, k08
-# real-boto3 moto transport roundtrip).  44 + 3 + 2 + 1 spare
-# (d07_containment_pairs, the first r03-stale name — retiring the
-# next block early) = exactly the 50-name driver window.
+# real-boto3 moto transport roundtrip, m08/m09 real PPM/WAV decode
+# gates).  44 + 2 + 4 = exactly the 50-name driver window.
 # Key-set-preserving (asserted).
 _ROUND13_FRONT = [
-    # block 1: code changed this round (fresh verdict wanted)
+    # block 1: code changed this round (fresh verdict wanted).
+    # st10 shares the evflush fixture path with st05 one-for-one (the
+    # ADVICE r12 memo revalidation); st05's fresh verdict attests the
+    # shared code, so st10 yields its slot to the m09 real-decode gate.
     "d17_portable_simhash_pairs",
     "st05_event_time_sessions",
-    "st10_stream_left_outer_join",
     # block 2-stale: latest driver verdict is from round 2
     "d05_dedup_clusters", "d06_dedup_keep", "f05_zorder_layout",
     "f06_schema_evolution", "f07_compaction", "f08_malformed_csv",
@@ -13719,11 +13793,11 @@ _ROUND13_FRONT = [
     "t13_contamination", "t14_pii_scrub", "t15_repetition_rules",
     "ts01_series_similarity", "u04_grouped_map_zscore",
     "u05_map_in_arrow",
-    # block 2b: spare slot — first name of the r03-stale block
-    "d07_containment_pairs",
     # block 3: brand-new this round
     "d24_simhash_star_edges",
     "k08_aws_transport_roundtrip",
+    "m08_ppm_decode_stats",
+    "m09_wav_decode_stats",
 ]
 assert len(_ROUND13_FRONT) == len(set(_ROUND13_FRONT)) == 50
 _missing13 = [n for n in _ROUND13_FRONT if n not in REGISTRY]
@@ -13732,4 +13806,4 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND13_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND13_FRONT)},
 }
-assert len(REGISTRY) == 327
+assert len(REGISTRY) == 329

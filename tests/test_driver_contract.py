@@ -61,6 +61,10 @@ for name in (
     "q135_approx_top_k",          # approx_top_k SQL function (r7)
     "t27_bm25_topk",              # createDataFrame probe table (r7)
     "s19_mmr_rerank",             # bounded driver rerank (r7)
+    "d24_simhash_star_edges",     # localCheckpoint lineage cut (r13)
+    "k08_aws_transport_roundtrip",  # moto server + real boto3 (r13)
+    "m08_ppm_decode_stats",       # real PPM decode, binary UDF (r13)
+    "m09_wav_decode_stats",       # real RIFF walk, binary UDF (r13)
 ):
     n = Q.REGISTRY[name](spark, SF).count()
     assert n > 0, f"{{name}} returned 0 rows on bare session"

@@ -152,6 +152,56 @@ class TestRealBoto3Source:
         assert second == [f"b{i}" for i in range(3)]
 
 
+class TestRealBoto3Reshard:
+    def test_reshard_discovery_no_reread(self, moto_url, kinesis):
+        """k03's contract on the REAL consumer API: after an
+        UpdateShardCount reshard (parent closes, children open), the
+        next offset probe must discover the child shards, read
+        post-reshard records exactly once from them, and re-emit
+        nothing from the closed parent."""
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            AwsKinesisStreamReader,
+        )
+
+        stream = _make_stream(kinesis, 1)
+        opts = {
+            "stream": stream,
+            "client": "boto3",
+            "endpoint_url": moto_url,
+            "region": REGION,
+            **CREDS,
+        }
+        reader = AwsKinesisStreamReader(opts)
+        start = reader.initialOffset()
+        for i in range(4):
+            kinesis.put_record(
+                StreamName=stream, Data=f"pre-{i}".encode(), PartitionKey="p"
+            )
+        mid = reader.latestOffset()
+        kinesis.update_shard_count(
+            StreamName=stream, TargetShardCount=2, ScalingType="UNIFORM_SCALING"
+        )
+        for i in range(6):
+            kinesis.put_record(
+                StreamName=stream,
+                Data=f"post-{i}".encode(),
+                PartitionKey=f"key-{i}",
+            )
+        end = reader.latestOffset()
+        assert len(end["shards"]) >= 3  # parent + two children tracked
+
+        def drain(lo, hi):
+            out = []
+            for part in reader.partitions(lo, hi):
+                out.extend(r[0] for r in reader.read(part))
+            return out
+
+        first = drain(start, mid)
+        second = drain(mid, end)
+        assert sorted(first) == [f"pre-{i}" for i in range(4)]
+        assert sorted(second) == [f"post-{i}" for i in range(6)]
+
+
 class TestRealBoto3Sink:
     def test_foreachbatch_put_records_via_real_client(
         self, spark, moto_url, kinesis

@@ -143,3 +143,77 @@ class TestRealCodecLegs:
     def test_audio_decode_flag_validated(self, media):
         with pytest.raises(ValueError, match="u8|soundfile"):
             M.audio_frame_energy(media, decode="mp3")
+
+
+class TestRealUncompressedCodecs:
+    """Round 13: REAL decoders for uncompressed formats — no stub, no
+    import gate.  The encoders write actual PPM/RIFF wire bytes; the
+    decoders parse them back with zero knowledge of the generator."""
+
+    def test_ppm_header_roundtrip(self):
+        b = M.ppm_bytes(3, 12, 9)
+        w, h, maxval, off = M._ppm_header(b)
+        assert (w, h, maxval) == (12, 9, 255)
+        assert len(b) - off == 12 * 9 * 3
+
+    def test_ppm_header_tolerates_comments(self):
+        # netpbm allows comments anywhere in the header whitespace
+        b = b"P6\n# made by hand\n4 2\n# another\n255\n" + bytes(4 * 2 * 3)
+        assert M._ppm_header(b) == (4, 2, 255, len(b) - 24)
+
+    def test_ppm_rejects_wrong_magic(self, spark):
+        df = spark.createDataFrame(
+            [(1, b"P5\n2 2\n255\n" + bytes(4))], "img_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="P6"):
+            M.decode_ppm_stats(df).collect()
+
+    def test_ppm_decode_matches_closed_form(self, spark):
+        df = spark.createDataFrame(
+            [(i, M.ppm_bytes(i, 8, 6)) for i in range(4)],
+            "img_id long, payload binary",
+        )
+        out = {r.img_id: r for r in M.decode_ppm_stats(df).collect()}
+        for i in range(4):
+            want = [
+                sum(
+                    (i * 31 + 7 * x + 13 * y + 97 * c) % 256
+                    for x in range(8)
+                    for y in range(6)
+                )
+                for c in range(3)
+            ]
+            r = out[i]
+            assert (r.width, r.height) == (8, 6)
+            assert [r.r_sum, r.g_sum, r.b_sum] == want
+
+    def test_wav_chunk_walker_skips_extra_chunks(self, spark):
+        # a LIST chunk between fmt and data — the walker must skip it
+        # (and honor word alignment: the 3-byte body pads to 4)
+        import struct
+
+        b = M.wav_bytes(5, 100, 8000)
+        fmt_chunk = b[12:36]
+        data_chunk = b[36:]
+        extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        doctored = b[:12] + fmt_chunk + extra + data_chunk
+        df = spark.createDataFrame(
+            [(5, doctored)], "clip_id long, payload binary"
+        )
+        r = M.decode_wav_stats(df).collect()[0]
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (8000, 1, 100)
+        assert r.sum_samples == sum(
+            ((5 * 7 + 11 * i) % 65536) - 32768 for i in range(100)
+        )
+
+    def test_wav_rejects_stereo(self, spark):
+        import struct
+
+        b = M.wav_bytes(1, 10, 8000)
+        # flip the channel-count field (offset 12+8+2) to 2
+        doctored = b[:22] + struct.pack("<H", 2) + b[24:]
+        df = spark.createDataFrame(
+            [(1, doctored)], "clip_id long, payload binary"
+        )
+        with pytest.raises(Exception, match="PCM-16 mono"):
+            M.decode_wav_stats(df).collect()
