@@ -51,11 +51,15 @@ grep -E "pass,|== sweep|exited" "$LOG"
 if grep -q FAIL "$LOG"; then
     RC=1
 fi
-# Every name must have produced a verdict line: a chunk that silently
+# Every name must have produced a verdict: a chunk that silently
 # skipped work (or died mid-list with rc somehow 0) must not pass.
-CHECKED=$(grep -cE "^(PASS|FAIL|ROWS-ONLY) " "$LOG")
+# Counted from the per-chunk summary lines, not the PASS lines —
+# Spark progress bars prefix some PASS lines with \r-carried text, so
+# a line-anchored grep undercounts (observed: 303 "lines" for 329
+# green verdicts).
+CHECKED=$(awk -F'[ ,]+' '/ pass, .* fail, .* rows-only/ {n += $1 + $3 + $5} END {print n + 0}' "$LOG")
 if [ "$CHECKED" -ne "$TOTAL" ]; then
-    echo "sweep: $CHECKED verdict lines for $TOTAL names — incomplete" | tee -a "$LOG"
+    echo "sweep: $CHECKED verdicts for $TOTAL names — incomplete" | tee -a "$LOG"
     RC=1
 fi
 exit $RC
