@@ -210,6 +210,15 @@ BENDS = {
         "(d05, which only "
         "needs spanning edges, reads 1.0x on the same corpus)"
     ),
+    "i02_enrich_json": (
+        "output-volume growth, the l20/i04 transform class: the "
+        "reference's T3+T4 is a full-stream per-record transform, so "
+        "the query RETURNS one enriched-JSON row per event — 10x "
+        "input is 10x OUTPUT rows through the final event_id sort and "
+        "the harness's driver collect; ~4x time for 10x emitted rows "
+        "is sub-linear per row, and the enrichment itself is "
+        "scan-local variant codegen with no shuffle before the sort"
+    ),
     "d24_simhash_star_edges": (
         "the star emitter exists to FLATTEN d03's duplication bend: "
         "replica copies collapse on the signature (linear hamming-0 "
