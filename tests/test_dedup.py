@@ -143,6 +143,28 @@ class TestSimhashStarEdges:
         assert all(e.id_a < e.id_b for e in edges)
         assert all(0 <= e.hamming <= 16 for e in edges)
 
+    def test_star_graph_is_subset_of_pair_graph(self, spark):
+        # Structural invariant (provable, so pinned): every star edge
+        # verifies hamming <= max, and two docs within hamming <= 3
+        # always share a pigeonhole chunk — so the star edge SET is a
+        # subgraph of the pair emitter's near-dup relation, and star
+        # components refine pair components on ANY corpus (equality
+        # holds on duplicate clusters, the oracle-gated case).
+        base = "the quick brown fox jumps over the lazy dog today"
+        rows = [(i, base) for i in range(3)] + [
+            (10, base + " extra"),
+            (11, base + " extra words"),
+            (20, "completely different text about engines and planes"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pair_set = {
+            (r.id_a, r.id_b)
+            for r in D.portable_simhash_pairs(df, max_hamming=3).collect()
+        }
+        star = D.portable_simhash_star_edges(df, max_hamming=3).collect()
+        assert star, "expected edges on the replica corpus"
+        assert {(e.id_a, e.id_b) for e in star} <= pair_set
+
 
 class TestSimHash:
     def test_identical_texts_same_hash(self, spark, docs):

@@ -328,3 +328,61 @@ class TestSpoolerProperties:
                 ]
         assert got == values
         assert n == len(values)
+
+
+class TestUncompressedCodecProperties:
+    """Pure-Python properties for the round-13 real codecs: every
+    encoder output must decode back to the generator's closed form,
+    at any size."""
+
+    @given(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=30),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_ppm_roundtrip_any_size(self, img_id, w, h):
+        import numpy as np
+
+        from kinesis_log_streamer_spark.operators import multimodal as M
+
+        b = M.ppm_bytes(img_id, w, h)
+        pw, ph, maxval, off = M._ppm_header(b)
+        assert (pw, ph, maxval) == (w, h, 255)
+        px = np.frombuffer(b, np.uint8, count=w * h * 3, offset=off).reshape(
+            h, w, 3
+        )
+        # spot the corners + exact channel sums against the closed form
+        for (x, y, c) in [(0, 0, 0), (w - 1, h - 1, 2), (w - 1, 0, 1)]:
+            assert px[y, x, c] == (img_id * 31 + 7 * x + 13 * y + 97 * c) % 256
+        want = [
+            sum(
+                (img_id * 31 + 7 * x + 13 * y + 97 * c) % 256
+                for x in range(w)
+                for y in range(h)
+            )
+            for c in range(3)
+        ]
+        assert px.sum(axis=(0, 1), dtype=np.int64).tolist() == want
+
+    @given(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=400),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_wav_roundtrip_any_length(self, clip_id, n, sr):
+        import struct
+
+        import numpy as np
+
+        from kinesis_log_streamer_spark.operators import multimodal as M
+
+        b = M.wav_bytes(clip_id, n, sr)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        (riff_size,) = struct.unpack("<I", b[4:8])
+        assert riff_size == len(b) - 8  # header size field is honest
+        samples = np.frombuffer(b[44:], "<i2").astype(np.int64)
+        assert samples.size == n
+        want = ((clip_id * 7 + 11 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+        assert (samples == want).all()
