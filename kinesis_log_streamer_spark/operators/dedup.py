@@ -255,6 +255,32 @@ def simhash64(text_col_name: str) -> Column:
     )
 
 
+def _lane_guard(sig: Column) -> Column:
+    """Fail-loud overflow guard for the SWAR SimHash aggregates.
+
+    Both :func:`simhash_fingerprints` and :func:`_portable_simhash_sigs`
+    pack per-bit counts into 16-bit lanes of long accumulators; the
+    65,536th contributing token in one document would CARRY into the
+    neighboring lane — silently flipping an unrelated majority-vote
+    bit, not saturating (ADVICE r13 low #1).  The aggregates already
+    compute the per-document token count ``n`` in the same pass, so
+    the guard is one scalar predicate per OUTPUT row (|docs|, not
+    |tokens|): ``assert_true`` raises on the first oversized document
+    and returns NULL otherwise, which ``coalesce`` discards in favor
+    of the signature.
+    """
+    msg = (
+        "SimHash SWAR lanes are 16-bit: a document with >= 65536 "
+        "contributing tokens would carry into the neighboring lane and "
+        "corrupt unrelated signature bits; split the document (e.g. "
+        "rag_chunks) before fingerprinting"
+    )
+    return F.coalesce(
+        F.assert_true(F.col("n") < F.lit(65536), F.lit(msg)).cast("long"),
+        sig,
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -269,9 +295,13 @@ def simhash_fingerprints(
     set iff 2·s_b > n_tokens.  The final projection unpacks lanes and
     ORs the sign bits into one long.  16 narrow aggregates keep the
     aggregation inside whole-stage codegen (64 separate CASE-WHEN sums
-    spill out of it); the shuffle carries |docs| × 17 longs.  Supports
-    up to 65,535 tokens/doc before a lane saturates — equivalent
-    semantics to :func:`simhash64`, far faster than the interpreted
+    spill out of it); the shuffle carries |docs| × 17 longs.  Lane
+    counts are 16-bit: a 65,536th token would CARRY into the
+    neighboring lane (corrupting an unrelated bit's count, not
+    saturating), so the final projection guards ``n < 2^16`` with
+    ``assert_true`` — a document that large fails loudly instead of
+    fingerprinting wrong (ADVICE r13 low #1).  Equivalent semantics to
+    :func:`simhash64`, far faster than the interpreted
     higher-order-function form.
     """
     lane_mask = 0x0001000100010001
@@ -294,7 +324,7 @@ def simhash_fingerprints(
             s * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
         packed = bit if packed is None else packed.bitwiseOR(bit)
-    return counters.select("id", packed.alias("simhash"))
+    return counters.select("id", _lane_guard(packed).alias("simhash"))
 
 
 def simhash_pairs(
@@ -764,9 +794,12 @@ def _portable_simhash_sigs(
     lanes each carry one hex-parity bit, one hash aggregate sums
     them map-side, and a final projection unpacks lanes into the
     majority-vote bits.  Whole-stage codegen end to end; the shuffle
-    carries |docs| × 9 longs; lanes saturate at 65,535 distinct
-    tokens/doc (same bound as simhash_fingerprints).  Bit i lives in
-    lane ``i // 8`` of accumulator ``i % 8``.
+    carries |docs| × 9 longs.  Lane counts are 16-bit — a 65,536th
+    distinct token would CARRY into the neighboring lane (corrupting
+    an unrelated bit, not saturating), so the projection guards
+    ``n < 2^16`` via :func:`_lane_guard` and fails loudly instead
+    (ADVICE r13 low #1; same bound as simhash_fingerprints).  Bit i
+    lives in lane ``i // 8`` of accumulator ``i % 8``.
     """
     from functools import reduce
     from operator import add
@@ -819,7 +852,7 @@ def _portable_simhash_sigs(
             for j in range(4)
         ],
     )
-    return counters.select("id", sig.alias("sig"))
+    return counters.select("id", _lane_guard(sig).alias("sig"))
 
 
 def portable_simhash_pairs(

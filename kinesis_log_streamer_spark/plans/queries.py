@@ -12960,33 +12960,46 @@ def k08_aws_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.dataSource.register(KinesisDataSource)
 
+    # Setup-stage guard is WIDE (any Exception, not just ImportError):
+    # a moto-internal refactor or a port/bind failure must downgrade
+    # to the dir: fallback leg, not crash the query (ADVICE r13 low
+    # #2).  Failures AFTER the transport roundtrip starts still raise
+    # — a half-written memory sink cannot silently fall back.
+    server = None
     try:
+        import uuid
+
         import boto3  # noqa: PLC0415
         from moto.server import ThreadedMotoServer  # noqa: PLC0415
 
         server = ThreadedMotoServer(port=0)
         server.start()
-    except ImportError:
+        # Public API (moto 5.x), not server._server.socket — the
+        # private attr broke silently on moto refactors.
+        host, port = server.get_host_and_port()
+        url = f"http://{host}:{port}"
+        region, ak, sk = "us-east-1", "testing", "testing"
+        # moto backends are module-global (they outlive the
+        # server object), so a repeated invocation in one process
+        # must not reuse the stream name.
+        stream = "klss-k08-" + uuid.uuid4().hex[:8]
+        boto3.client(
+            "kinesis",
+            region_name=region,
+            endpoint_url=url,
+            aws_access_key_id=ak,
+            aws_secret_access_key=sk,
+        ).create_stream(StreamName=stream, ShardCount=2)
+    except Exception:  # noqa: BLE001 - any setup failure → dir leg
+        if server is not None:
+            try:
+                server.stop()
+            except Exception:  # noqa: BLE001 - best-effort teardown
+                pass
         server = None
 
     if server is not None:
         try:
-            import uuid
-
-            port = server._server.socket.getsockname()[1]
-            url = f"http://127.0.0.1:{port}"
-            region, ak, sk = "us-east-1", "testing", "testing"
-            # moto backends are module-global (they outlive the
-            # server object), so a repeated invocation in one process
-            # must not reuse the stream name.
-            stream = "klss-k08-" + uuid.uuid4().hex[:8]
-            boto3.client(
-                "kinesis",
-                region_name=region,
-                endpoint_url=url,
-                aws_access_key_id=ak,
-                aws_secret_access_key=sk,
-            ).create_stream(StreamName=stream, ShardCount=2)
             sink = KinesisSink(
                 stream,
                 region=region,
@@ -13017,15 +13030,27 @@ def k08_aws_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             server.stop()
     else:  # pragma: no cover - exercised only in leaner images
         import os
-        import shutil
         import tempfile
 
         from kinesis_log_streamer_spark.sources.kinesis_source import (
             DirKinesisClient,
         )
 
-        ep = os.path.join(tempfile.gettempdir(), "klss_k08_stream")
-        shutil.rmtree(ep, ignore_errors=True)
+        # Per-invocation dir keyed by applicationId + uuid (the
+        # l20/l21/i08 pattern) — a fixed shared name plus rmtree let
+        # two concurrent processes delete each other's live stream dir
+        # mid-read (ADVICE r13 low #3); the uuid also isolates reruns
+        # inside ONE application.  Stale copies from dead runs are
+        # age-swept; our own dir is dropped right after the drain.
+        import shutil
+        import uuid
+
+        _sweep_stale_tmp("klss_k08_stream_")
+        ep = os.path.join(
+            tempfile.gettempdir(),
+            "klss_k08_stream_"
+            f"{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}",
+        )
         sink = KinesisSink("k08", client_factory=lambda: DirKinesisClient(ep))
         sink.write_batch(payload.coalesce(2), epoch_id=0)
         raw = (
@@ -13033,7 +13058,10 @@ def k08_aws_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("endpoint", f"dir:{ep}")
             .load()
         )
-        _drain_stream_to_table(raw, "k08_out", mode="append", no_data=False)
+        try:
+            _drain_stream_to_table(raw, "k08_out", mode="append", no_data=False)
+        finally:
+            shutil.rmtree(ep, ignore_errors=True)
 
     parsed = spark.table("k08_out").select(
         F.from_json(

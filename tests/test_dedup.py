@@ -100,21 +100,72 @@ class TestStarEdges:
 
 class TestSimhashStarEdges:
     """portable_simhash_star_edges (r13): cluster-equivalent to the
-    pair emitter, candidate volume linear in the duplication factor."""
+    pair emitter on duplicate-cluster corpora, candidate volume linear
+    in the duplication factor."""
 
-    def test_components_match_pair_build(self, spark, docs):
+    def test_components_refine_pair_build(self, spark, docs):
+        """On a GENERIC corpus the operator guarantees REFINEMENT, not
+        equality: a bucket member whose hamming to the bucket's min-id
+        rep exceeds max_hamming gets no star edge even though it pairs
+        with another member, so a pair component may split into
+        several star components (ADVICE r13 low #4 — the old equality
+        assert held only by accident of this fixture).  Equality is
+        pinned on the explicit duplicate-cluster corpus below, where
+        every bucket member is hamming-0 from its rep."""
+        from collections import defaultdict
+
         from kinesis_log_streamer_spark.operators import graph as G
 
-        by_pairs = {
-            (r.doc_id, r.cluster_id)
+        pair_of = {
+            r.doc_id: r.cluster_id
             for r in G.dedup_clusters(
                 D.portable_simhash_pairs(docs), docs
             ).collect()
         }
+        star_of = {
+            r.doc_id: r.cluster_id
+            for r in G.dedup_clusters(
+                D.portable_simhash_star_edges(docs), docs
+            ).collect()
+        }
+        assert set(star_of) == set(pair_of)  # same doc universe
+        members = defaultdict(list)
+        for doc, cluster in star_of.items():
+            members[cluster].append(doc)
+        for cluster, ds in members.items():
+            assert len({pair_of[d] for d in ds}) == 1, (
+                f"star cluster {cluster} spans pair clusters"
+            )
+
+    def test_components_equal_on_duplicate_cluster_corpus(self, spark):
+        """Replica cliques + distinct singletons: every clique member
+        shares its rep's signature (hamming 0), so the star build is
+        PROVABLY identical to the pair build here — the corpus where
+        equality is the contract, not a fixture accident."""
+        from kinesis_log_streamer_spark.operators import graph as G
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta iota",
+            "storage engines compress columnar stripes with encodings",
+            "the quick brown fox jumps over the lazy dog tonight",
+        ]
+        rows = [
+            (10 * t + k, text)
+            for t, text in enumerate(texts)
+            for k in range(4)
+        ] + [
+            (100, "completely different words about sailing ships"),
+            (101, "unrelated text mentioning orbital mechanics and fuel"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        by_pairs = {
+            (r.doc_id, r.cluster_id)
+            for r in G.dedup_clusters(D.portable_simhash_pairs(df), df).collect()
+        }
         by_star = {
             (r.doc_id, r.cluster_id)
             for r in G.dedup_clusters(
-                D.portable_simhash_star_edges(docs), docs
+                D.portable_simhash_star_edges(df), df
             ).collect()
         }
         assert by_star == by_pairs
@@ -354,3 +405,47 @@ class TestWinnowing:
         # < k + window - 1 tokens: no full window exists
         fps = self._fps(spark, ["only six words right here now"])
         assert fps == {}
+
+
+class TestSwarLaneGuard:
+    """The 16-bit SWAR lanes of both SimHash signature builders carry
+    (not saturate) at 65,536 contributing tokens per document,
+    corrupting an unrelated bit — so both builders must FAIL LOUDLY on
+    such a document instead of fingerprinting it wrong (ADVICE r13
+    low #1)."""
+
+    def _big_doc(self, spark, n=65536):
+        text = " ".join(f"tok{i}" for i in range(n))
+        return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    # End-to-end, one of TWO loud failures fires first: ANSI mode
+    # (Spark 4 default) usually catches the top lane's sum overflowing
+    # the long inside the partial aggregate (n·2^48 ≥ 2^63), and the
+    # _lane_guard assert_true catches every remaining n ≥ 2^16 case in
+    # the final projection.  Either way: an error, never a corrupted
+    # signature.
+    def test_xxhash_fingerprints_fail_loudly(self, spark):
+        with pytest.raises(Exception, match="65536|ARITHMETIC_OVERFLOW"):
+            D.simhash_fingerprints(self._big_doc(spark)).collect()
+
+    def test_portable_sigs_fail_loudly(self, spark):
+        with pytest.raises(Exception, match="65536|ARITHMETIC_OVERFLOW"):
+            D._portable_simhash_sigs(
+                self._big_doc(spark), "text", "doc_id"
+            ).collect()
+
+    def test_lane_guard_column_fires_deterministically(self, spark):
+        # The guard itself (not ANSI): a counters row that slipped past
+        # the sums with n >= 2^16 must raise with the guard's message.
+        df = spark.createDataFrame([(70000, 5)], "n long, sig long")
+        with pytest.raises(Exception, match="65536"):
+            df.select(D._lane_guard(F.col("sig"))).collect()
+
+    def test_lane_guard_passes_in_bound_rows(self, spark):
+        df = spark.createDataFrame([(65535, 5)], "n long, sig long")
+        assert df.select(D._lane_guard(F.col("sig")).alias("s")).first().s == 5
+
+    def test_in_bound_doc_passes_guard(self, spark):
+        # 1000 distinct tokens: far inside the lane bound, the guard
+        # must be invisible (one signature row out).
+        assert D.simhash_fingerprints(self._big_doc(spark, 1000)).count() == 1

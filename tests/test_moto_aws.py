@@ -38,8 +38,10 @@ CREDS = {"access_key": "testing", "secret_key": "testing"}
 def moto_url():
     server = ThreadedMotoServer(port=0)
     server.start()
-    port = server._server.socket.getsockname()[1]
-    yield f"http://127.0.0.1:{port}"
+    # Public API (moto 5.x) — server._server.socket is a private attr
+    # that breaks silently on moto refactors (ADVICE r13 low #2).
+    host, port = server.get_host_and_port()
+    yield f"http://{host}:{port}"
     server.stop()
 
 
