@@ -13,7 +13,13 @@ without touching the transport.
 Iterator tokens are ``"<shard>:<index>"``; sequence numbers are the
 record's line index as a decimal string (monotonic per shard, the only
 property the transport relies on — real Kinesis sequence numbers are
-also monotonic-per-shard decimal strings).
+also monotonic-per-shard decimal strings).  Arrival timestamps are the
+``ts`` field the writers (:func:`~.kinesis_source.write_fake_shard`,
+``DirKinesisClient.put_records``) stamp at append time — real wall
+clock, so the fence reader's ``AT_TIMESTAMP`` iterators and
+``(lo, hi]`` arrival ranges behave exactly as against the service;
+legacy lines without a stamp read as 0.0 (inside every TRIM_HORIZON
+fence).
 """
 
 from __future__ import annotations
@@ -60,6 +66,7 @@ class FakeKinesisReadClient:
         ShardId: str,  # noqa: N803
         ShardIteratorType: str,  # noqa: N803
         StartingSequenceNumber: str | None = None,  # noqa: N803
+        Timestamp: float | None = None,  # noqa: N803
     ) -> dict:
         if ShardIteratorType == "TRIM_HORIZON":
             idx = 0
@@ -69,6 +76,19 @@ class FakeKinesisReadClient:
             idx = int(StartingSequenceNumber)
         elif ShardIteratorType == "LATEST":
             idx = len(self._records(ShardId))
+        elif ShardIteratorType == "AT_TIMESTAMP":
+            # First record at-or-after the timestamp — the service's
+            # inclusive AT_TIMESTAMP semantics (and moto's).
+            at = float(Timestamp or 0.0)
+            recs = self._records(ShardId)
+            idx = next(
+                (
+                    i
+                    for i, r in enumerate(recs)
+                    if float(r.get("ts", 0.0)) >= at
+                ),
+                len(recs),
+            )
         else:
             raise ValueError(f"unsupported iterator type {ShardIteratorType}")
         return {"ShardIterator": f"{ShardId}:{idx}"}
@@ -83,14 +103,32 @@ class FakeKinesisReadClient:
                 "Data": r["data"].encode("utf-8"),
                 "PartitionKey": r.get("partitionKey", ""),
                 "SequenceNumber": str(idx + i),
+                "ApproximateArrivalTimestamp": float(r.get("ts", 0.0)),
             }
             for i, r in enumerate(batch)
         ]
         nxt = idx + len(batch)
+        # Same shape moto computes: lag of the last RETURNED record
+        # behind the shard tip, 0 when the batch reaches (or is) the
+        # tip — the fence probe's tiebreak for an inclusive-boundary
+        # peek relies on this being > 0 iff records remain beyond.
+        millis = 0
+        if batch and nxt < len(recs):
+            millis = max(
+                0,
+                int(
+                    (
+                        float(recs[-1].get("ts", 0.0))
+                        - float(batch[-1].get("ts", 0.0))
+                    )
+                    * 1000
+                ),
+            )
+            millis = max(millis, 1)  # beyond-tip records always signal
         return {
             "Records": out,
             "NextShardIterator": f"{shard_id}:{nxt}",
-            "MillisBehindLatest": 0,
+            "MillisBehindLatest": millis,
         }
 
 

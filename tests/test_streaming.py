@@ -617,6 +617,7 @@ class TestAwsKinesisTransport:
                 "client", "kinesis_log_streamer_spark.sources.fake_aws:client_for"
             )
             .option("fake_dir", ep)
+            .option("fencelagms", "0")  # single-process clock: no skew
             .load()
         )
 
