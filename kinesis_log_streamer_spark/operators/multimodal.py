@@ -485,3 +485,223 @@ def decode_wav_stats(
             )
 
     return df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-format codec (round 14): PNG, stdlib zlib + numpy
+# ---------------------------------------------------------------------------
+# PNG is the one compressed image format that needs NO codec library:
+# the payload is zlib-DEFLATE over per-scanline filtered bytes (RFC
+# 2083) and the container is CRC-checked chunks — all decodable with
+# stdlib ``zlib`` plus numpy, exactly like the PPM/WAV legs above.
+# This shrinks the import-gated stub surface to entropy-coded codecs
+# (JPEG/FLAC-class) only.
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_bytes(img_id: int, width: int, height: int) -> bytes:
+    """Encode a REAL PNG (8-bit truecolor RGB, non-interlaced) whose
+    pixel (x, y, c) is the same closed form the PPM leg uses:
+    ``(img_id*31 + 7x + 13y + 97c) mod 256``.
+
+    Scanline y is written with filter type ``y % 5`` — None, Sub, Up,
+    Average, Paeth in rotation (every fixture image is ≥ 6 rows, so a
+    decoder that mis-implements ANY of the five unfilter recurrences
+    breaks the oracle hash) — then the filtered stream is
+    zlib-compressed into IDAT.  Signature, IHDR, IDAT, IEND with real
+    CRCs: any PNG reader opens these bytes."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)
+    raw = (
+        (
+            img_id * 31
+            + 7 * x[None, :, None]
+            + 13 * y[:, None, None]
+            + 97 * c[None, None, :]
+        )
+        % 256
+    ).astype(np.int64).reshape(height, width * 3)
+
+    bpp = 3
+    out = bytearray()
+    prior = np.zeros(width * bpp, dtype=np.int64)
+    for row in range(height):
+        cur = raw[row]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        up_left = np.concatenate(
+            [np.zeros(bpp, dtype=np.int64), prior[:-bpp]]
+        )
+        ftype = row % 5
+        if ftype == 0:  # None
+            filt = cur
+        elif ftype == 1:  # Sub
+            filt = cur - left
+        elif ftype == 2:  # Up
+            filt = cur - prior
+        elif ftype == 3:  # Average
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - up_left
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prior),
+                np.abs(p - up_left),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prior, up_left),
+            )
+            filt = cur - pred
+        out.append(ftype)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(stream: bytes, width: int, height: int, bpp: int):
+    """Invert the five PNG scanline filters over a decompressed IDAT
+    stream → (height, width*bpp) uint8 array.  None/Up invert
+    vectorized; Sub/Average/Paeth are sequential in x by construction
+    (each pixel depends on the reconstructed left neighbour), so those
+    rows walk pixels — bounded work: bpp bytes per step, row-local."""
+    import numpy as np  # noqa: PLC0415
+
+    stride = width * bpp
+    if len(stream) != height * (1 + stride):
+        raise ValueError(
+            f"IDAT stream is {len(stream)} bytes, want {height}x(1+{stride})"
+        )
+    rows = np.frombuffer(stream, np.uint8).reshape(height, 1 + stride)
+    out = np.zeros((height, stride), dtype=np.int64)
+    for r in range(height):
+        ftype = int(rows[r, 0])
+        cur = rows[r, 1:].astype(np.int64)
+        prior = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.int64)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:
+            rec = (cur + prior) % 256
+        elif ftype in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + prior[i]) // 2
+                else:
+                    ul = prior[i - bpp] if i >= bpp else 0
+                    p = left + prior[i] - ul
+                    pa, pb, pc = abs(p - left), abs(p - prior[i]), abs(p - ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = prior[i]
+                    else:
+                        pred = ul
+                rec[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = rec
+    return out.astype(np.uint8)
+
+
+def decode_png(b: bytes):
+    """Decode a PNG payload (8-bit truecolor RGB, non-interlaced) to
+    (width, height, pixels[h, w, 3]) — REAL wire decode: signature
+    check, chunk walk with CRC32 verification, multi-IDAT
+    concatenation, zlib inflate, per-scanline unfilter."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", b[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            "this decoder handles 8-bit truecolor non-interlaced PNG "
+            f"(got depth={depth} color={ctype} interlace={interlace})"
+        )
+    px = _png_unfilter(zlib.decompress(bytes(idat)), width, height, 3)
+    return width, height, px.reshape(height, width, 3)
+
+
+PNG_STATS_SCHEMA = (
+    "img_id long, width int, height int, "
+    "r_sum long, g_sum long, b_sum long"
+)
+
+
+def decode_png_stats(
+    df: DataFrame, id_col: str = "img_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL compressed-image decode over binary payloads — the PNG
+    twin of :func:`decode_ppm_stats`: chunk walk + CRC verify + zlib
+    inflate + unfilter happen executor-side in Arrow batches, only
+    (id, 5 ints) leave the task.  At 100 TB: payloads stream through
+    executor record batches from a binaryFile or parquet binary scan;
+    nothing but fixed-width stats shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for iid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = decode_png(bytes(payload))
+                sums = px.sum(axis=(0, 1), dtype=np.int64)
+                rows.append(
+                    (int(iid), w, h, int(sums[0]), int(sums[1]), int(sums[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=PNG_STATS_SCHEMA)

@@ -1959,6 +1959,30 @@ GROUP BY clip_id, n, sr
 ORDER BY clip_id
 """
 
+ORACLES["m10_png_decode_stats"] = """
+WITH imgs AS (
+    SELECT doc_id AS img_id,
+           8 + (doc_id % 6) * 3 AS w,
+           6 + (doc_id % 4) * 3 AS h
+    FROM documents WHERE doc_id < 20
+),
+px AS (
+    SELECT img_id, w, h, xs.x AS x, ys.y AS y
+    FROM imgs,
+         LATERAL (SELECT unnest(range(w)) AS x) xs,
+         LATERAL (SELECT unnest(range(h)) AS y) ys
+)
+SELECT img_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(sum((img_id * 31 + 7 * x + 13 * y) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((img_id * 31 + 7 * x + 13 * y + 97) % 256) AS BIGINT) AS g_sum,
+       CAST(sum((img_id * 31 + 7 * x + 13 * y + 194) % 256) AS BIGINT) AS b_sum
+FROM px
+GROUP BY img_id, w, h
+ORDER BY img_id
+"""
+
 ORACLES["k08_aws_transport_roundtrip"] = """
 SELECT event_type,
        count(*) AS n_events,

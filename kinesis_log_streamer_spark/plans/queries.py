@@ -1906,6 +1906,41 @@ def m09_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_wav_stats(clips).orderBy("clip_id")
 
 
+def m10_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED image decode under the oracle — no PIL, stdlib
+    zlib + numpy only (VERDICT r13 next #3): 20 real PNGs (signature,
+    CRC-checked IHDR/IDAT/IEND chunks, zlib-DEFLATE scanlines with the
+    filter type ROTATING through all five per image) are encoded
+    executor-side (`operators/multimodal.png_bytes`), then decoded by
+    a parser that never sees the generator (`decode_png`: chunk walk +
+    CRC32 verify + inflate + per-filter unfilter recurrences).  DuckDB
+    recomputes the per-channel sums from the pixel closed form alone,
+    so a single mis-implemented unfilter (Sub/Up/Average/Paeth), CRC
+    slip, or channel swap breaks the hash.  With this, the m-family's
+    import-gated stub posture shrinks to entropy-coded codecs
+    (JPEG/FLAC-class) only."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("binary")
+    def encode(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                M.png_bytes(int(i), 8 + (int(i) % 6) * 3, 6 + (int(i) % 4) * 3)
+                for i in ids
+            ]
+        )
+
+    imgs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select(F.col("doc_id").alias("img_id"))
+        .withColumn("payload", encode("img_id"))
+    )
+    return M.decode_png_stats(imgs).orderBy("img_id")
+
+
 def l01_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache access-log analytics end to end: synthesize FIXTURES §A1
     JSON records from events, parse with the declared schema
@@ -13389,6 +13424,7 @@ REGISTRY = {
     "k08_aws_transport_roundtrip": k08_aws_transport_roundtrip,
     "m08_ppm_decode_stats": m08_ppm_decode_stats,
     "m09_wav_decode_stats": m09_wav_decode_stats,
+    "m10_png_decode_stats": m10_png_decode_stats,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -13595,7 +13631,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 329
+assert len(REGISTRY) == 330
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13617,7 +13653,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 329
+assert len(REGISTRY) == 330
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13662,7 +13698,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 329
+assert len(REGISTRY) == 330
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -13698,7 +13734,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 329
+assert len(REGISTRY) == 330
 
 # PREPARED FOR ROUND 13 (do not apply before CORRECTNESS_r12 lands):
 # once the r12 window re-greens the 45 r01 names below, the stalest
@@ -13763,7 +13799,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND12_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND12_FRONT)},
 }
-assert len(REGISTRY) == 329
+assert len(REGISTRY) == 330
 
 # PREPARED FOR ROUND 14 (do not apply before CORRECTNESS_r13 lands):
 # once the r13 window re-greens the 44 r02 names below, the stalest
@@ -13834,4 +13870,4 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND13_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND13_FRONT)},
 }
-assert len(REGISTRY) == 329
+assert len(REGISTRY) == 330
