@@ -938,6 +938,57 @@ ORDER BY id_a, id_b
 
 ORACLES["s04_embedding_near_dups"] = _s04_oracle()
 
+
+def _s22_oracle() -> str:
+    """The s04 replay with bucket-min STAR candidates: anchor = min
+    vec_id per (band, key) bucket; edges (anchor, member) only."""
+    from kinesis_log_streamer_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 32, 42)  # bits x dim
+    bit_exprs = ",\n           ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(w)) for w in planes[i])
+        + "]) >= 0 THEN '1' ELSE '0' END AS b" + str(i)
+        for i in range(32)
+    )
+    band_rows = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_id, "
+        + " || ".join(f"b{b * 8 + r}" for r in range(8))
+        + " AS bkey FROM sig"
+        for b in range(4)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+    SELECT vec_id,
+           {bit_exprs}
+    FROM v
+),
+bands AS (
+    {band_rows}
+),
+anchors AS (
+    SELECT band_id, bkey, min(vec_id) AS anchor
+    FROM bands GROUP BY band_id, bkey
+),
+cand AS (
+    SELECT DISTINCT a.anchor AS id_a, b.vec_id AS id_b
+    FROM anchors a
+    JOIN bands b ON b.band_id = a.band_id AND b.bkey = a.bkey
+                AND b.vec_id > a.anchor
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
+FROM cand
+JOIN v va ON va.vec_id = id_a
+JOIN v vb ON vb.vec_id = id_b
+WHERE round(list_cosine_similarity(va.v, vb.v), 4) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["s22_embedding_star_edges"] = _s22_oracle()
+
 ORACLES["m02_multimodal_decode"] = """
 WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
 SELECT doc_id,

@@ -1714,6 +1714,27 @@ def s04_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def s22_embedding_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup SPANNING edges (s04's cluster-build twin,
+    mirroring d24 for d03 — VERDICT r13 next #5): each LSH bucket
+    anchors at its min-id member and emits (anchor, member) verified
+    edges only, so a k-replica clique costs k−1 candidates instead of
+    C(k,2) — candidate and output volume LINEAR in the duplication
+    factor, which is the whole story on replica-heavy corpora where
+    s04's pair contract bends 11.92× (SCALING.md).  No bucket
+    self-join at all: the anchor is a window min over the band key.
+
+    FULLY oracle-hashed like s04: portable band keys + deterministic
+    hyperplanes let DuckDB replay signatures, banding, bucket-min
+    anchoring, and the exact cosine verify — the exact edge set must
+    match.  Components-refine-pairs and equality-on-replica-corpora
+    are pinned in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_star_edges(
+        emb, dim=64, min_cosine=0.3, portable_keys=True
+    ).orderBy("id_a", "id_b")
+
+
 def s06_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine pair similarity on a bounded subset — the
     oracle-hashed exact twin of s04's LSH-bucketed scale path (the same
@@ -13406,6 +13427,7 @@ REGISTRY = {
     "d23_dup_span_removal": d23_dup_span_removal,
     "p09_join_skew_profile": p09_join_skew_profile,
     "s21_ivf_maxsim_rerank": s21_ivf_maxsim_rerank,
+    "s22_embedding_star_edges": s22_embedding_star_edges,
     "l19_log_template_mining": l19_log_template_mining,
     # -- block 3 (round 11): new this round --------------------------
     "l20_ingest_rollup_pipeline": l20_ingest_rollup_pipeline,
@@ -13631,7 +13653,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 330
+assert len(REGISTRY) == 331
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13653,7 +13675,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 330
+assert len(REGISTRY) == 331
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13698,7 +13720,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 330
+assert len(REGISTRY) == 331
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -13734,7 +13756,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 330
+assert len(REGISTRY) == 331
 
 # PREPARED FOR ROUND 13 (do not apply before CORRECTNESS_r12 lands):
 # once the r12 window re-greens the 45 r01 names below, the stalest
@@ -13799,7 +13821,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND12_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND12_FRONT)},
 }
-assert len(REGISTRY) == 330
+assert len(REGISTRY) == 331
 
 # PREPARED FOR ROUND 14 (do not apply before CORRECTNESS_r13 lands):
 # once the r13 window re-greens the 44 r02 names below, the stalest
@@ -13870,4 +13892,4 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND13_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND13_FRONT)},
 }
-assert len(REGISTRY) == 330
+assert len(REGISTRY) == 331

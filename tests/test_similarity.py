@@ -183,3 +183,108 @@ class TestIvfPrepare:
         ).collect()
         key = lambda r: (r.qid, r.rnk)  # noqa: E731
         assert sorted(base, key=key) == sorted(prepped, key=key)
+
+
+class TestEmbeddingStarEdges:
+    """embedding_star_edges (r14): s04's cluster-build twin — linear
+    candidate volume in the duplication factor, components refine the
+    pair emitter's, equality on replica-clique corpora (the d24
+    contract ported to embeddings)."""
+
+    def _corpus(self, spark, n_base=12, k_rep=6, dim=8):
+        # n_base well-separated vectors + k_rep exact replicas of
+        # vector 0 (ids 100..): a duplicate clique the star emitter
+        # must span with k edges, not C(k+1,2).
+        import math
+
+        rows = []
+        for i in range(n_base):
+            v = [math.sin(0.7 * i * (d + 1)) + (d == i % dim) * 3.0 for d in range(dim)]
+            rows.append((i, v))
+        for j in range(k_rep):
+            rows.append((100 + j, rows[0][1]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_components_refine_pair_build(self, spark):
+        from collections import defaultdict
+
+        from kinesis_log_streamer_spark.operators import graph as G
+        from kinesis_log_streamer_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+            embedding_star_edges,
+        )
+
+        df = self._corpus(spark)
+        kw = dict(dim=8, min_cosine=0.9, bits=16, bands=4, seed=3)
+        pair_of = {
+            r.vec_id: r.cluster_id
+            for r in G.dedup_clusters(
+                embedding_near_dup_pairs(df, **kw), df, id_col="vec_id"
+            ).collect()
+        }
+        star_of = {
+            r.vec_id: r.cluster_id
+            for r in G.dedup_clusters(
+                embedding_star_edges(df, **kw), df, id_col="vec_id"
+            ).collect()
+        }
+        assert set(star_of) == set(pair_of)
+        members = defaultdict(list)
+        for vid, cl in star_of.items():
+            members[cl].append(vid)
+        for cl, vs in members.items():
+            assert len({pair_of[v] for v in vs}) == 1
+
+    def test_replica_clique_components_equal_and_linear(self, spark):
+        from kinesis_log_streamer_spark.operators import graph as G
+        from kinesis_log_streamer_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+            embedding_star_edges,
+        )
+
+        df = self._corpus(spark, n_base=4, k_rep=7)
+        kw = dict(dim=8, min_cosine=0.95, bits=16, bands=4, seed=3)
+        star = embedding_star_edges(df, **kw).collect()
+        pairs = embedding_near_dup_pairs(df, **kw).collect()
+        clique = {0} | {100 + j for j in range(7)}  # 8 replicas
+        star_clique = [e for e in star if e.id_a in clique and e.id_b in clique]
+        pair_clique = [e for e in pairs if e.id_a in clique and e.id_b in clique]
+        # linear vs quadratic OUTPUT: k-1 = 7 spanning edges anchored
+        # at the min id vs C(8,2) = 28 clique pairs.
+        assert len(star_clique) == 7
+        assert all(e.id_a == 0 and e.cosine == 1.0 for e in star_clique)
+        assert len(pair_clique) == 28
+        # same components either way
+        by_pairs = {
+            (r.vec_id, r.cluster_id)
+            for r in G.dedup_clusters(
+                embedding_near_dup_pairs(df, **kw), df, id_col="vec_id"
+            ).collect()
+        }
+        by_star = {
+            (r.vec_id, r.cluster_id)
+            for r in G.dedup_clusters(
+                embedding_star_edges(df, **kw), df, id_col="vec_id"
+            ).collect()
+        }
+        assert by_star == by_pairs
+
+    def test_star_edges_subset_of_pairs(self, spark):
+        from kinesis_log_streamer_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+            embedding_star_edges,
+        )
+
+        df = self._corpus(spark)
+        kw = dict(dim=8, min_cosine=0.5, bits=16, bands=4, seed=3)
+        star = {
+            (e.id_a, e.id_b, e.cosine)
+            for e in embedding_star_edges(df, **kw).collect()
+        }
+        pairs = {
+            (e.id_a, e.id_b, e.cosine)
+            for e in embedding_near_dup_pairs(df, **kw).collect()
+        }
+        assert star <= pairs
