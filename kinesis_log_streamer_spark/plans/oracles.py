@@ -2781,6 +2781,19 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
+# k09 is k04's contract at the wire (real boto3 through the throttling
+# proxy): identical survivor set, identical rollup.
+ORACLES["k09_aws_throttled_put"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id % 10 = 5
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 ORACLES["k02_kinesis_checkpoint_resume"] = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,

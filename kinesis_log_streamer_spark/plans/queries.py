@@ -13135,6 +13135,162 @@ def k08_aws_transport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k09_aws_throttled_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k04's at-most-once drop contract AT THE WIRE (VERDICT r13 next
+    #4): the strict-parity sink (one PutRecords, zero retries,
+    log-and-drop — basestreamer.go:64-87) runs through a REAL boto3
+    client against a loopback throttling proxy
+    (`sources/throttle_proxy.py`) fronting an in-process moto server.
+    The proxy withholds every ``event_id % 10 == 0`` record and
+    splices ``ProvisionedThroughputExceededException`` entries into
+    the HTTP response, so botocore parses a genuine partial-failure
+    PutRecords reply (``FailedRecordCount > 0`` + per-record
+    ``ErrorCode``) — the branch moto alone can never produce — and
+    the per-record handling of basestreamer.go:76-82 is pinned at the
+    wire level.  Survivors are read back through the fence source and
+    rolled up; the oracle states the survivor set exactly
+    (``event_id % 10 == 5`` of the %5 slice, identical to k04), so
+    the hash fails on retries, over-drops, or raises.
+
+    Leaner images (no boto3/moto) fall back to the deterministic
+    ThrottlingDirKinesisClient over the same slice and rollup — the
+    k04 fake — so the gate stays green with a transport-independent
+    hash."""
+    from kinesis_log_streamer_spark.sources.kinesis_source import (
+        KinesisDataSource,
+    )
+    from kinesis_log_streamer_spark.streaming.kinesis_sink import KinesisSink
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    payload = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") % 5 == 0
+    ).select(
+        F.to_json(
+            F.struct("event_id", "event_type", "value")
+        ).alias("data"),
+        F.concat(F.lit("host-"), (F.col("user_id") % 8).cast("string")).alias(
+            "partitionKey"
+        ),
+    )
+    spark.dataSource.register(KinesisDataSource)
+
+    # Same wide setup guard as k08: any moto/proxy setup failure
+    # downgrades to the dir: fake, never crashes the query.
+    server = proxy = None
+    try:
+        import uuid
+
+        import boto3  # noqa: PLC0415
+        from moto.server import ThreadedMotoServer  # noqa: PLC0415
+
+        from kinesis_log_streamer_spark.sources.throttle_proxy import (
+            ThrottlingKinesisProxy,
+        )
+
+        server = ThreadedMotoServer(port=0)
+        server.start()
+        host, port = server.get_host_and_port()
+        moto_url = f"http://{host}:{port}"
+        region, ak, sk = "us-east-1", "testing", "testing"
+        stream = "klss-k09-" + uuid.uuid4().hex[:8]
+        boto3.client(
+            "kinesis",
+            region_name=region,
+            endpoint_url=moto_url,
+            aws_access_key_id=ak,
+            aws_secret_access_key=sk,
+        ).create_stream(StreamName=stream, ShardCount=2)
+        proxy = ThrottlingKinesisProxy(moto_url, reject_mod=10)
+        proxy_url = proxy.start()
+    except Exception:  # noqa: BLE001 - any setup failure → dir leg
+        for svc in (proxy, server):
+            if svc is not None:
+                try:
+                    svc.stop()
+                except Exception:  # noqa: BLE001 - best-effort teardown
+                    pass
+        server = proxy = None
+
+    if server is not None:
+        try:
+            sink = KinesisSink(
+                stream,
+                region=region,
+                endpoint_url=proxy_url,  # producers go THROUGH the proxy
+                access_key=ak,
+                secret_key=sk,
+                delivery="at_most_once",
+            )
+            sink.write_batch(payload.coalesce(2), epoch_id=0)
+            raw = (
+                spark.readStream.format("kinesis_py")
+                .option("endpoint", "aws")
+                .option("stream", stream)
+                .option("client", "boto3")
+                .option("endpoint_url", moto_url)  # readers skip the proxy
+                .option("region", region)
+                .option("access_key", ak)
+                .option("secret_key", sk)
+                .option("fencelagms", "0")
+                .load()
+            )
+            _drain_stream_to_table(
+                raw, "k09_out", mode="append", no_data=False
+            )
+            spark.table("k09_out").count()
+        finally:
+            proxy.stop()
+            server.stop()
+    else:  # pragma: no cover - exercised only in leaner images
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from kinesis_log_streamer_spark.sources.kinesis_source import (
+            ThrottlingDirKinesisClient,
+        )
+
+        _sweep_stale_tmp("klss_k09_stream_")
+        ep = os.path.join(
+            tempfile.gettempdir(),
+            "klss_k09_stream_"
+            f"{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}",
+        )
+        sink = KinesisSink(
+            "k09",
+            client_factory=lambda: ThrottlingDirKinesisClient(
+                ep, reject_mod=10
+            ),
+            delivery="at_most_once",
+        )
+        sink.write_batch(payload.coalesce(2), epoch_id=0)
+        raw = (
+            spark.readStream.format("kinesis_py")
+            .option("endpoint", f"dir:{ep}")
+            .load()
+        )
+        try:
+            _drain_stream_to_table(raw, "k09_out", mode="append", no_data=False)
+        finally:
+            shutil.rmtree(ep, ignore_errors=True)
+
+    parsed = spark.table("k09_out").select(
+        F.from_json(
+            "data", "event_id long, event_type string, value double"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("r.event_id").alias("n_distinct"),
+            F.round(F.sum("r.value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def f25_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map FILE-SKIPPING planner — the data-skipping arithmetic
     behind parquet row-group stats, Iceberg/Delta manifest pruning,
@@ -13444,6 +13600,7 @@ REGISTRY = {
     # -- block 3 (round 13): new this round --------------------------
     "d24_simhash_star_edges": d24_simhash_star_edges,
     "k08_aws_transport_roundtrip": k08_aws_transport_roundtrip,
+    "k09_aws_throttled_put": k09_aws_throttled_put,
     "m08_ppm_decode_stats": m08_ppm_decode_stats,
     "m09_wav_decode_stats": m09_wav_decode_stats,
     "m10_png_decode_stats": m10_png_decode_stats,
@@ -13653,7 +13810,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 331
+assert len(REGISTRY) == 332
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13675,7 +13832,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 331
+assert len(REGISTRY) == 332
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13720,7 +13877,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 331
+assert len(REGISTRY) == 332
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -13756,7 +13913,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 331
+assert len(REGISTRY) == 332
 
 # PREPARED FOR ROUND 13 (do not apply before CORRECTNESS_r12 lands):
 # once the r12 window re-greens the 45 r01 names below, the stalest
@@ -13821,7 +13978,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND12_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND12_FRONT)},
 }
-assert len(REGISTRY) == 331
+assert len(REGISTRY) == 332
 
 # PREPARED FOR ROUND 14 (do not apply before CORRECTNESS_r13 lands):
 # once the r13 window re-greens the 44 r02 names below, the stalest
@@ -13892,4 +14049,4 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND13_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND13_FRONT)},
 }
-assert len(REGISTRY) == 331
+assert len(REGISTRY) == 332
