@@ -14050,3 +14050,73 @@ REGISTRY = {
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND13_FRONT)},
 }
 assert len(REGISTRY) == 332
+
+# ROUND-14 FRONT (VERDICT r13 #1 — the last evidence gap): rotate ALL
+# 37 names whose latest driver verdict is from round 3 (recomputed
+# this round against the CORRECTNESS_r01..r13 union; matches the list
+# prepared in round 13 exactly, d07_containment_pairs at the head).
+# Block (1): queries whose CODE changed this round — d17/d24 ride the
+# _lane_guard'd SWAR signatures (ADVICE r13 low #1); k08 got the
+# public moto port API, the wide setup guard, and the uuid-keyed
+# fallback dir (ADVICE r13 low #2/#3); k01/k04 attest the arrival-ts
+# field DirKinesisClient/ThrottlingDirKinesisClient now stamp per
+# line for the fence reader (k02/k03/k05/k06 share that writer
+# one-for-one — the dir-mode READER is unchanged, so k01+k04 cover
+# the line-shape change).  Block (3): brand-new round-14 queries
+# (m10 real PNG decode, s22 embedding star edges, k09 wire-level
+# throttled put).  Block (4): the 5 stalest r04 names begin the next
+# rotation tier (VERDICT r13 #6).  5 + 37 + 3 + 5 = exactly the
+# 50-name driver window.  Key-set-preserving (asserted).
+_ROUND14_FRONT = [
+    # block 1: code changed this round (fresh verdict wanted)
+    "d17_portable_simhash_pairs",
+    "d24_simhash_star_edges",
+    "k08_aws_transport_roundtrip",
+    "k01_kinesis_roundtrip",
+    "k04_at_most_once_drops",
+    # block 2-stale: latest driver verdict is from round 3
+    "d07_containment_pairs",
+    "f01_csv_roundtrip", "f02_partitioned_parquet_roundtrip",
+    "f03_orc_roundtrip", "f04_bucketed_join",
+    "f09_jsonlines_nested_roundtrip", "f10_corrupt_json_permissive",
+    "f11_csv_quoted_multiline", "i01_wrap_lines", "i02_enrich_json",
+    "i03_enrich_nested_json", "i04_line_pipeline_roundtrip",
+    "i05_concat_json_decode", "l10_burst_clients", "m01_multimodal_meta",
+    "m02_multimodal_decode", "m03_frame_sample", "q39_range_frame_window",
+    "q40_stat_aggregates", "q44_running_distinct", "q57_predicate_collect",
+    "q60_lateral_topk", "q61_approx_quantile_gate",
+    "q62_correlated_scalar_subquery", "q63_asof_tolerance",
+    "s02_norm_stats", "s03_lsh_topk", "s05_ivf_topk",
+    "s06_cosine_pairs_exact", "s09_kmeans", "st06_watermark_late_drop",
+    "t06_tfidf_topterms", "t07_bigram_topk", "t16_unigram_entropy",
+    "t17_minhash_estimate_gate", "u02_scalar_pandas_udf",
+    "u03_udtf_kv_explode",
+    # block 3: brand-new this round
+    "m10_png_decode_stats",
+    "s22_embedding_star_edges",
+    "k09_aws_throttled_put",
+    # block 4: head of the r04-stale tier (16 more follow in r15)
+    "f12_xml_roundtrip", "f13_variant_shred", "f14_gzip_jsonl_scan",
+    "f15_dynamic_partition_overwrite", "f16_multiline_json_array",
+]
+assert len(_ROUND14_FRONT) == len(set(_ROUND14_FRONT)) == 50
+_missing14 = [n for n in _ROUND14_FRONT if n not in REGISTRY]
+assert not _missing14, f"reorder names absent from REGISTRY: {_missing14}"
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _ROUND14_FRONT},
+    **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND14_FRONT)},
+}
+assert len(REGISTRY) == 332
+
+# PREPARED FOR ROUND 15 (do not apply before CORRECTNESS_r14 lands):
+# once the r14 window re-greens the 37 r03 names above, the stalest
+# tail is the REMAINING 16 round-4-verdict names — front those next,
+# after any fail-rechecks and r15 code-changed/new queries:
+#   f17_failfast_json g01_grid_neighbor_join g02_triangle_count
+#   g03_bfs_levels g04_weighted_sssp k02_kinesis_checkpoint_resume
+#   k03_kinesis_reshard_discovery m05_frame_dedup
+#   m06_audio_frame_energy st12_file_sink_log st14_chained_window_rollup
+#   u06_arrow_scalar_udf u07_scalar_iter_udf u08_polymorphic_udtf
+#   u09_pandas_udaf_window u10_table_arg_udtf
+# then continue into the r05 tier (47 names — largest remaining).
+# (recompute against the CORRECTNESS_r01..r14 union before applying.)

@@ -120,6 +120,15 @@ QUERIES = [
     # (6.72x on the replica corpus): the star emitter must hold ~linear
     # on the exact corpus where the pair contract bends quadratic.
     "d24_simhash_star_edges",
+    # round-14 additions.  s22 is d24's embedding twin and exists
+    # BECAUSE of the s04 row (11.92x pair-output growth on the replica
+    # corpus): the bucket-min star emitter must hold ~linear on that
+    # same corpus, so BOTH are measured side by side.  (m10/k09 are
+    # fixture-bounded transport/codec gates — 20 images, a moto HTTP
+    # loopback — not corpus-scaling queries, and are deliberately
+    # absent: their rows would measure the fixture, not a plan.)
+    "s04_embedding_near_dups",
+    "s22_embedding_star_edges",
 ]
 
 
@@ -278,6 +287,12 @@ BENDS = {
         "pair set grows ~178x (1,160 -> 206,000 measured) while time "
         "grows 12x — strongly sub-linear per emitted pair; candidate "
         "generation stays bucketed, never all-pairs"
+    ),
+    "s22_embedding_star_edges": (
+        "bucket-min star emitter: candidates are k-1 per bucket, so "
+        "output grows ~linearly with the replica factor where s04's "
+        "pair set grows ~178x; any bend here would mean the window "
+        "min over the band key stopped being one shuffle"
     ),
     "p10_compaction_plan": (
         "the synthetic inventory has FIVE directories at every scale "
@@ -479,20 +494,22 @@ def main() -> int:
         "",
         "## Watch items (diagnosed, not measurable by this harness)",
         "",
-        "- **AWS-mode Kinesis source driver probe** "
-        "(`sources/kinesis_source.py` `latestOffset`): Kinesis has no "
-        "peek-tip API, so the probe downloads each micro-batch once on "
-        "the DRIVER before executors re-fetch their shard slices — a "
-        "driver funnel that scales with SHARD COUNT x "
-        "`maxRecordsPerShard`, not with table size (this harness "
-        "replicates tables, not shards, so no row above can show it). "
-        "Mitigation math: at the service's 2 MB/s/shard read ceiling "
-        "and ~1 KiB records, `maxRecordsPerShard=10000` bounds the "
-        "probe at ~10 MB/shard/batch; a 512-shard stream probes at "
-        "most ~5 GB/batch on the driver, so drop the cap toward ~1000 "
-        "(~0.5 GB/batch) past a few hundred shards, or shrink the "
-        "trigger interval — throughput is then bounded by the trigger "
-        "cadence, never by driver memory.",
+        "- **AWS-mode Kinesis source driver probe — FIXED in round "
+        "14** (`sources/kinesis_source.py`): the r13 watch item (the "
+        "driver downloading every batch record to learn per-shard end "
+        "sequences, O(shards x cap) bytes per trigger plus a full "
+        "double-fetch against the 2 MB/s/shard read ceiling) is gone. "
+        "Offsets are now per-shard ARRIVAL-TIME FENCES: `latestOffset` "
+        "issues one GetRecords(Limit=1) peek per shard — O(shards) "
+        "bytes, pinned by tests/test_moto_aws.py::"
+        "TestDriverProbeIsMetadataSized (400 records through 3 "
+        "triggers, driver fetches <= 1 record/shard/trigger) — and "
+        "executors fetch their (lo, hi] arrival range exactly once "
+        "from a server-side AT_TIMESTAMP iterator.  Remaining "
+        "deliberate bound: no per-batch record cap (a cap would make "
+        "fence batches non-deterministic), so batch volume is trigger "
+        "cadence x shard ingest rate; use `startfrom=latest` to skip "
+        "a deep backlog at attach.",
         "- **d03/d17 pair-emission contract** is quadratic in the "
         "duplication factor by definition (the d03 row above); "
         "`d24_simhash_star_edges` is the linear-emission mode for "
