@@ -251,6 +251,13 @@ HEADLINE = [
     "d24_simhash_star_edges",
     "m08_ppm_decode_stats",
     "m09_wav_decode_stats",
+    # round 14 (k09's moto-server + throttle-proxy transport loop is
+    # a wire-level gate like k08 — selfcheck-covered, not headline).
+    "m10_png_decode_stats",
+    "s22_embedding_star_edges",
+    "ts02_paa_sax",
+    "ts03_lttb_downsample",
+    "d25_cdc_chunk_dedup",
 ]
 
 

@@ -6302,3 +6302,155 @@ SELECT a.probe, a.files_total, a.files_pruned, a.rows_scanned,
 FROM agg a JOIN truth t USING (probe)
 ORDER BY probe
 """
+
+# ---------------------------------------------------------------------------
+# round-14 additions (late session): ts02 / ts03 / d25
+# ---------------------------------------------------------------------------
+
+# ts02: slot sums round to 2 then lift to exact integer cents, so the
+# series mean divides identical exact numerators in both engines; the
+# one order-dependent float fold (sd sum of squares) is ~1 ulp and z
+# rounds to 3 before the breakpoint CASE.
+ORACLES["ts02_paa_sax"] = """
+WITH sums AS (
+    SELECT user_id, hour(ts) AS slot, round(sum(value), 2) AS v
+    FROM events WHERE user_id < 100 GROUP BY 1, 2
+), users AS (
+    SELECT user_id, count(*) AS slots_present FROM sums GROUP BY 1
+), spine AS (
+    SELECT user_id, range AS slot FROM users CROSS JOIN range(24)
+), dense AS (
+    SELECT s.user_id, s.slot,
+           CAST(round(coalesce(v, 0.0) * 100) AS BIGINT) AS c
+    FROM spine s LEFT JOIN sums
+      ON sums.user_id = s.user_id AND sums.slot = s.slot
+), stats AS (
+    SELECT user_id, CAST(sum(c) AS DOUBLE) / 24.0 AS mean_c
+    FROM dense GROUP BY 1
+), sds AS (
+    SELECT d.user_id,
+           sqrt(sum((c - mean_c) * (c - mean_c)) / 24.0) AS sd_c
+    FROM dense d JOIN stats USING (user_id)
+    GROUP BY d.user_id, mean_c
+), paa AS (
+    SELECT user_id, slot // 4 AS seg, CAST(sum(c) AS DOUBLE) / 4.0 AS pc
+    FROM dense GROUP BY 1, 2
+), z AS (
+    SELECT p.user_id, seg,
+           CASE WHEN sd_c = 0 THEN 0.0
+                ELSE round((pc - mean_c) / sd_c, 3) END AS zz
+    FROM paa p JOIN stats USING (user_id) JOIN sds USING (user_id)
+), sym AS (
+    SELECT user_id, seg,
+           CASE WHEN zz < -0.6745 THEN 'a'
+                WHEN zz < 0.0 THEN 'b'
+                WHEN zz < 0.6745 THEN 'c'
+                ELSE 'd' END AS s
+    FROM z
+)
+SELECT u.user_id,
+       string_agg(s, '' ORDER BY seg) AS sax_word,
+       u.slots_present
+FROM sym JOIN users u USING (user_id)
+GROUP BY u.user_id, u.slots_present
+ORDER BY u.user_id
+"""
+
+# ts03: exact integer microseconds / cents make every bucket sum exact,
+# so both engines divide identical numerators and all downstream
+# doubles (areas included) are bit-identical; event_id totalizes the
+# per-bucket argmax tiebreak.
+ORACLES["ts03_lttb_downsample"] = """
+WITH pts AS (
+    SELECT user_id, event_id, epoch_us(ts) AS x,
+           CAST(round(value * 100) AS BIGINT) AS yc, value,
+           row_number() OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             AS rn,
+           ntile(12) OVER
+             (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+             AS nb
+    FROM events WHERE user_id < 5
+), b AS (
+    SELECT user_id, nb, count(*) AS cnt,
+           CAST(sum(x) AS DOUBLE) / count(*) AS bx,
+           CAST(sum(yc) AS DOUBLE) / count(*) AS by_
+    FROM pts GROUP BY 1, 2
+), nbr AS (
+    SELECT user_id, nb,
+           lag(bx) OVER w AS bxp, lag(by_) OVER w AS byp,
+           lead(bx) OVER w AS bxn, lead(by_) OVER w AS byn
+    FROM b WINDOW w AS (PARTITION BY user_id ORDER BY nb)
+), j AS (
+    SELECT p.*, bxp, byp, bxn, byn,
+           abs((bxp - bxn) * (p.yc - byp)
+               - (bxp - p.x) * (byn - byp)) AS area,
+           max(nb) OVER (PARTITION BY p.user_id) AS nbmax,
+           max(rn) OVER (PARTITION BY p.user_id) AS cmax
+    FROM pts p JOIN nbr USING (user_id, nb)
+), interior AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id, nb ORDER BY area DESC, event_id) AS rk
+    FROM j WHERE nb > 1 AND nb < nbmax
+)
+SELECT user_id, CAST(nb AS BIGINT) AS bucket, event_id,
+       round(value, 2) AS val, round(area / 1e9, 3) AS area_g
+FROM interior WHERE rk = 1
+UNION ALL
+SELECT user_id, CAST(nb AS BIGINT) AS bucket, event_id,
+       round(value, 2) AS val, 0.0 AS area_g
+FROM j WHERE (nb = 1 AND rn = 1) OR (nb = nbmax AND rn = cmax)
+ORDER BY user_id, bucket
+"""
+
+# d25: the gear window is a fixed 8 chars, so h(i) is a pure function
+# of chars i-7..i — position-wise computable in both engines with the
+# same exact integer arithmetic (max intermediate < 2^51).
+ORACLES["d25_cdc_chunk_dedup"] = """
+WITH docs AS (
+    SELECT doc_id, substr(text, 1, 512) AS head
+    FROM documents WHERE length(text) > 0
+), g AS (
+    SELECT doc_id, head, length(head) AS n,
+           list_transform(
+               string_split(head, ''),
+               c -> (unicode(c) * 2654435761) % 4294967296
+           ) AS gv
+    FROM docs
+), b AS (
+    SELECT doc_id, head, n,
+           CASE WHEN n >= 8 THEN
+               list_filter(
+                   range(8, n + 1),
+                   i -> (list_sum(list_transform(
+                             range(0, 8),
+                             j -> gv[i - j] * (1 << j)
+                         )) % 4294967296) < 67108864
+               )
+           ELSE CAST([] AS BIGINT[]) END AS bpos
+    FROM g
+), c AS (
+    SELECT doc_id, head,
+           list_sort(list_distinct(list_concat(
+               list_concat([CAST(0 AS BIGINT)], bpos),
+               [CAST(n AS BIGINT)]
+           ))) AS cuts
+    FROM b
+), ch AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(2, len(cuts) + 1),
+               t -> substr(head, CAST(cuts[t - 1] + 1 AS INT),
+                           CAST(cuts[t] - cuts[t - 1] AS INT))
+           )) AS chunk
+    FROM c
+)
+SELECT md5(chunk) AS chunk_hash,
+       count(*) AS n_occ,
+       count(DISTINCT doc_id) AS n_docs,
+       min(length(chunk)) AS chunk_len
+FROM ch
+GROUP BY 1
+ORDER BY n_occ DESC, chunk_hash
+LIMIT 100
+"""

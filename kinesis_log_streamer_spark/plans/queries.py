@@ -13382,6 +13382,298 @@ def f25_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(truth), "probe").orderBy("probe")
 
 
+def ts02_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA + SAX symbolic discretization (Lin et al., DMKD 2007 —
+    the standard time-series indexing sketch): each user's 24-slot
+    hourly activity series is z-normalized, reduced to 6 Piecewise
+    Aggregate Approximation segments (mean of 4 consecutive slots),
+    and each segment mapped to a 4-letter alphabet by the Gaussian
+    breakpoints (-0.6745, 0, 0.6745); the per-user SAX word is the
+    symbolic sketch used for motif discovery / similarity indexing.
+
+    Scale shape: ONE groupBy(user, slot) partial agg builds the
+    series; everything downstream is scan-local array arithmetic
+    (``transform``/``aggregate`` over a 24-slot array — built-in
+    higher-order functions, no UDF, no second wide shuffle; the
+    per-user regroup rides the same user_id hash).  Engine-parity
+    determinism: slot sums are rounded to 2 then lifted to exact
+    integer cents, so the series mean is an exact-integer sum and
+    both engines divide identical numerators; z-scores are rounded
+    to 3 before the breakpoint CASE so the only order-dependent
+    float fold (the stddev sum of squares, ~1 ulp) cannot flip a
+    symbol."""
+    ev = _t(spark, sf_dir, "events")
+    sums = (
+        ev.filter(F.col("user_id") < 100)
+        .groupBy("user_id", F.hour("ts").alias("slot"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    per_user = sums.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("slot", "v")))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("slots_present"),
+    )
+    dense = per_user.select(
+        "user_id",
+        "slots_present",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda i: F.coalesce(
+                F.element_at("m", i.cast("int")), F.lit(0.0)
+            ),
+        ).alias("series"),
+    )
+    cents = F.transform(
+        "series", lambda x: F.round(x * 100).cast("long")
+    )
+    st = (
+        dense.select("user_id", "slots_present", cents.alias("c"))
+        .withColumn(
+            "mean_c",
+            F.aggregate("c", F.lit(0).cast("long"), lambda a, x: a + x)
+            / F.lit(24.0),
+        )
+        .withColumn(
+            "sd_c",
+            F.sqrt(
+                F.aggregate(
+                    "c",
+                    F.lit(0.0),
+                    lambda a, x: a
+                    + (x - F.col("mean_c")) * (x - F.col("mean_c")),
+                )
+                / F.lit(24.0)
+            ),
+        )
+        .withColumn(
+            "paa",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(5)),
+                lambda k: F.aggregate(
+                    F.slice("c", k * 4 + 1, 4),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+                / F.lit(4.0),
+            ),
+        )
+        .withColumn(
+            "z",
+            F.transform(
+                "paa",
+                lambda p: F.when(
+                    F.col("sd_c") == 0, F.lit(0.0)
+                ).otherwise(
+                    F.round((p - F.col("mean_c")) / F.col("sd_c"), 3)
+                ),
+            ),
+        )
+    )
+    sym = F.transform(
+        "z",
+        lambda zz: F.when(zz < -0.6745, F.lit("a"))
+        .when(zz < 0.0, F.lit("b"))
+        .when(zz < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d")),
+    )
+    return st.select(
+        "user_id",
+        F.array_join(sym, "").alias("sax_word"),
+        "slots_present",
+    ).orderBy("user_id")
+
+
+def ts03_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    the standard visualization-grade series reducer, in its
+    bucket-average-anchor PARALLEL variant: classic LTTB ranks each
+    bucket's points by triangle area against the PREVIOUSLY SELECTED
+    point (a sequential chain); anchoring on the neighbor buckets'
+    average point instead makes every bucket's argmax independent —
+    the form that distributes.  Per user: ntile(12) buckets over the
+    time axis, keep the first/last raw points as anchors, and from
+    each interior bucket keep the point with the largest triangle
+    area spanned with the previous/next bucket averages.
+
+    Scale shape: one window pass to bucket (partitioned by user —
+    parallel in users), one partial-agg for bucket averages, one
+    broadcast-sized neighbor join back, one per-bucket argmax window.
+    No all-pairs stage; state per task is O(points per user).
+    Engine-parity determinism: the time axis is exact integer
+    MICROSECONDS and values are lifted to exact integer cents, so
+    bucket sums are exact and both engines divide identical
+    numerators — every downstream double (areas included) is
+    bit-identical, with event_id as the total tiebreak."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = W.partitionBy("user_id").orderBy("x", "event_id")
+    pts = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("yc"),
+            "value",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nb", F.ntile(12).over(w))
+    )
+    b = pts.groupBy("user_id", "nb").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+    )
+    wb = W.partitionBy("user_id").orderBy("nb")
+    b = b.withColumn(
+        "bx", F.col("sx").cast("double") / F.col("cnt")
+    ).withColumn("by", F.col("sy").cast("double") / F.col("cnt"))
+    nbr = b.select(
+        "user_id",
+        "nb",
+        F.lag("bx").over(wb).alias("bxp"),
+        F.lag("by").over(wb).alias("byp"),
+        F.lead("bx").over(wb).alias("bxn"),
+        F.lead("by").over(wb).alias("byn"),
+    )
+    wu = W.partitionBy("user_id")
+    j = (
+        pts.join(nbr, ["user_id", "nb"])
+        .withColumn(
+            "area",
+            F.abs(
+                (F.col("bxp") - F.col("bxn"))
+                * (F.col("yc") - F.col("byp"))
+                - (F.col("bxp") - F.col("x"))
+                * (F.col("byn") - F.col("byp"))
+            ),
+        )
+        .withColumn("nbmax", F.max("nb").over(wu))
+        .withColumn("cmax", F.max("rn").over(wu))
+    )
+    interior = (
+        j.filter((F.col("nb") > 1) & (F.col("nb") < F.col("nbmax")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id", "nb").orderBy(
+                    F.desc("area"), F.asc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("nb").alias("bucket"),
+            "event_id",
+            F.round("value", 2).alias("val"),
+            F.round(F.col("area") / F.lit(1.0e9), 3).alias("area_g"),
+        )
+    )
+    anchors = j.filter(
+        ((F.col("nb") == 1) & (F.col("rn") == 1))
+        | ((F.col("nb") == F.col("nbmax")) & (F.col("rn") == F.col("cmax")))
+    ).select(
+        "user_id",
+        F.col("nb").alias("bucket"),
+        "event_id",
+        F.round("value", 2).alias("val"),
+        F.lit(0.0).alias("area_g"),
+    )
+    return interior.unionByName(anchors).orderBy("user_id", "bucket")
+
+
+def d25_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (the FastCDC/gear-hash family —
+    Xia et al., USENIX ATC 2016): split each document at positions
+    where a rolling gear hash of the trailing 8 characters has its
+    top 6 of 32 bits zero (expected chunk ~64 chars), then group the
+    chunks by md5 — boundary-shift-immune duplicate detection, the
+    storage-dedup complement to shingle methods (d02/d04): an edit
+    moves at most the two chunks it touches, so shared runs between
+    near-duplicate docs still collide on identical chunk hashes.
+
+    The gear window is a FIXED 8, so the hash at position i is a
+    pure function of chars i-7..i: h(i) = sum_j g(c[i-j])*2^j mod
+    2^32 — position-independent and therefore computable per
+    position with NO sequential carry (the classic h=(h<<1)+g
+    recurrence shifts bytes out of a 32-bit lane after 32 steps; a
+    short fixed window is the same idea made explicitly parallel).  The
+    boundary test uses the HIGH bits (h < 2^26) — low bits would
+    degenerate to a 6-char window since g*2^j mod 64 vanishes for
+    j>=6.  g(c) = codepoint * 2654435761 mod 2^32 (Knuth
+    multiplicative hash) — engine-portable integer arithmetic, max
+    intermediate < 2^51, no overflow in a 64-bit lane.
+
+    Scale shape: boundary detection and chunk slicing are scan-local
+    higher-order-function arithmetic over the codepoint array (JVM
+    expression eval, no UDF, no shuffle); the only wide stage is the
+    final chunk-hash groupBy — a plain hash agg, linear at 100 TB.
+    The 512-char probe head bounds suite cost; the operator is
+    linear and runs uncapped in production (chunking never compares
+    documents pairwise)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    st1 = docs.select(
+        "doc_id", F.substring("text", 1, 512).alias("head")
+    )
+    gv = F.transform(
+        F.split("head", ""),
+        lambda c: (F.ascii(c).cast("long") * F.lit(2654435761))
+        % F.lit(4294967296),
+    )
+    st2 = st1.select(
+        "doc_id", "head", gv.alias("g"), F.length("head").alias("n")
+    )
+    weights = F.array(*[F.lit(1 << k).cast("long") for k in range(8)])
+    bound = F.when(
+        F.col("n") >= 8,
+        F.filter(
+            F.sequence(F.lit(8), F.col("n")),
+            lambda i: (
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    F.lit(0).cast("long"),
+                    lambda acc, j: acc
+                    + F.element_at("g", (i - j).cast("int"))
+                    * F.element_at(weights, (j + 1).cast("int")),
+                )
+                % F.lit(4294967296)
+            )
+            < F.lit(67108864),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    st3 = st2.withColumn("bpos", bound).withColumn(
+        "cuts",
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.lit(0)),
+                    F.col("bpos"),
+                    F.array(F.col("n")),
+                )
+            )
+        ),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(2), F.size("cuts")),
+        lambda t: F.col("head").substr(
+            F.element_at("cuts", (t - 1).cast("int")) + F.lit(1),
+            F.element_at("cuts", t.cast("int"))
+            - F.element_at("cuts", (t - 1).cast("int")),
+        ),
+    )
+    ex = st3.select("doc_id", F.explode(chunks).alias("chunk"))
+    return (
+        ex.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.length("chunk")).alias("chunk_len"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("chunk_hash"))
+        .limit(100)
+    )
+
+
 REGISTRY = {
     # ORDERING CONTRACT (burned in r01 AND r02): the external driver's
     # correctness run has a ~50-entry budget; any entry past the cut
@@ -13604,6 +13896,10 @@ REGISTRY = {
     "m08_ppm_decode_stats": m08_ppm_decode_stats,
     "m09_wav_decode_stats": m09_wav_decode_stats,
     "m10_png_decode_stats": m10_png_decode_stats,
+    # -- block 3 (round 14): new this round --------------------------
+    "ts02_paa_sax": ts02_paa_sax,
+    "ts03_lttb_downsample": ts03_lttb_downsample,
+    "d25_cdc_chunk_dedup": d25_cdc_chunk_dedup,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -13810,7 +14106,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 332
+assert len(REGISTRY) == 335
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -13832,7 +14128,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 332
+assert len(REGISTRY) == 335
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -13877,7 +14173,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 332
+assert len(REGISTRY) == 335
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -13913,7 +14209,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 332
+assert len(REGISTRY) == 335
 
 # PREPARED FOR ROUND 13 (do not apply before CORRECTNESS_r12 lands):
 # once the r12 window re-greens the 45 r01 names below, the stalest
@@ -13978,7 +14274,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND12_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND12_FRONT)},
 }
-assert len(REGISTRY) == 332
+assert len(REGISTRY) == 335
 
 # PREPARED FOR ROUND 14 (do not apply before CORRECTNESS_r13 lands):
 # once the r13 window re-greens the 44 r02 names below, the stalest
@@ -14049,7 +14345,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND13_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND13_FRONT)},
 }
-assert len(REGISTRY) == 332
+assert len(REGISTRY) == 335
 
 # ROUND-14 FRONT (VERDICT r13 #1 — the last evidence gap): rotate ALL
 # 37 names whose latest driver verdict is from round 3 (recomputed
@@ -14091,12 +14387,18 @@ _ROUND14_FRONT = [
     "t06_tfidf_topterms", "t07_bigram_topk", "t16_unigram_entropy",
     "t17_minhash_estimate_gate", "u02_scalar_pandas_udf",
     "u03_udtf_kv_explode",
-    # block 3: brand-new this round
+    # block 3: brand-new this round (m10/s22/k09 early session;
+    # ts02/ts03/d25 late session — new names MUST sit inside the
+    # 50-name window or they read as unimplemented, so they take the
+    # three slots f12/f13/f14 held; those rejoin the r04-stale tier
+    # fronted in r15)
     "m10_png_decode_stats",
     "s22_embedding_star_edges",
     "k09_aws_throttled_put",
-    # block 4: head of the r04-stale tier (16 more follow in r15)
-    "f12_xml_roundtrip", "f13_variant_shred", "f14_gzip_jsonl_scan",
+    "ts02_paa_sax",
+    "ts03_lttb_downsample",
+    "d25_cdc_chunk_dedup",
+    # block 4: head of the r04-stale tier (19 more follow in r15)
     "f15_dynamic_partition_overwrite", "f16_multiline_json_array",
 ]
 assert len(_ROUND14_FRONT) == len(set(_ROUND14_FRONT)) == 50
@@ -14106,12 +14408,13 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND14_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND14_FRONT)},
 }
-assert len(REGISTRY) == 332
+assert len(REGISTRY) == 335
 
 # PREPARED FOR ROUND 15 (do not apply before CORRECTNESS_r14 lands):
 # once the r14 window re-greens the 37 r03 names above, the stalest
-# tail is the REMAINING 16 round-4-verdict names — front those next,
+# tail is the REMAINING 19 round-4-verdict names — front those next,
 # after any fail-rechecks and r15 code-changed/new queries:
+#   f12_xml_roundtrip f13_variant_shred f14_gzip_jsonl_scan
 #   f17_failfast_json g01_grid_neighbor_join g02_triangle_count
 #   g03_bfs_levels g04_weighted_sssp k02_kinesis_checkpoint_resume
 #   k03_kinesis_reshard_discovery m05_frame_dedup

@@ -1,0 +1,249 @@
+"""Round-14 late-session queries: ts02 PAA/SAX, ts03 LTTB
+downsampling, d25 content-defined-chunking dedup.
+
+Each test recomputes the query's contract INDEPENDENTLY (pure
+python / pandas / hashlib) from the sf0.001 parquet and compares
+against the registered Spark plan — the third-implementation
+discipline of tests/test_round10.py..test_round12.py, so a shared
+misreading of the spec can't pass both the Spark leg and its DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from kinesis_log_streamer_spark.plans import queries as Q
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+BREAKPOINTS = (-0.6745, 0.0, 0.6745)
+
+
+def _pq(name: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMOKE}/{name}.parquet")
+
+
+class TestPaaSax:
+    def _expected(self) -> list[tuple]:
+        ev = _pq("events")
+        ev = ev[ev["user_id"] < 100]
+        out = []
+        for uid, grp in ev.groupby("user_id"):
+            slot_sums: dict[int, float] = defaultdict(float)
+            for ts, v in zip(grp["ts"], grp["value"]):
+                slot_sums[ts.hour] += v
+            cents = [0] * 24
+            for s, v in slot_sums.items():
+                cents[s] = int(round(round(v, 2) * 100))
+            mean_c = sum(cents) / 24.0
+            sd_c = math.sqrt(
+                sum((c - mean_c) ** 2 for c in cents) / 24.0
+            )
+            word = []
+            for k in range(6):
+                pc = sum(cents[4 * k : 4 * k + 4]) / 4.0
+                z = 0.0 if sd_c == 0 else round((pc - mean_c) / sd_c, 3)
+                if z < BREAKPOINTS[0]:
+                    word.append("a")
+                elif z < BREAKPOINTS[1]:
+                    word.append("b")
+                elif z < BREAKPOINTS[2]:
+                    word.append("c")
+                else:
+                    word.append("d")
+            out.append((int(uid), "".join(word), len(slot_sums)))
+        return sorted(out)
+
+    def test_sax_words_match(self, spark):
+        got = [
+            (r["user_id"], r["sax_word"], r["slots_present"])
+            for r in Q.REGISTRY["ts02_paa_sax"](spark, SF_SMOKE).collect()
+        ]
+        assert got == self._expected()
+
+    def test_alphabet_and_shape(self, spark):
+        rows = Q.REGISTRY["ts02_paa_sax"](spark, SF_SMOKE).collect()
+        assert rows, "no users produced a SAX word"
+        for r in rows:
+            assert len(r["sax_word"]) == 6
+            assert set(r["sax_word"]) <= set("abcd")
+            assert 1 <= r["slots_present"] <= 24
+
+
+def _ntile(n: int, buckets: int) -> list[int]:
+    """Replicate SQL ntile(): first n % buckets tiles get one extra."""
+    base, extra = divmod(n, buckets)
+    out = []
+    for b in range(buckets):
+        out.extend([b + 1] * (base + (1 if b < extra else 0)))
+    return out
+
+
+class TestLttbDownsample:
+    def _expected(self) -> list[tuple]:
+        ev = _pq("events")
+        ev = ev[ev["user_id"] < 5]
+        out = []
+        for uid, grp in ev.groupby("user_id"):
+            pts = sorted(
+                (
+                    (int(ts.value // 1000), int(round(v * 100)), int(eid), v)
+                    for ts, v, eid in zip(
+                        grp["ts"], grp["value"], grp["event_id"]
+                    )
+                ),
+                key=lambda p: (p[0], p[2]),
+            )
+            # ts.value is ns since epoch -> micros; order by
+            # (x, event_id) exactly like the query's window spec.
+            tiles = _ntile(len(pts), 12)
+            byb: dict[int, list] = defaultdict(list)
+            for (x, yc, eid, v), nb in zip(pts, tiles):
+                byb[nb].append((x, yc, eid, v))
+            stats = {
+                nb: (
+                    float(sum(p[0] for p in rows)) / len(rows),
+                    float(sum(p[1] for p in rows)) / len(rows),
+                )
+                for nb, rows in byb.items()
+            }
+            nbmax = max(byb)
+            for nb in sorted(byb):
+                rows = byb[nb]
+                if nb == 1:
+                    x, yc, eid, v = rows[0]
+                    out.append((int(uid), nb, eid, round(v, 2), 0.0))
+                elif nb == nbmax:
+                    x, yc, eid, v = rows[-1]
+                    out.append((int(uid), nb, eid, round(v, 2), 0.0))
+                else:
+                    bxp, byp = stats[nb - 1]
+                    bxn, byn = stats[nb + 1]
+                    best = max(
+                        rows,
+                        key=lambda p: (
+                            abs(
+                                (bxp - bxn) * (p[1] - byp)
+                                - (bxp - p[0]) * (byn - byp)
+                            ),
+                            -p[2],
+                        ),
+                    )
+                    area = abs(
+                        (bxp - bxn) * (best[1] - byp)
+                        - (bxp - best[0]) * (byn - byp)
+                    )
+                    out.append(
+                        (
+                            int(uid),
+                            nb,
+                            best[2],
+                            round(best[3], 2),
+                            round(area / 1e9, 3),
+                        )
+                    )
+        return sorted(out)
+
+    def test_selected_points_match(self, spark):
+        got = sorted(
+            (
+                r["user_id"],
+                r["bucket"],
+                r["event_id"],
+                r["val"],
+                r["area_g"],
+            )
+            for r in Q.REGISTRY["ts03_lttb_downsample"](
+                spark, SF_SMOKE
+            ).collect()
+        )
+        exp = self._expected()
+        assert len(got) == len(exp)
+        for g, e in zip(got, exp):
+            assert g[:3] == e[:3]
+            assert abs(g[3] - e[3]) < 1e-9
+            assert abs(g[4] - e[4]) < 1e-9
+
+    def test_one_point_per_bucket(self, spark):
+        rows = Q.REGISTRY["ts03_lttb_downsample"](
+            spark, SF_SMOKE
+        ).collect()
+        per_user = Counter(r["user_id"] for r in rows)
+        assert set(per_user) == {0, 1, 2, 3, 4}
+        # 12 buckets, one representative each
+        assert set(per_user.values()) == {12}
+        for r in rows:
+            assert 1 <= r["bucket"] <= 12
+
+
+def _gear_chunks(head: str) -> list[str]:
+    g = [(ord(c) * 2654435761) % 4294967296 for c in head]
+    n = len(head)
+    bounds = []
+    if n >= 8:
+        for i in range(8, n + 1):  # 1-based positions
+            h = (
+                sum(g[i - 1 - j] * (1 << j) for j in range(8))
+                % 4294967296
+            )
+            if h < 67108864:
+                bounds.append(i)
+    cuts = sorted(set([0] + bounds + [n]))
+    return [head[a:b] for a, b in zip(cuts, cuts[1:])]
+
+
+class TestCdcChunkDedup:
+    def test_chunks_reassemble(self):
+        docs = _pq("documents")
+        for text in docs["text"]:
+            if not text:
+                continue
+            head = text[:512]
+            chunks = _gear_chunks(head)
+            assert "".join(chunks) == head
+            assert all(chunks)
+
+    def _expected(self) -> dict[str, tuple]:
+        docs = _pq("documents")
+        occ: Counter = Counter()
+        dids: dict[str, set] = defaultdict(set)
+        length: dict[str, int] = {}
+        for did, text in zip(docs["doc_id"], docs["text"]):
+            if not text:
+                continue
+            for chunk in _gear_chunks(text[:512]):
+                h = hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                occ[h] += 1
+                dids[h].add(int(did))
+                length[h] = len(chunk)
+        ranked = sorted(occ, key=lambda h: (-occ[h], h))[:100]
+        return {h: (occ[h], len(dids[h]), length[h]) for h in ranked}
+
+    def test_chunk_table_matches(self, spark):
+        exp = self._expected()
+        rows = Q.REGISTRY["d25_cdc_chunk_dedup"](
+            spark, SF_SMOKE
+        ).collect()
+        assert len(rows) == len(exp)
+        for r in rows:
+            e = exp[r["chunk_hash"]]
+            assert (r["n_occ"], r["n_docs"], r["chunk_len"]) == e
+
+    def test_boundary_shift_immunity(self, spark):
+        """The CDC property the operator exists for: prepending a
+        prefix to a document shifts every byte offset but leaves the
+        tail chunks (beyond the first re-cut window) identical."""
+        docs = _pq("documents")
+        text = max(docs["text"], key=len)[:512]
+        base = _gear_chunks(text)
+        shifted = _gear_chunks("PREFIX>> " + text)
+        # All but the first chunk(s) of the original should reappear
+        # verbatim in the shifted chunking.
+        assert len(base) >= 3, "fixture doc chunks too coarse"
+        shared = set(base[1:]) & set(shifted)
+        assert shared == set(base[1:])
