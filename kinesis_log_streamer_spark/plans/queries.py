@@ -13518,6 +13518,11 @@ def ts03_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .withColumn("nb", F.ntile(12).over(w))
     )
+    # Bucket stats reduce to 12 rows per user at the partial-agg stage,
+    # so the neighbor table is metadata-sized -> broadcast it back and
+    # select every representative in ONE pass over pts (a union of
+    # interior/anchor legs would re-run the scan+window subtree per
+    # leg -- measured 4 scans / 14 exchanges before this form).
     b = pts.groupBy("user_id", "nb").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("x").alias("sx"),
@@ -13537,21 +13542,21 @@ def ts03_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wu = W.partitionBy("user_id")
     j = (
-        pts.join(nbr, ["user_id", "nb"])
+        pts.join(F.broadcast(nbr), ["user_id", "nb"])
         .withColumn(
             "area",
-            F.abs(
-                (F.col("bxp") - F.col("bxn"))
-                * (F.col("yc") - F.col("byp"))
-                - (F.col("bxp") - F.col("x"))
-                * (F.col("byn") - F.col("byp"))
+            F.coalesce(
+                F.abs(
+                    (F.col("bxp") - F.col("bxn"))
+                    * (F.col("yc") - F.col("byp"))
+                    - (F.col("bxp") - F.col("x"))
+                    * (F.col("byn") - F.col("byp"))
+                ),
+                F.lit(0.0),
             ),
         )
         .withColumn("nbmax", F.max("nb").over(wu))
         .withColumn("cmax", F.max("rn").over(wu))
-    )
-    interior = (
-        j.filter((F.col("nb") > 1) & (F.col("nb") < F.col("nbmax")))
         .withColumn(
             "rk",
             F.row_number().over(
@@ -13560,26 +13565,31 @@ def ts03_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .filter(F.col("rk") == 1)
+    )
+    first_pt = (F.col("nb") == 1) & (F.col("rn") == 1)
+    last_pt = (F.col("nb") == F.col("nbmax")) & (
+        F.col("rn") == F.col("cmax")
+    )
+    interior_pt = (
+        (F.col("nb") > 1)
+        & (F.col("nb") < F.col("nbmax"))
+        & (F.col("rk") == 1)
+    )
+    return (
+        j.filter(first_pt | last_pt | interior_pt)
         .select(
             "user_id",
             F.col("nb").alias("bucket"),
             "event_id",
             F.round("value", 2).alias("val"),
-            F.round(F.col("area") / F.lit(1.0e9), 3).alias("area_g"),
+            F.when(
+                first_pt | last_pt, F.lit(0.0)
+            ).otherwise(
+                F.round(F.col("area") / F.lit(1.0e9), 3)
+            ).alias("area_g"),
         )
+        .orderBy("user_id", "bucket")
     )
-    anchors = j.filter(
-        ((F.col("nb") == 1) & (F.col("rn") == 1))
-        | ((F.col("nb") == F.col("nbmax")) & (F.col("rn") == F.col("cmax")))
-    ).select(
-        "user_id",
-        F.col("nb").alias("bucket"),
-        "event_id",
-        F.round("value", 2).alias("val"),
-        F.lit(0.0).alias("area_g"),
-    )
-    return interior.unionByName(anchors).orderBy("user_id", "bucket")
 
 
 def d25_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,6 +129,17 @@ QUERIES = [
     # absent: their rows would measure the fixture, not a plan.)
     "s04_embedding_near_dups",
     "s22_embedding_star_edges",
+    # round-14 late-session additions.  d25 scans EVERY document
+    # (chunk boundary arithmetic is scan-local, the groupBy is a hash
+    # agg — the row should read ~linear-or-better as the 10x corpus
+    # splits into more files and parallelizes the single-partition
+    # sf0.1 scan).  ts02/ts03 carry user_id probes (<100 / <5) whose
+    # pushdown prunes the offset-remapped replicas, so their rows
+    # measure that the filter reaches the scan (~1x expected): at
+    # production scale work grows with SELECTED users, not corpus.
+    "d25_cdc_chunk_dedup",
+    "ts02_paa_sax",
+    "ts03_lttb_downsample",
 ]
 
 
