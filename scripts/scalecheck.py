@@ -190,6 +190,18 @@ BENDS = {
         "candidate join grows with colliding near-dup pairs, which the "
         "replica construction multiplies 10x WITHIN each replica tier"
     ),
+    "s20_maxsim_topk": (
+        "ratio doubled round-over-round because the sf0.1 DENOMINATOR "
+        "halved (2.36s -> 1.26s warm JVM), not because the scaled leg "
+        "grew (2.41s -> 2.57s): the MaxSim probe join is broadcast + "
+        "per-probe bounded window merge, constant shape in corpus size"
+    ),
+    "p11_join_size_preflight": (
+        "same denominator-shrink class as s20: sf0.1 leg 0.83s -> "
+        "0.64s across rounds while the scaled leg held ~1.3s; the "
+        "preflight itself is two metadata-sized partial aggs joined "
+        "broadcast — nothing in it scales super-linearly"
+    ),
     "s01_cosine_topk": (
         "broadcast probe over 10x corpus: scan-bound, amortizes fixed "
         "JVM cost — ratios near or below 1 expected"
