@@ -258,6 +258,7 @@ HEADLINE = [
     "ts02_paa_sax",
     "ts03_lttb_downsample",
     "d25_cdc_chunk_dedup",
+    "ts04_acf_seasonality",
 ]
 
 

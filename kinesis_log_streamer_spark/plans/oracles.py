@@ -6454,3 +6454,60 @@ GROUP BY 1
 ORDER BY n_occ DESC, chunk_hash
 LIMIT 100
 """
+
+# ts04: exact-cents lift makes the series mean an exact-integer
+# division; covariance folds are the only order-dependent float sums
+# (~1 ulp) and every ACF rounds to 3 before the greatest()/CASE
+# dominant-lag rule, so both engines agree bit-for-bit on the output.
+ORACLES["ts04_acf_seasonality"] = """
+WITH sums AS (
+    SELECT user_id, (day(ts) - 1) * 24 + hour(ts) AS slot,
+           round(sum(value), 2) AS v
+    FROM events WHERE user_id < 30 GROUP BY 1, 2
+), users AS (
+    SELECT DISTINCT user_id FROM sums
+), spine AS (
+    SELECT user_id, range AS slot FROM users CROSS JOIN range(720)
+), dense AS (
+    SELECT s.user_id, s.slot,
+           CAST(round(coalesce(v, 0.0) * 100) AS BIGINT) AS cv
+    FROM spine s LEFT JOIN sums
+      ON sums.user_id = s.user_id AND sums.slot = s.slot
+), mus AS (
+    SELECT user_id, CAST(sum(cv) AS DOUBLE) / 720.0 AS mu
+    FROM dense GROUP BY 1
+), lagd AS (
+    SELECT d.user_id, d.slot, d.cv, mu,
+           lag(cv, 1) OVER w AS lag1,
+           lag(cv, 2) OVER w AS lag2,
+           lag(cv, 3) OVER w AS lag3,
+           lag(cv, 6) OVER w AS lag6,
+           lag(cv, 12) OVER w AS lag12,
+           lag(cv, 24) OVER w AS lag24
+    FROM dense d JOIN mus USING (user_id)
+    WINDOW w AS (PARTITION BY d.user_id ORDER BY d.slot)
+), agg AS (
+    SELECT user_id,
+        sum((cv - mu) * (cv - mu)) AS den,
+        sum(CASE WHEN lag1 IS NOT NULL THEN (cv - mu) * (lag1 - mu) ELSE 0.0 END) AS num1,
+        sum(CASE WHEN lag2 IS NOT NULL THEN (cv - mu) * (lag2 - mu) ELSE 0.0 END) AS num2,
+        sum(CASE WHEN lag3 IS NOT NULL THEN (cv - mu) * (lag3 - mu) ELSE 0.0 END) AS num3,
+        sum(CASE WHEN lag6 IS NOT NULL THEN (cv - mu) * (lag6 - mu) ELSE 0.0 END) AS num6,
+        sum(CASE WHEN lag12 IS NOT NULL THEN (cv - mu) * (lag12 - mu) ELSE 0.0 END) AS num12,
+        sum(CASE WHEN lag24 IS NOT NULL THEN (cv - mu) * (lag24 - mu) ELSE 0.0 END) AS num24
+    FROM lagd GROUP BY 1
+), r AS (
+    SELECT user_id,
+        round(coalesce(num1 / nullif(den, 0.0), 0.0), 3) + 0.0 AS r1,
+        round(coalesce(num2 / nullif(den, 0.0), 0.0), 3) + 0.0 AS r2,
+        round(coalesce(num3 / nullif(den, 0.0), 0.0), 3) + 0.0 AS r3,
+        round(coalesce(num6 / nullif(den, 0.0), 0.0), 3) + 0.0 AS r6,
+        round(coalesce(num12 / nullif(den, 0.0), 0.0), 3) + 0.0 AS r12,
+        round(coalesce(num24 / nullif(den, 0.0), 0.0), 3) + 0.0 AS r24
+    FROM agg
+)
+SELECT user_id, r1, r2, r3, r6, r12, r24,
+       CASE WHEN r1 = g THEN 1 WHEN r2 = g THEN 2 WHEN r3 = g THEN 3 WHEN r6 = g THEN 6 WHEN r12 = g THEN 12 WHEN r24 = g THEN 24 END AS dominant_lag
+FROM (SELECT *, greatest(r1, r2, r3, r6, r12, r24) AS g FROM r)
+ORDER BY user_id
+"""

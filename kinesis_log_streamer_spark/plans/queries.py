@@ -13382,6 +13382,98 @@ def f25_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(F.broadcast(truth), "probe").orderBy("probe")
 
 
+def ts04_acf_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation-panel seasonality probe — the standard ACF
+    diagnostic behind period detection in monitoring/forecasting
+    pipelines: each user's activity becomes a dense 720-slot hourly
+    series over the one-month window (zero-filled), the ACF is
+    evaluated at the panel lags {1,2,3,6,12,24}, and the dominant
+    lag is the first panel lag attaining the maximum rounded ACF
+    (tie -> smallest lag, a total rule).
+
+    Scale shape: one groupBy(user, slot) partial agg; the dense
+    series materializes as a 720-slot array per user (scan-local
+    transform), then posexplodes back to rows so the six lag
+    windows run in ONE pass partitioned by user — parallel in
+    users, O(720) state per task, no self-join (a lag-k self-join
+    would shuffle the series six times).  Engine-parity
+    determinism: slot sums round to 2 then lift to exact integer
+    cents; the series mean divides an exact integer sum, so only
+    the covariance folds are order-dependent (~1 ulp) and every
+    ACF rounds to 3 before comparison; the dominant-lag rule
+    compares ROUNDED values via greatest() + first-match CASE,
+    identical in both engines."""
+    lags = [1, 2, 3, 6, 12, 24]
+    ev = _t(spark, sf_dir, "events")
+    slot = ((F.dayofmonth("ts") - 1) * 24 + F.hour("ts")).alias("slot")
+    sums = (
+        ev.filter(F.col("user_id") < 30)
+        .groupBy("user_id", slot)
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    per_user = sums.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("slot", "v")))
+        ).alias("m")
+    )
+    dense = per_user.select(
+        "user_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(719)),
+            lambda i: F.round(
+                F.coalesce(F.element_at("m", i.cast("int")), F.lit(0.0))
+                * 100
+            ).cast("long"),
+        ).alias("c"),
+    ).withColumn(
+        "mu",
+        F.aggregate("c", F.lit(0).cast("long"), lambda a, x: a + x)
+        / F.lit(720.0),
+    )
+    rows = dense.select(
+        "user_id", "mu", F.posexplode("c").alias("slot", "cv")
+    )
+    wl = W.partitionBy("user_id").orderBy("slot")
+    for k in lags:
+        rows = rows.withColumn(f"lag{k}", F.lag("cv", k).over(wl))
+    dev = F.col("cv") - F.col("mu")
+    aggs = [
+        F.sum(dev * dev).alias("den"),
+    ] + [
+        F.sum(
+            F.when(
+                F.col(f"lag{k}").isNotNull(),
+                dev * (F.col(f"lag{k}") - F.col("mu")),
+            ).otherwise(F.lit(0.0))
+        ).alias(f"num{k}")
+        for k in lags
+    ]
+    acf = rows.groupBy("user_id").agg(*aggs)
+    for k in lags:
+        acf = acf.withColumn(
+            f"r{k}",
+            # + 0.0 canonicalizes IEEE -0.0 (round of a tiny negative
+            # covariance) to +0.0 on both engines before the compare.
+            F.round(
+                F.coalesce(
+                    F.col(f"num{k}") / F.nullif("den", F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                3,
+            )
+            + F.lit(0.0),
+        )
+    g = F.greatest(*[F.col(f"r{k}") for k in lags])
+    dom = F.lit(None).cast("int")
+    for k in reversed(lags):
+        dom = F.when(F.col(f"r{k}") == g, F.lit(k)).otherwise(dom)
+    return acf.select(
+        "user_id",
+        *[f"r{k}" for k in lags],
+        dom.alias("dominant_lag"),
+    ).orderBy("user_id")
+
+
 def ts02_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAA + SAX symbolic discretization (Lin et al., DMKD 2007 —
     the standard time-series indexing sketch): each user's 24-slot
@@ -13910,6 +14002,7 @@ REGISTRY = {
     "ts02_paa_sax": ts02_paa_sax,
     "ts03_lttb_downsample": ts03_lttb_downsample,
     "d25_cdc_chunk_dedup": d25_cdc_chunk_dedup,
+    "ts04_acf_seasonality": ts04_acf_seasonality,
     "q121_transpose": q121_transpose,
     "q123_lateral_join_api": q123_lateral_join_api,
     "q124_argminmax_battery": q124_argminmax_battery,
@@ -14116,7 +14209,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND7_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND7_FRONT)},
 }
-assert len(REGISTRY) == 335
+assert len(REGISTRY) == 336
 
 # ROUND-8 REORDER (same mechanics): CORRECTNESS_r07 closed the ledger
 # at 306/306 hash-green, so the only names needing a fresh verdict are
@@ -14138,7 +14231,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND8_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND8_FRONT)},
 }
-assert len(REGISTRY) == 335
+assert len(REGISTRY) == 336
 
 
 # ROUND-9 REORDER (same mechanics): CORRECTNESS_r08 closed at 308/308
@@ -14183,7 +14276,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND10_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND10_FRONT)},
 }
-assert len(REGISTRY) == 335
+assert len(REGISTRY) == 336
 
 # ROUND-11 FRONT: CORRECTNESS_r10 was 50/50 green and the r01-r10
 # union covers all 315 prior names latest-green, so block (1) is the
@@ -14219,7 +14312,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND11_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND11_FRONT)},
 }
-assert len(REGISTRY) == 335
+assert len(REGISTRY) == 336
 
 # PREPARED FOR ROUND 13 (do not apply before CORRECTNESS_r12 lands):
 # once the r12 window re-greens the 45 r01 names below, the stalest
@@ -14284,7 +14377,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND12_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND12_FRONT)},
 }
-assert len(REGISTRY) == 335
+assert len(REGISTRY) == 336
 
 # PREPARED FOR ROUND 14 (do not apply before CORRECTNESS_r13 lands):
 # once the r13 window re-greens the 44 r02 names below, the stalest
@@ -14355,7 +14448,7 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND13_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND13_FRONT)},
 }
-assert len(REGISTRY) == 335
+assert len(REGISTRY) == 336
 
 # ROUND-14 FRONT (VERDICT r13 #1 — the last evidence gap): rotate ALL
 # 37 names whose latest driver verdict is from round 3 (recomputed
@@ -14408,8 +14501,9 @@ _ROUND14_FRONT = [
     "ts02_paa_sax",
     "ts03_lttb_downsample",
     "d25_cdc_chunk_dedup",
-    # block 4: head of the r04-stale tier (19 more follow in r15)
-    "f15_dynamic_partition_overwrite", "f16_multiline_json_array",
+    "ts04_acf_seasonality",
+    # block 4: head of the r04-stale tier (20 more follow in r15)
+    "f16_multiline_json_array",
 ]
 assert len(_ROUND14_FRONT) == len(set(_ROUND14_FRONT)) == 50
 _missing14 = [n for n in _ROUND14_FRONT if n not in REGISTRY]
@@ -14418,14 +14512,14 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _ROUND14_FRONT},
     **{n: f for n, f in REGISTRY.items() if n not in set(_ROUND14_FRONT)},
 }
-assert len(REGISTRY) == 335
+assert len(REGISTRY) == 336
 
 # PREPARED FOR ROUND 15 (do not apply before CORRECTNESS_r14 lands):
 # once the r14 window re-greens the 37 r03 names above, the stalest
-# tail is the REMAINING 19 round-4-verdict names — front those next,
+# tail is the REMAINING 20 round-4-verdict names — front those next,
 # after any fail-rechecks and r15 code-changed/new queries:
 #   f12_xml_roundtrip f13_variant_shred f14_gzip_jsonl_scan
-#   f17_failfast_json g01_grid_neighbor_join g02_triangle_count
+#   f15_dynamic_partition_overwrite f17_failfast_json g01_grid_neighbor_join g02_triangle_count
 #   g03_bfs_levels g04_weighted_sssp k02_kinesis_checkpoint_resume
 #   k03_kinesis_reshard_discovery m05_frame_dedup
 #   m06_audio_frame_energy st12_file_sink_log st14_chained_window_rollup

@@ -140,6 +140,7 @@ QUERIES = [
     "d25_cdc_chunk_dedup",
     "ts02_paa_sax",
     "ts03_lttb_downsample",
+    "ts04_acf_seasonality",
 ]
 
 

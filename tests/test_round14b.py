@@ -247,3 +247,57 @@ class TestCdcChunkDedup:
         assert len(base) >= 3, "fixture doc chunks too coarse"
         shared = set(base[1:]) & set(shifted)
         assert shared == set(base[1:])
+
+
+class TestAcfSeasonality:
+    LAGS = (1, 2, 3, 6, 12, 24)
+
+    def _expected(self) -> list[tuple]:
+        ev = _pq("events")
+        ev = ev[ev["user_id"] < 30]
+        out = []
+        for uid, grp in ev.groupby("user_id"):
+            slot_sums: dict[int, float] = defaultdict(float)
+            for ts, v in zip(grp["ts"], grp["value"]):
+                slot_sums[(ts.day - 1) * 24 + ts.hour] += v
+            c = [0] * 720
+            for s, v in slot_sums.items():
+                c[s] = int(round(round(v, 2) * 100))
+            mu = sum(c) / 720.0
+            den = sum((x - mu) ** 2 for x in c)
+            rs = []
+            for k in self.LAGS:
+                num = sum(
+                    (c[t] - mu) * (c[t - k] - mu) for t in range(k, 720)
+                )
+                rs.append(round(num / den, 3) + 0.0 if den else 0.0)
+            g = max(rs)
+            dom = next(k for k, r in zip(self.LAGS, rs) if r == g)
+            out.append((int(uid), *rs, dom))
+        return sorted(out)
+
+    def test_acf_panel_matches(self, spark):
+        got = sorted(
+            tuple(r)
+            for r in Q.REGISTRY["ts04_acf_seasonality"](
+                spark, SF_SMOKE
+            ).collect()
+        )
+        exp = self._expected()
+        assert len(got) == len(exp)
+        for grow, erow in zip(got, exp):
+            assert grow[0] == erow[0]
+            assert grow[7] == erow[7], (grow, erow)
+            for a, b in zip(grow[1:7], erow[1:7]):
+                assert abs(a - b) < 1e-9
+
+    def test_acf_bounds_and_lag_domain(self, spark):
+        rows = Q.REGISTRY["ts04_acf_seasonality"](
+            spark, SF_SMOKE
+        ).collect()
+        assert rows
+        for r in rows:
+            assert r["dominant_lag"] in self.LAGS
+            for k in self.LAGS:
+                # ACF of a real series is bounded by +/-1
+                assert -1.0 - 1e-9 <= r[f"r{k}"] <= 1.0 + 1e-9
