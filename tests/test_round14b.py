@@ -301,3 +301,121 @@ class TestAcfSeasonality:
             for k in self.LAGS:
                 # ACF of a real series is bounded by +/-1
                 assert -1.0 - 1e-9 <= r[f"r{k}"] <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis) — pure-python, exercised on the
+# reference implementations whose equality with the Spark plans is pinned
+# by the tests above, so properties proven here transfer to the operators.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _sax_word(cents: list[int]) -> str:
+    n = len(cents)
+    mean_c = sum(cents) / n
+    sd_c = math.sqrt(sum((c - mean_c) ** 2 for c in cents) / n)
+    word = []
+    seg = n // 6
+    for k in range(6):
+        pc = sum(cents[seg * k : seg * (k + 1)]) / seg
+        z = 0.0 if sd_c == 0 else round((pc - mean_c) / sd_c, 3)
+        if z < BREAKPOINTS[0]:
+            word.append("a")
+        elif z < BREAKPOINTS[1]:
+            word.append("b")
+        elif z < BREAKPOINTS[2]:
+            word.append("c")
+        else:
+            word.append("d")
+    return "".join(word)
+
+
+def _gear_bounds(head: str) -> list[int]:
+    g = [(ord(c) * 2654435761) % 4294967296 for c in head]
+    n = len(head)
+    bounds = []
+    if n >= 8:
+        for i in range(8, n + 1):
+            h = (
+                sum(g[i - 1 - j] * (1 << j) for j in range(8))
+                % 4294967296
+            )
+            if h < 67108864:
+                bounds.append(i)
+    return bounds
+
+
+class TestRound14Properties:
+    @given(
+        st.lists(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            min_size=24,
+            max_size=24,
+        ),
+        st.integers(min_value=0, max_value=8),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_sax_invariant_under_power_of_two_scaling(self, cents, k):
+        # Multiplying a series by 2^k scales mean/sd/PAA EXACTLY in
+        # IEEE arithmetic (power-of-two products and the sqrt of a
+        # 4^k factor are exact), so the z-scores — and the SAX word —
+        # are bit-identical: the sketch depends only on series SHAPE.
+        assert _sax_word(cents) == _sax_word([c * (2**k) for c in cents])
+
+    @given(st.integers(min_value=-(10**6), max_value=10**6))
+    @settings(max_examples=50, deadline=None)
+    def test_sax_constant_series_is_all_c(self, v):
+        # sd == 0 -> z defined as 0.0 -> symbol 'c' in every segment.
+        assert _sax_word([v] * 24) == "cccccc"
+
+    @given(st.text(min_size=0, max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def test_cdc_chunks_reassemble_any_unicode(self, text):
+        if not text:
+            return
+        chunks = _gear_chunks(text)
+        assert "".join(chunks) == text
+        assert all(chunks)
+
+    @given(
+        st.text(min_size=0, max_size=60),
+        st.text(min_size=20, max_size=400),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_cdc_boundaries_are_window_local(self, prefix, text):
+        # The defining CDC property: a boundary at position i depends
+        # ONLY on chars i-7..i, so prepending a prefix shifts every
+        # boundary whose window lies inside the original text and
+        # introduces/removes nothing beyond the prefix-straddling
+        # window region [len(prefix)+1, len(prefix)+7].
+        p = len(prefix)
+        base = {b + p for b in _gear_bounds(text)}
+        shifted = {
+            b for b in _gear_bounds(prefix + text) if b >= p + 8
+        }
+        assert shifted == base
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10**9),
+                st.integers(min_value=-(10**4), max_value=10**4),
+            ),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_ntile_partition_is_contiguous_and_balanced(self, pts):
+        tiles = _ntile(len(pts), 12)
+        assert len(tiles) == len(pts)
+        # contiguous, non-decreasing bucket ids starting at 1
+        assert tiles[0] == 1
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(tiles, tiles[1:]))
+        # balanced: sizes differ by at most one, larger tiles first
+        sizes = [tiles.count(b) for b in sorted(set(tiles))]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)
