@@ -258,3 +258,41 @@ class TestHllMergePlan:
         assert "SortMergeJoin" not in plan
         assert plan.count("ObjectHashAggregate") >= 2  # partial + final
         assert "partial" in plan
+
+
+class TestLttbPlan:
+    def test_ts03_single_pass_broadcast_neighbors(self, spark):
+        """ts03's committed shape: the per-bucket neighbor table is
+        metadata-sized and must come back via BROADCAST (never a
+        shuffled join), and the one-pass keep-flag selection must not
+        re-run the scan+window subtree per leg — at most the two
+        deliberate scans (pts + bucket-stats branch), not the four
+        the union-of-legs form produced."""
+        plan = _plan(Q.REGISTRY["ts03_lttb_downsample"](spark, SF))
+        _no_blowups(plan)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert plan.count("Scan parquet") <= 2
+
+
+class TestCdcChunkPlan:
+    def test_d25_chunking_is_scan_local(self, spark):
+        """d25's scale argument: gear-boundary detection and chunk
+        slicing are scan-local expression arithmetic — NO join of any
+        kind in the plan, and the only wide stages are the chunk-hash
+        aggregation pair plus the final ordered take."""
+        plan = _plan(Q.REGISTRY["d25_cdc_chunk_dedup"](spark, SF))
+        _no_blowups(plan)
+        assert "Join" not in plan
+        assert "HashAggregate" in plan
+
+
+class TestAcfPlan:
+    def test_ts04_single_series_pass(self, spark):
+        """ts04's committed shape: one scan builds the dense series,
+        all six lag windows ride ONE user-partitioned window pass
+        (a lag-k self-join family would add six shuffled joins)."""
+        plan = _plan(Q.REGISTRY["ts04_acf_seasonality"](spark, SF))
+        _no_blowups(plan)
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 1
