@@ -35,12 +35,23 @@ def tokens_col(text: Column) -> Column:
 def shingles_col(tok: Column, n: int = 3) -> Column:
     """Word n-gram shingles of a token array (JVM higher-order fns).
 
-    Texts shorter than n tokens yield an empty array (sequence() would
-    otherwise descend and slice(…, 0, …) is invalid)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-        lambda i: F.array_join(F.slice(tok, i, n), " "),
-    )
+    Texts shorter than n tokens yield an empty array (slice(…, 1, m)
+    with m ≤ 0 would otherwise be invalid).
+
+    Built by ``zip_with``-folding ``n`` shifted ``slice``\\ s of the
+    token array — same rationale as :func:`hashed_shingles_col`: the
+    previous ``transform(sequence(...), i -> array_join(slice(tok, i,
+    n)))`` form re-evaluated ``tok``'s whole subtree (typically the
+    ``split`` tokenizer) per gram position, O(tokens²) per document
+    when callers pass the tokenizer expression inline."""
+    m = F.size(tok) - (n - 1)
+    grams = F.slice(tok, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(tok, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(F.size(tok) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )

@@ -167,12 +167,26 @@ def ngrams_col(text: Column, n: int = 2) -> Column:
     """Word n-grams as an array expression (the ``NGram``-transformer
     equivalent, SURVEY.md §2.2 text row) — built narrow inside the scan
     stage: no explode, no shuffle, no UDF.  Docs with fewer than ``n``
-    tokens yield an empty array."""
+    tokens yield an empty array.
+
+    Built by ``zip_with``-folding ``n`` shifted ``slice``\\ s of the
+    token array (the `operators/dedup.hashed_shingles_col` idiom):
+    the tokenizer subtree is evaluated O(n) times per document.  The
+    previous ``transform(sequence(...), i -> array_join(slice(toks,
+    i, n)))`` form re-evaluated the WHOLE ``split`` per gram position
+    — interpreted HOF lambdas re-evaluate non-attribute children per
+    element, so a g-gram document paid g full tokenizations
+    (O(tokens²) per doc; measured 3.7 s → sub-second on t07 at
+    sf0.1, same output)."""
     toks = tokens_col(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    m = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )

@@ -4313,10 +4313,22 @@ def t15_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     document.  Everything is scan-local array math in codegen
     (``array_distinct``/``aggregate`` on the token array — no explode,
     no shuffle): the 100 TB shape is a single pass that drops rows
-    before anything downstream pays for them."""
+    before anything downstream pays for them.
+
+    Token and gram arrays are STAGED in a first projection (the
+    `operators/text.quality_features` two-projection idiom): the
+    signal expressions reference each array 2–3 times, and inlined
+    HOF subtrees re-evaluate per reference — 18.1 s → 4.8 s from the
+    r14 ngrams_col zip rewrite, → 2.5 s with this staging (sf0.1),
+    identical output."""
     docs = _t(spark, sf_dir, "documents")
-    toks = TX.tokens_col(F.col("text"))
-    grams = TX.ngrams_col(F.col("text"), 3)
+    docs = docs.select(
+        "doc_id",
+        TX.tokens_col(F.col("text")).alias("__toks"),
+        TX.ngrams_col(F.col("text"), 3).alias("__grams"),
+    )
+    toks = F.col("__toks")
+    grams = F.col("__grams")
     n_words = F.size(toks)
     mean_wlen = F.round(
         F.aggregate(
@@ -7045,8 +7057,16 @@ def t22_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the novelty/memorization signal curation uses to find boilerplate
     clusters exact dedup misses (d07 measures pairwise containment;
     this is the corpus-wide marginal).  Shapes: distinct (doc, gram)
-    explode, gram-level doc-frequency hash-agg, one equi-join back —
-    the t06 df-join form.  Ratio as integer per-mille (half-up), the
+    explode, then the document frequency as a COUNT OVER the gram
+    partition on the same exploded rows (r14: the previous
+    t06-style df-hash-agg + equi-join-back consumed the gram-explode
+    subtree from TWO plan branches — the whole gram build and explode
+    ran twice, plus a sort-merge self-join on gram strings; the
+    window computes df on one pass — rows are distinct per (doc,
+    gram) by construction, so count(*) per gram ≡ countDistinct(doc)
+    — one gram build, one shuffle on g, no self-join: 9.9 s → 3.9 s
+    with the zip-gram rewrite → 1.4 s with this shape at sf0.1,
+    identical output).  Ratio as integer per-mille (half-up), the
     house fp-proof rounding."""
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
@@ -7057,12 +7077,11 @@ def t22_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    df_counts = grams.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("df")
+    with_df = grams.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("g"))
     )
     per_doc = (
-        grams.join(df_counts, "g")
-        .groupBy("doc_id")
+        with_df.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.count(F.when(F.col("df") >= 2, 1)).alias("n_shared"),
