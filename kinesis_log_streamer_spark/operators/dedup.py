@@ -320,21 +320,29 @@ def simhash_fingerprints(
         F.col(id_col).alias("id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     ).select("id", F.xxhash64("tok").alias("h"))
+    # Aggregates and the 64-term unpack are built as SQL strings (one
+    # F.expr each) — the per-term Column algebra cost hundreds of py4j
+    # round trips of flat per-plan-build driver time (r14; see
+    # _portable_simhash_sigs).  The parsed trees are identical.
     counters = toks.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.shiftright("h", g).bitwiseAND(F.lit(lane_mask))).alias(f"acc{g}")
+            F.expr(
+                f"sum(shiftright(h, {g}) & {lane_mask}L)"
+            ).alias(f"acc{g}")
             for g in range(16)
         ],
     )
-    packed = None
-    for b in range(64):
+
+    def _bit_sql(b: int) -> str:
         g, j = b % 16, b // 16
-        s = F.shiftright(F.col(f"acc{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
-        bit = F.when(
-            s * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        packed = bit if packed is None else packed.bitwiseOR(bit)
+        return (
+            f"(CASE WHEN (shiftright(acc{g}, {16 * j}) & 65535) * 2 > n "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    packed = F.expr(" | ".join(_bit_sql(b) for b in range(64)))
     return counters.select("id", _lane_guard(packed).alias("simhash"))
 
 
@@ -812,9 +820,6 @@ def _portable_simhash_sigs(
     (ADVICE r13 low #1; same bound as simhash_fingerprints).  Bit i
     lives in lane ``i // 8`` of accumulator ``i % 8``.
     """
-    from functools import reduce
-    from operator import add
-
     from kinesis_log_streamer_spark.operators.parallelize import (
         spread_for_compute,
     )
@@ -831,37 +836,34 @@ def _portable_simhash_sigs(
         "id", F.md5("tk").alias("d")
     )
 
-    def packed(g: int) -> Column:
+    # The packed-lane aggregates and the 32-term unpack are built as
+    # SQL strings (ONE F.expr each) rather than per-term Column
+    # algebra: the 32 CASE/substring/IN terms plus the 32 unpack
+    # terms cost ~600 py4j round trips per plan BUILD — a measured
+    # 1.5-2.5 s of flat driver-side cost per d03/d17/d24 run at any
+    # corpus size (r14).  The parsed expression tree is identical.
+    odd = ", ".join(f"'{h}'" for h in _ODD_HEX)
+
+    def packed_sql(g: int) -> str:
         # Lane j of accumulator g: parity of hex char g + 8j.
-        return reduce(
-            add,
-            [
-                F.when(
-                    F.substring("d", g + 8 * j + 1, 1).isin(*_ODD_HEX),
-                    F.lit(1 << (16 * j)).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-                for j in range(4)
-            ],
+        return " + ".join(
+            f"(CASE WHEN substring(d, {g + 8 * j + 1}, 1) IN ({odd}) "
+            f"THEN CAST({1 << (16 * j)} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for j in range(4)
         )
 
     counters = toks.groupBy("id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(packed(g)).alias(f"acc{g}") for g in range(8)],
+        *[F.expr(f"sum({packed_sql(g)})").alias(f"acc{g}") for g in range(8)],
     )
-    sig = reduce(
-        add,
-        [
-            (
-                2
-                * F.shiftright(F.col(f"acc{g}"), 16 * j).bitwiseAND(
-                    F.lit(0xFFFF)
-                )
-                >= F.col("n")
-            ).cast("long")
-            * F.lit(1 << (g + 8 * j))
+    sig = F.expr(
+        " + ".join(
+            f"CAST((2 * (shiftright(acc{g}, {16 * j}) & 65535)) >= n "
+            f"AS BIGINT) * CAST({1 << (g + 8 * j)} AS BIGINT)"
             for g in range(8)
             for j in range(4)
-        ],
+        )
     )
     return counters.select("id", _lane_guard(sig).alias("sig"))
 

@@ -12166,40 +12166,87 @@ def s21_ivf_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     form); per query the rerank touches ~2/16 of the corpus instead
     of all of it, which is the entire point of IVF candidate
     generation — and the expensive MaxSim lattice runs on that
-    bounded candidate set only."""
-    from kinesis_log_streamer_spark.functions.vector import cosine_sim, dot
+    bounded candidate set only.
+
+    r14: cell selection is SCAN-LOCAL — the 16 centroids are a
+    collected driver-side model (the bounded-broadcast pattern of
+    `operators/similarity.sample_centroids`) embedded as literals,
+    and each vector picks its top cells by ``array_sort`` over 16
+    (−cos, cell) structs inside the scan.  The previous form
+    crossJoined the centroid DataFrame (16× row blowup) and ranked
+    with a row_number window — one extra Exchange plus a 16n-row
+    sort per leg, for an argmax a projection can do.  Per-pair
+    arithmetic is IDENTICAL (same fold order, same float64 cast,
+    same round-4, ties to the lowest cell; −0.0 canonicalized via
+    +0.0 before the sort key, cos itself is never output):
+    2.6 s → 1.5 s at sf0.1, same hash."""
+    import math
+
+    from kinesis_log_streamer_spark.functions.vector import dot, l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", "embedding")
-    cents = (
-        corpus.orderBy("vec_id")
-        .limit(16)
-        .select(
-            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("cell"),
-            F.col("embedding").cast("array<double>").alias("cvec"),
+    cent_rows = (
+        corpus.orderBy("vec_id").limit(16).select("embedding").collect()
+    )
+    # Python floats are IEEE doubles: the left-fold sum + sqrt below
+    # reproduce l2_norm()'s JVM arithmetic bit-for-bit on the same
+    # float32-widened values.
+    cents_py: list[tuple[list[float], float]] = []
+    for r in cent_rows:
+        cvec = [float(x) for x in r.embedding]
+        acc = 0.0
+        for x in cvec:
+            acc += x * x
+        cents_py.append((cvec, math.sqrt(acc)))
+
+    # The model travels as ONE constant array<struct<cvec, cnorm>>
+    # (ConstantFolding collapses it to a single Literal) scored by a
+    # SINGLE indexed-transform lambda — per-cell expression trees (16
+    # dots × 2 legs) measured ~4 s of Catalyst lambda analysis per
+    # plan build.
+    # One F.expr call, not 16 × 65 F.lit calls: each Column call is a
+    # py4j round trip and the per-literal form measured ~1 s of pure
+    # driver-side plan BUILD per run.  repr() is shortest-roundtrip,
+    # so the SQL parser recovers bit-identical doubles.
+    def _d(x: float) -> str:
+        return repr(x) + "D"
+
+    cents_lit = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('cvec', array("
+            + ",".join(_d(v) for v in cvec)
+            + f"), 'cnorm', {_d(cnorm)})"
+            for cvec, cnorm in cents_py
         )
+        + ")"
     )
 
     def cells(df: DataFrame, n: int) -> DataFrame:
-        # Both legs score in float64 (ADVICE r10 low #1): the corpus
-        # assign previously ran float32×float32 while the probe leg
-        # mixed a double-cast query with float centroids — and the
-        # oracle casts to DOUBLE[] throughout, so a round(cos, 4)
-        # boundary flip could diverge cell assignment cross-engine.
-        scored = df.crossJoin(F.broadcast(cents)).select(
+        # Both legs score in float64 (ADVICE r10 low #1): the oracle
+        # casts to DOUBLE[] throughout, so a round(cos, 4) boundary
+        # flip could diverge cell assignment cross-engine.
+        staged = df.select(
             "vec_id",
-            "cell",
-            F.round(
-                cosine_sim(F.col("embedding").cast("array<double>"), F.col("cvec")),
-                4,
-            ).alias("cos"),
+            F.col("embedding").cast("array<double>").alias("__v"),
+        ).select("vec_id", "__v", l2_norm(F.col("__v")).alias("__nv"))
+
+        def _entry(c, i):
+            d = dot(F.col("__v"), c["cvec"])
+            nn = F.col("__nv") * c["cnorm"]
+            cos = F.round(F.when(nn > 0, d / nn).otherwise(F.lit(0.0)), 4)
+            return F.struct(
+                (-(cos + F.lit(0.0))).alias("negcos"),
+                i.cast("int").alias("cell"),
+            )
+
+        top = F.slice(
+            F.array_sort(F.transform(cents_lit, _entry)), 1, n
         )
-        wc = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
-        return (
-            scored.withColumn("rn", F.row_number().over(wc))
-            .filter(F.col("rn") <= n)
-            .select("vec_id", "cell")
-        )
+        return staged.select(
+            "vec_id", F.explode(top).alias("sc")
+        ).select("vec_id", F.col("sc.cell").alias("cell"))
 
     assign = cells(corpus, 1)
     queries = emb.filter(F.col("vec_id") < 5).select(
