@@ -11381,14 +11381,27 @@ def t27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_rows, "qid string, pos int, term string"
     )
     all_terms = sorted({t for _, _, t in probe_rows})
+    # Probe-term occurrences via ONE anchored-alternation regex (the
+    # operators/text._stopword_pattern trick — exact whole-token
+    # equality over the \s+ split without building token rows): the
+    # r14 rewrite of the previous explode-all-tokens + isin form,
+    # which generated a row per corpus token to keep ≤12 terms.  At
+    # most one alternative matches per position (the lookahead
+    # requires the full token), so counts equal the token-explode
+    # form exactly.  The local sf0.1 timing is stage-count bound and
+    # barely moves (~2.6 s); the win is the scan stage no longer
+    # materializing |corpus tokens| rows — the term that grows with
+    # corpus size.  Same hash at sf0.01/sf0.1.
+    pat = "(?:^|\\s)(" + "|".join(all_terms) + ")(?=\\s|$)"
     toks = docs.select(
         "doc_id",
         F.size(TX.tokens_col(F.col("text"))).alias("dl"),
-        F.explode(TX.tokens_col(F.col("text"))).alias("term"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.trim("text")), F.lit(pat), 1)
+        ).alias("term"),
     )
     tf = (
-        toks.filter(F.col("term").isin(all_terms))
-        .groupBy("doc_id", "dl", "term")
+        toks.groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
