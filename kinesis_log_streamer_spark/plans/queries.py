@@ -3765,29 +3765,67 @@ def l09_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mean/stddev of the 100 PRECEDING events of its type (the
     trailing frame excludes the current row — no self-contamination);
     rows with |z| > 3 and a full history window are flagged.  One
-    window shuffle on event_type; the frame is O(1) state per row at
-    any scale.
+    window shuffle on event_type.
+
+    PREFIX-SUM FORM (r15, guide §2.4 / VERDICT r14 #3): the naive
+    ``avg/stddev OVER (ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)``
+    is a sliding frame — Spark's SlidingWindowFunctionFrame REBUILDS
+    the aggregation buffer over all 100 frame rows for every row, so
+    the window stage does O(rows·100) buffer updates.  Every frame
+    aggregate here is instead recovered as the difference of two
+    UNBOUNDED-PRECEDING running aggregates (frames (UP,-1) and
+    (UP,-101)), each maintained incrementally at O(1)/row, all six
+    sharing one Window node / one sort.  ``value`` is 2-decimal money,
+    so the running Σv (DECIMAL ,2) and Σv² (DECIMAL ,4) are EXACT at
+    any magnitude and the frame differences are the exact frame sums —
+    no float cancellation from subtracting large prefixes; mu and the
+    textbook variance (100·Σv² − (Σv)²)/9900 are then computed from
+    exact frame sums with a single double rounding each.  n_hist is
+    the same count-difference, so the ``n_hist = 100`` gate keeps
+    count(value) null semantics exactly.  Equivalence with the
+    sliding-frame form is pinned row-for-row in
+    ``tests/test_r15_opt.py`` (including the round(z,3)
+    boundary-margin audit) and by the tri-scale oracle sweep.
 
     ACCEPTED-FP-RISK: ``round(z, 3)`` compares doubles from two
-    engines' identical-but-reassociated arithmetic — see u04's note;
-    no boundary hit observed across the sf sweep, monitored there."""
+    engines' arithmetic — see u04's note; no boundary hit observed
+    across the sf sweep, monitored there (the exact-decimal frame
+    sums place this form at most 1-2 ulp from the true z, tighter
+    than the old double recompute)."""
     ev = _t(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-100, -1)
-    )
+    word = W.partitionBy("event_type").orderBy("ts", "event_id")
+    w1 = word.rowsBetween(W.unboundedPreceding, -1)
+    w101 = word.rowsBetween(W.unboundedPreceding, -101)
+    dv = F.col("value").cast("decimal(18,2)")
+    dv2 = dv * dv  # decimal(37,4): exact squares of 2-decimal money
+    zero2 = F.lit(0).cast("decimal(28,2)")
+    zero4 = F.lit(0).cast("decimal(38,4)")
     scored = ev.select(
         "event_id",
         "event_type",
         "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
-        F.count("value").over(w).alias("n_hist"),
+        (
+            F.sum(dv).over(w1) - F.coalesce(F.sum(dv).over(w101), zero2)
+        ).cast("decimal(12,2)").alias("sumv"),
+        (
+            F.sum(dv2).over(w1) - F.coalesce(F.sum(dv2).over(w101), zero4)
+        ).cast("decimal(16,4)").alias("sumv2"),
+        (
+            F.count("value").over(w1) - F.count("value").over(w101)
+        ).alias("n_hist"),
     )
+    # Exact integer-scaled variance numerator: 9900·var_samp =
+    # 100·Σv² − (Σv)²; both terms exact decimals, magnitude < 2^53,
+    # so the double cast is exact and sqrt/divide round once each.
+    sd = F.sqrt(
+        (F.lit(100) * F.col("sumv2") - F.col("sumv") * F.col("sumv"))
+        .cast("double")
+        / F.lit(9900.0)
+    )
+    mu = (F.col("sumv") / 100).cast("double")
     return (
         scored.filter(F.col("n_hist") == 100)
-        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+        .withColumn("z", (F.col("value") - mu) / sd)
         .filter(F.abs("z") > 3)
         .select(
             "event_id",
