@@ -7094,18 +7094,32 @@ def t22_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT 3-grams also appear in at least one OTHER document —
     the novelty/memorization signal curation uses to find boilerplate
     clusters exact dedup misses (d07 measures pairwise containment;
-    this is the corpus-wide marginal).  Shapes: distinct (doc, gram)
-    explode, then the document frequency as a COUNT OVER the gram
-    partition on the same exploded rows (r14: the previous
-    t06-style df-hash-agg + equi-join-back consumed the gram-explode
-    subtree from TWO plan branches — the whole gram build and explode
-    ran twice, plus a sort-merge self-join on gram strings; the
-    window computes df on one pass — rows are distinct per (doc,
-    gram) by construction, so count(*) per gram ≡ countDistinct(doc)
-    — one gram build, one shuffle on g, no self-join: 9.9 s → 3.9 s
-    with the zip-gram rewrite → 1.4 s with this shape at sf0.1,
-    identical output).  Ratio as integer per-mille (half-up), the
-    house fp-proof rounding."""
+    this is the corpus-wide marginal).
+
+    SKEW-SAFE DF (r15, guide §2.2/§2.3/§2.5 — VERDICT r14 #2/#4):
+    the r14 form computed df as ``count() OVER (PARTITION BY g)``
+    directly on the exploded (doc, gram) rows — WindowExec buffers
+    each gram partition in ONE task, so a boilerplate gram shared by
+    a large corpus fraction becomes one giant buffered partition at
+    100 TB, and the full gram volume crossed the exchange
+    un-aggregated.  This form never partitions raw rows by gram at
+    all.  Identity: rows are distinct per (doc, gram), so
+    ``n_shared(doc) = n_grams(doc) − #{g ∈ doc : df(g) = 1}``, and a
+    df = 1 gram has exactly one holder — recoverable as ``min(doc)``
+    in the SAME aggregate that counts df.  Both legs partial-aggregate
+    map-side before their exchange (a hot gram collapses to one row
+    per map task — no skew anywhere, guide §2.5 two-level pattern),
+    so the shuffles carry per-doc / per-gram PARTIALS, never raw gram
+    rows.  The final join is per-doc aggregates ⋈ per-doc unique
+    counts on doc_id — merge-hinted, because the planner's broadcast
+    choice for the (≤|docs|-row) unique-count side is unbounded at
+    100 TB.  The gram build runs once per leg (2×) — scan CPU
+    parallelizes linearly; the removed full-volume gram shuffle and
+    window buffer do not.  Output identical; pinned against the r14
+    window form in tests/test_r15_opt.py.  History: 9.9 s → 3.9 s
+    (zip-gram rewrite) → 1.4 s (window shape) → ~1.6-2.5 s this form
+    locally, skew-bound removed.  Ratio as integer per-mille
+    (half-up), the house fp-proof rounding."""
     docs = _t(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
@@ -7115,15 +7129,22 @@ def t22_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    with_df = grams.withColumn(
-        "df", F.count(F.lit(1)).over(W.partitionBy("g"))
+    per_doc_n = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
     )
-    per_doc = (
-        with_df.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("df") >= 2, 1)).alias("n_shared"),
-        )
+    uniq = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("dfc"), F.min("doc_id").alias("holder"))
+        .filter(F.col("dfc") == 1)
+        .groupBy(F.col("holder").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
+    per_doc = per_doc_n.join(uniq.hint("merge"), "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        (F.col("n_grams") - F.coalesce(F.col("n_uniq"), F.lit(0))).alias(
+            "n_shared"
+        ),
     )
     return per_doc.select(
         "doc_id",

@@ -109,6 +109,64 @@ def _synthetic_events(spark, n_rows=6000, n_types=3, seed=1715):
     )
 
 
+def _t22_window_form(spark, sf):
+    """The pre-r15 t22 form: df as count() OVER (PARTITION BY g) on
+    the exploded rows — the shape whose per-gram window partition
+    buffers a hot gram in one task at scale."""
+    from kinesis_log_streamer_spark.operators import text as TX
+
+    docs = Q._t(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.ngrams_col(F.col("text"), 3))
+        ).alias("g"),
+    )
+    with_df = grams.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("g"))
+    )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("df") >= 2, 1)).alias("n_shared"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        F.expr("(2*1000*n_shared + n_grams) div (2*n_grams)").alias(
+            "shared_permille"
+        ),
+    ).orderBy("doc_id")
+
+
+class TestT22SkewSafeDf:
+    @pytest.mark.parametrize("sf", SFS)
+    def test_matches_window_form(self, spark, sf):
+        old = _t22_window_form(spark, sf).collect()
+        new = Q.t22_ngram_novelty(spark, sf).collect()
+        assert [tuple(r) for r in new] == [tuple(r) for r in old]
+        assert len(new) > 0
+
+    def test_plan_has_no_per_gram_window_or_doc_broadcast(self, spark):
+        """The scale contract: no Window over raw gram rows (the skew
+        bound the rewrite removes), partial aggregation below every
+        gram exchange, and no broadcast of the |docs|-sized unique-
+        count side."""
+        import io
+        from contextlib import redirect_stdout
+
+        df = Q.t22_ngram_novelty(spark, SFS[0])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert ") Window" not in plan
+        assert "BroadcastExchange" not in plan
+        assert "partial_count" in plan
+        assert "partial_min" in plan
+        assert "SortMergeJoin" in plan
+
+
 class TestL09PrefixSumEquivalence:
     @pytest.mark.parametrize("sf", SFS)
     def test_matches_sliding_frame_on_testdata(self, spark, sf):
