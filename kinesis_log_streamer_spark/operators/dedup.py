@@ -134,15 +134,24 @@ def minhash_signatures(
             hashed_shingles_col(tokens_col(F.col(text_col)), shingle_n)
         ).alias("s"),
     )
-    h = F.pmod(F.col("s"), F.lit(m))
+    # The k MinHash aggregates and the signature array are built as
+    # SQL expr strings, not per-term Column algebra (r15, the r14
+    # eab7e52 SWAR precedent): the Column form cost ~200 py4j round
+    # trips of flat per-run driver time; each expr string parses to
+    # the IDENTICAL analyzed tree JVM-side (pinned canonically in
+    # tests/test_r15_opt.py), so plans and results are unchanged.
     prof = rows.groupBy("id").agg(
         F.collect_set("s").alias("shingles"),
         *[
-            F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(m))).alias(f"mh{k}")
+            F.expr(f"min(pmod(pmod(s, {m}) * {a} + {b}, {m}))").alias(
+                f"mh{k}"
+            )
             for k, (a, b) in enumerate(zip(a_consts, b_consts))
         ],
     )
-    sig = F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("sig")
+    sig = F.expr(
+        "array({})".format(",".join(f"mh{k}" for k in range(num_hashes)))
+    ).alias("sig")
     return prof.select("id", "shingles", sig)
 
 
@@ -155,21 +164,22 @@ def lsh_candidate_pairs(
     self-join on bucket equality with id_a < id_b.  Shuffle volume is
     O(docs × bands); matches only within buckets — never O(n²).
     """
+    # One expr string instead of bands x rows_per_band Column calls —
+    # same analyzed tree, a fraction of the py4j round trips (r15;
+    # canonical-tree pin in tests/test_r15_opt.py).
+    structs = ",".join(
+        "struct({b} as band_id, xxhash64({args}) as band_hash)".format(
+            b=b,
+            args=",".join(
+                f"sig[{b * rows_per_band + r}]"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = sig_df.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bucket"),
+        F.expr(f"explode(array({structs}))").alias("bucket"),
     ).select("id", "bucket.band_id", "bucket.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")

@@ -675,16 +675,33 @@ def pq_encode(
     cents = spark.createDataFrame(
         rows, ["pos", "sub", *[f"c{c}" for c in range(n_codes)]]
     )
-    half_sq = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(sum(x * x for x in books[s][c]) / 2.0)
-                    for c in range(n_codes)
-                ]
-            )
-            for s in range(m)
-        ]
+    # The per-code aggregates and the argmin struct array are built as
+    # SQL expr strings instead of per-term Column algebra (r15, the
+    # eab7e52 SWAR precedent): the Column form cost ~280 py4j round
+    # trips (~0.7 s of flat per-run driver time); the strings parse to
+    # the IDENTICAL analyzed trees (canonical-tree pin in
+    # tests/test_r15_opt.py).  Half-norm doubles are embedded via
+    # repr() (exact round-trip) with a loud finiteness guard — a
+    # NaN/Inf embedding would otherwise render as nanD/infD and fail
+    # SQL parsing obscurely (ADVICE r14 class).
+    import math
+
+    half_sq_vals = [
+        [sum(x * x for x in books[s][c]) / 2.0 for c in range(n_codes)]
+        for s in range(m)
+    ]
+    for srow in half_sq_vals:
+        for v in srow:
+            if not math.isfinite(v):
+                raise ValueError(
+                    f"pq_encode: non-finite codebook half-norm {v!r} — "
+                    "embeddings contain NaN/Inf"
+                )
+    half_sq_sql = "array({})".format(
+        ",".join(
+            "array({})".format(",".join(repr(v) + "D" for v in srow))
+            for srow in half_sq_vals
+        )
     )
     exploded = df.select(
         F.col(id_col).alias("id"),
@@ -695,27 +712,20 @@ def pq_encode(
         .groupBy("id", "sub")
         .agg(
             *[
-                F.sum(F.col("val") * F.col(f"c{c}")).alias(f"d{c}")
+                F.expr(f"sum(val * c{c})").alias(f"d{c}")
                 for c in range(n_codes)
             ]
         )
     )
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    F.col(f"d{c}")
-                    - F.element_at(
-                        F.element_at(
-                            half_sq, (F.col("sub") + 1).cast("int")
-                        ),
-                        c + 1,
-                    )
-                ).alias("score"),
-                F.lit(c).alias("cell"),
+    scored = F.expr(
+        "array({})".format(
+            ",".join(
+                f"struct((d{c} - element_at(element_at({half_sq_sql}, "
+                f"cast(sub + 1 as int)), {c + 1})) as score, "
+                f"{c} as cell)"
+                for c in range(n_codes)
             )
-            for c in range(n_codes)
-        ]
+        )
     )
     best = F.element_at(F.reverse(F.array_sort(scored)), 1)["cell"]
     return dots.select("id", "sub", best.alias("code"))

@@ -109,6 +109,187 @@ def _synthetic_events(spark, n_rows=6000, n_types=3, seed=1715):
     )
 
 
+class TestExprStringTreeEquivalence:
+    """The r15 expr-string builders (minhash_signatures' k min
+    aggregates + signature array, lsh_candidate_pairs' band structs,
+    pq_encode's per-code aggregates + argmin struct array) must parse
+    to the CANONICALLY IDENTICAL analyzed trees as the pre-r15
+    Column-algebra constructions — zero plan or result change, only
+    fewer py4j round trips."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "one two three four five six"),
+                (3, "alpha beta gamma delta zeta"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_minhash_sigs_and_bands_canonical(self, spark):
+        from kinesis_log_streamer_spark.operators import dedup as D
+
+        docs = self._docs(spark)
+
+        def old_sigs(df, text_col="text", id_col="doc_id",
+                     num_hashes=32, shingle_n=3):
+            m = 2147483647
+            rng = __import__("random").Random(42)
+            a_consts = [rng.randrange(1, m) for _ in range(num_hashes)]
+            b_consts = [rng.randrange(0, m) for _ in range(num_hashes)]
+            rows = df.filter(
+                F.size(D.tokens_col(F.col(text_col))) >= shingle_n
+            ).select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    D.hashed_shingles_col(
+                        D.tokens_col(F.col(text_col)), shingle_n
+                    )
+                ).alias("s"),
+            )
+            h = F.pmod(F.col("s"), F.lit(m))
+            prof = rows.groupBy("id").agg(
+                F.collect_set("s").alias("shingles"),
+                *[
+                    F.min(
+                        F.pmod(h * F.lit(a) + F.lit(b), F.lit(m))
+                    ).alias(f"mh{k}")
+                    for k, (a, b) in enumerate(zip(a_consts, b_consts))
+                ],
+            )
+            sig = F.array(
+                *[F.col(f"mh{k}") for k in range(num_hashes)]
+            ).alias("sig")
+            return prof.select("id", "shingles", sig)
+
+        def old_bands(sig_df, bands=8, rows_per_band=4):
+            return sig_df.select(
+                "id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band_id"),
+                                F.xxhash64(
+                                    *[
+                                        F.col("sig")[b * rows_per_band + r]
+                                        for r in range(rows_per_band)
+                                    ]
+                                ).alias("band_hash"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("bucket"),
+            ).select("id", "bucket.band_id", "bucket.band_hash")
+
+        def canon(df):
+            return (
+                df._jdf.queryExecution().analyzed().canonicalized().toString()
+            )
+
+        new_s, old_s = D.minhash_signatures(docs), old_sigs(docs)
+        assert canon(new_s) == canon(old_s)
+        # band construction canonical equality, probed on the shared
+        # banded projection (the join on top adds nothing new)
+        new_banded = D.lsh_candidate_pairs(new_s)
+        old_banded = (
+            lambda banded: banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .distinct()
+        )(old_bands(old_s))
+        assert canon(new_banded) == canon(old_banded)
+
+    def test_pq_encode_canonical(self, spark):
+        from kinesis_log_streamer_spark.operators import similarity as S
+
+        emb = spark.createDataFrame(
+            [(i, [float(i + j) for j in range(8)]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        books = S.pq_codebooks(emb, m=4, n_codes=4)
+
+        def old_encode(df, books, id_col="vec_id", vec_col="embedding"):
+            m, n_codes = len(books), len(books[0])
+            sub = len(books[0][0])
+            sp = df.sparkSession
+            rows = []
+            for s in range(m):
+                for p in range(sub):
+                    rows.append(
+                        (
+                            s * sub + p,
+                            s,
+                            *[float(books[s][c][p]) for c in range(n_codes)],
+                        )
+                    )
+            cents = sp.createDataFrame(
+                rows, ["pos", "sub", *[f"c{c}" for c in range(n_codes)]]
+            )
+            half_sq = F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(sum(x * x for x in books[s][c]) / 2.0)
+                            for c in range(n_codes)
+                        ]
+                    )
+                    for s in range(m)
+                ]
+            )
+            exploded = df.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "val"
+                ),
+            )
+            dots = (
+                exploded.join(F.broadcast(cents), "pos")
+                .groupBy("id", "sub")
+                .agg(
+                    *[
+                        F.sum(F.col("val") * F.col(f"c{c}")).alias(f"d{c}")
+                        for c in range(n_codes)
+                    ]
+                )
+            )
+            scored = F.array(
+                *[
+                    F.struct(
+                        (
+                            F.col(f"d{c}")
+                            - F.element_at(
+                                F.element_at(
+                                    half_sq, (F.col("sub") + 1).cast("int")
+                                ),
+                                c + 1,
+                            )
+                        ).alias("score"),
+                        F.lit(c).alias("cell"),
+                    )
+                    for c in range(n_codes)
+                ]
+            )
+            best = F.element_at(F.reverse(F.array_sort(scored)), 1)["cell"]
+            return dots.select("id", "sub", best.alias("code"))
+
+        new = S.pq_encode(emb, books)
+        old = old_encode(emb, books)
+        assert (
+            new._jdf.queryExecution().analyzed().canonicalized().toString()
+            == old._jdf.queryExecution().analyzed().canonicalized().toString()
+        )
+
+
 def _t22_window_form(spark, sf):
     """The pre-r15 t22 form: df as count() OVER (PARTITION BY g) on
     the exploded rows — the shape whose per-gram window partition
