@@ -11451,7 +11451,17 @@ def t27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # barely moves (~2.6 s); the win is the scan stage no longer
     # materializing |corpus tokens| rows — the term that grows with
     # corpus size.  Same hash at sf0.01/sf0.1.
-    pat = "(?:^|\\s)(" + "|".join(all_terms) + ")(?=\\s|$)"
+    # re.escape each alternative (ADVICE r14 low #1, the
+    # _stopword_pattern idiom): a no-op for today's alphanumeric
+    # terms, but a future term containing a regex metacharacter would
+    # otherwise silently change matching semantics.
+    import re as _re
+
+    pat = (
+        "(?:^|\\s)("
+        + "|".join(_re.escape(t) for t in all_terms)
+        + ")(?=\\s|$)"
+    )
     toks = docs.select(
         "doc_id",
         F.size(TX.tokens_col(F.col("text"))).alias("dl"),
@@ -12282,6 +12292,14 @@ def s21_ivf_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side plan BUILD per run.  repr() is shortest-roundtrip,
     # so the SQL parser recovers bit-identical doubles.
     def _d(x: float) -> str:
+        # Fail loud on NaN/Inf (ADVICE r14 low #3): a non-finite
+        # centroid component would render as nanD/infD and surface as
+        # an obscure SQL parse error at plan build.
+        if not math.isfinite(x):
+            raise ValueError(
+                f"s21: non-finite centroid component {x!r} — embeddings "
+                "contain NaN/Inf"
+            )
         return repr(x) + "D"
 
     cents_lit = F.expr(
