@@ -669,7 +669,16 @@ def main() -> int:
         # A contended current run can only produce a spurious alert.
         result["vs_prev_common_total"]["regression_alert"] = False
         result["vs_prev_common_total"]["degraded_current"] = True
-    print(json.dumps(result))
+    # STDOUT SLIMMING (VERDICT r14 #2): the round-13 capture was
+    # truncated MID-JSON by the caller's output-tail limit, which
+    # nulled the driver's whole round-over-round comparison.  The
+    # per-query "vs_prev" ratio map is our own diagnostic (the driver
+    # computes its own deltas from the recorded per-query seconds), so
+    # it stays in BENCH_HISTORY.jsonl but is dropped from the printed
+    # line — ~5 KB less stdout, same contract keys (metric/value/unit/
+    # queries/sf all intact), identical timing methodology.
+    printed = {k: v for k, v in result.items() if k != "vs_prev"}
+    print(json.dumps(printed), flush=True)
     _append_history(result)
     return 0
 

@@ -22,6 +22,14 @@ written back partitioned — no driver-side rows.
 Usage:
     python scripts/scalecheck.py               # build (once) + run
     python scripts/scalecheck.py --rebuild     # force rebuild
+    # Parallelism evidence (VERDICT r14 #7): time ONLY the scaled
+    # corpus for the slowest-15 bench queries at the CURRENT
+    # $SPARK_GRAFT_CPUS and dump JSON; run once at 32 and once at 8
+    # cores, then merge the two files into SCALING.md's
+    # "Parallelism at 10x rows" section:
+    python scripts/scalecheck.py --cores-out /tmp/sc_cores32.json
+    SPARK_GRAFT_CPUS=8 python scripts/scalecheck.py --cores-out /tmp/sc_cores8.json
+    python scripts/scalecheck.py --merge-cores /tmp/sc_cores32.json /tmp/sc_cores8.json
 Writes SCALING.md at the repo root and prints one JSON line.
 """
 
@@ -415,7 +423,100 @@ def _time(fn, spark, sf_dir: str, runs: int = 3) -> float:
     ) / 2
 
 
+def _cores_out(spark, out_path: str) -> int:
+    """Time ONLY the ~sf1 scaled corpus for the slowest-15 bench
+    queries at the current $SPARK_GRAFT_CPUS core count; dump one
+    JSON file for --merge-cores.  Rationale (VERDICT r14 #7): at
+    sf0.1 ~80 headline queries show 8-core == 32-core because
+    per-query fixed cost dominates — only the 10x corpus can tell
+    "overhead-bound at tiny SF" from "serial at scale"."""
+    if not os.path.exists(SCALED):
+        build(spark)
+    names = slowest_from_bench() or QUERIES[:15]
+    times = {}
+    for name in names:
+        fn = Q.REGISTRY[name]
+        times[name] = round(_time(fn, spark, SCALED), 3)
+        print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+    payload = {
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "replicas": REPLICAS,
+        "times": times,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh)
+    print(json.dumps(payload))
+    return 0
+
+
+CORES_HEADER = "## Parallelism at 10x rows (8 vs 32 cores)"
+
+
+def _merge_cores(path_a: str, path_b: str) -> int:
+    """Merge two --cores-out files into SCALING.md (section replaced
+    idempotently).  ratio = time(8 cores) / time(32 cores) on the
+    SAME ~sf1 corpus: ~4x means fully parallel, ~1x means the query
+    is fixed-cost- or serial-bound even at 10x rows."""
+    with open(path_a) as fh:
+        a = json.load(fh)
+    with open(path_b) as fh:
+        b = json.load(fh)
+    hi, lo = (a, b) if a["cpus"] >= b["cpus"] else (b, a)
+    lines = [
+        CORES_HEADER,
+        "",
+        f"Slowest-15 bench queries timed on the SAME ~sf1 replica "
+        f"corpus at {lo['cpus']} and {hi['cpus']} cores "
+        f"(scripts/scalecheck.py --cores-out).  ratio = "
+        f"{lo['cpus']}-core sec / {hi['cpus']}-core sec: ~"
+        f"{hi['cpus'] // lo['cpus']}x = fully parallel, ~1x = fixed-"
+        "cost or serial-bound even at 10x rows.",
+        "",
+        f"| query | {hi['cpus']}-core sec | {lo['cpus']}-core sec "
+        "| ratio |",
+        "|---|---|---|---|",
+    ]
+    common = [q for q in hi["times"] if q in lo["times"]]
+    ratios = []
+    for q in common:
+        r = (
+            round(lo["times"][q] / hi["times"][q], 2)
+            if hi["times"][q]
+            else None
+        )
+        if r is not None:
+            ratios.append(r)
+        lines.append(
+            f"| {q} | {hi['times'][q]} | {lo['times'][q]} | {r} |"
+        )
+    if ratios:
+        ratios.sort()
+        lines += [
+            "",
+            f"Median ratio: **{ratios[len(ratios) // 2]}x** "
+            f"(ideal {hi['cpus'] // lo['cpus']}.0x).",
+        ]
+    path = os.path.join(REPO, "SCALING.md")
+    with open(path) as fh:
+        md = fh.read()
+    if CORES_HEADER in md:
+        head, _, tail = md.partition(CORES_HEADER)
+        # drop the old section up to the next H2 (or EOF)
+        nxt = tail.find("\n## ")
+        tail = tail[nxt + 1:] if nxt >= 0 else ""
+        md = head.rstrip() + "\n\n" + "\n".join(lines) + "\n\n" + tail
+    else:
+        md = md.rstrip() + "\n\n" + "\n".join(lines) + "\n"
+    with open(path, "w") as fh:
+        fh.write(md)
+    print(json.dumps({"merged": len(common)}))
+    return 0
+
+
 def main() -> int:
+    if "--merge-cores" in sys.argv:
+        i = sys.argv.index("--merge-cores")
+        return _merge_cores(sys.argv[i + 1], sys.argv[i + 2])
     spark = get_spark(
         "scalecheck",
         extra_conf={
@@ -434,6 +535,9 @@ def main() -> int:
             print(f"# waited {waited}s for a quiet host", file=sys.stderr)
     except Exception:
         pass
+    if "--cores-out" in sys.argv:
+        i = sys.argv.index("--cores-out")
+        return _cores_out(spark, sys.argv[i + 1])
     rebuild = "--rebuild" in sys.argv or not os.path.exists(SCALED)
     if rebuild:
         t0 = time.perf_counter()
